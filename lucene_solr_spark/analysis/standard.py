@@ -1,0 +1,168 @@
+"""StandardAnalyzer-semantics analysis chain, vectorized for Spark.
+
+Reproduces the reference pipeline
+(lucene/core/src/java/org/apache/lucene/analysis/standard/StandardAnalyzer.java:101-114):
+
+    StandardTokenizer -> StandardFilter(no-op) -> LowerCaseFilter -> StopFilter
+
+Semantics ported (reference citations):
+
+- UAX#29-style word segmentation (StandardTokenizerImpl.jflex:43-60):
+  runs of letters/digits; MidLetter apostrophe kept between letters
+  ("O'Reilly's" -> one token); MidNum '.'/',' kept between digits
+  ("3.14", "1,000" -> one token); everything else splits. CJK
+  ideographs are emitted one-token-per-ideograph (TestStandardAnalyzer
+  testChinese, line 199).
+- maxTokenLength = 255 (StandardTokenizer.java:100-123): longer tokens
+  are DISCARDED and the position counter still advances
+  (skippedPositions semantics).
+- LowerCaseFilter (analysis/LowerCaseFilter.java): per-codepoint
+  Character.toLowerCase — i.e. Unicode *simple* case mapping, applied
+  without string context. This differs from Python str.lower() for
+  e.g. U+0130 'İ' (simple mapping -> 'i', full mapping -> 'i̇') and
+  for final sigma (no contextual ς here). We apply the simple mapping
+  per codepoint.
+- StopFilter with the 33-word English stop set
+  (StandardAnalyzer.java:44-50); removed tokens leave position holes
+  (position increments preserved) and do NOT count toward field
+  length (DefaultIndexingChain.java:742-804 counts only emitted
+  tokens).
+
+The hot path is vectorized: an ASCII fast path lowercases with pandas
+string ops and tokenizes with a compiled regex; the general path falls
+back to per-string Python only for rows containing non-ASCII.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# The exact 33-term English stop set, StandardAnalyzer.java:44-50.
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+MAX_TOKEN_LENGTH = 255  # StandardTokenizer.java:100-123
+
+# CJK ideograph ranges emitted one-per-codepoint (UAX#29 treats Han as
+# its own category; Lucene's grammar tags them IDEOGRAPHIC and emits
+# singles).
+_CJK = "一-鿿㐀-䶿豈-﫿"
+
+# Word pattern: an alnum start, continued by alnum, or an apostrophe
+# that is followed by a letter (MidLetter), or ./, followed by a digit
+# (MidNum). CJK ideographs match singly and never join runs.
+_WORD_RE = re.compile(
+    rf"[{_CJK}]"
+    rf"|[^\W_{_CJK}](?:[^\W_{_CJK}]|['’](?=[^\W\d_])|[.,](?=\d))*",
+    re.UNICODE,
+)
+# ASCII-only fast-path variant (no CJK branch needed).
+_ASCII_WORD_RE = re.compile(r"[a-z0-9](?:[a-z0-9]|'(?=[a-z])|[.,](?=[0-9]))*")
+
+
+@lru_cache(maxsize=4096)
+def _lower_cp(ch: str) -> str:
+    """Unicode *simple* lowercase of one codepoint (Java
+    Character.toLowerCase semantics): when the full mapping expands to
+    multiple codepoints (e.g. U+0130), keep the first, which equals the
+    simple mapping for every such character in practice."""
+    low = ch.lower()
+    return low if len(low) == 1 else low[0]
+
+
+def _java_lower(token: str) -> str:
+    if token.isascii():
+        return token.lower()
+    return "".join(_lower_cp(c) for c in token)
+
+
+def analyze(text: str) -> list[tuple[str, int]]:
+    """Full chain on one string -> [(term, position)].
+
+    Positions are the Lucene token positions: stopped and over-length
+    tokens leave holes (the next surviving token keeps its original
+    position), mirroring StopFilter's preserved position increments
+    and StandardTokenizer's skippedPositions.
+    """
+    out: list[tuple[str, int]] = []
+    pos = -1
+    for m in _WORD_RE.finditer(text):
+        pos += 1
+        tok = m.group()
+        if len(tok) > MAX_TOKEN_LENGTH:
+            continue  # discarded, position already advanced
+        tok = _java_lower(tok)
+        if tok in ENGLISH_STOP_WORDS:
+            continue  # position hole
+        out.append((tok, pos))
+    return out
+
+
+def _analyze_ascii_lower(text: str) -> list[tuple[str, int]]:
+    """Fast path: input already ASCII-lowercased."""
+    out: list[tuple[str, int]] = []
+    pos = -1
+    for m in _ASCII_WORD_RE.finditer(text):
+        pos += 1
+        tok = m.group()
+        if len(tok) > MAX_TOKEN_LENGTH or tok in ENGLISH_STOP_WORDS:
+            continue
+        out.append((tok, pos))
+    return out
+
+
+def analyze_series(texts: pd.Series) -> pd.Series:
+    """Vectorized batch analysis: Series[str] -> Series[list[dict]].
+
+    Shape matches Spark type array<struct<term:string,pos:int>>.
+    """
+    texts = texts.fillna("")
+    # ASCII fast path: lowercase whole strings with pandas (identical
+    # to per-codepoint simple mapping on ASCII), tokenize lowercased.
+    is_ascii = np.fromiter((t.isascii() for t in texts), dtype=bool, count=len(texts))
+    result = np.empty(len(texts), dtype=object)
+    if is_ascii.any():
+        lowered = texts[is_ascii].str.lower()
+        result[np.flatnonzero(is_ascii)] = [
+            [{"term": t, "pos": p} for t, p in _analyze_ascii_lower(s)] for s in lowered
+        ]
+    if (~is_ascii).any():
+        result[np.flatnonzero(~is_ascii)] = [
+            [{"term": t, "pos": p} for t, p in analyze(s)] for s in texts[~is_ascii]
+        ]
+    return pd.Series(result, index=texts.index)
+
+
+# Explicit DataType objects (DDL strings would require an active
+# SparkContext at import time).
+TOKENS_TYPE = ArrayType(StructType([
+    StructField("term", StringType()),
+    StructField("pos", IntegerType()),
+]))
+
+
+@pandas_udf(TOKENS_TYPE)
+def tokens_udf(texts: pd.Series) -> pd.Series:
+    """Spark-facing vectorized analyzer (Arrow-batched)."""
+    return analyze_series(texts)
+
+
+@pandas_udf(ArrayType(StringType()))
+def terms_only_udf(texts: pd.Series) -> pd.Series:
+    """Terms without positions (cheaper when positions aren't needed)."""
+    toks = analyze_series(texts)
+    return toks.map(lambda lst: [d["term"] for d in lst])

@@ -1,0 +1,157 @@
+"""Inverted-index construction as a DataFrame pipeline.
+
+The write path mirrors Lucene's indexing chain (EP1, SURVEY §3):
+
+  reference                           this engine
+  ---------                           -----------
+  IndexWriter.addDocument             rows of the pages DataFrame
+  DefaultIndexingChain.processField   tokens_udf (vectorized analyzer)
+  TermsHashPerField.add (in-RAM       posexplode + groupBy(term, docid)
+    postings byte slices)               -> (term, docid, tf, positions)
+  norms (computeNorm, BM25)           norm_byte column via byte315
+  term dict stats (df, ttf)           groupBy(term).agg(count, sum)
+  CollectionStatistics                global agg (docCount, sumTtf)
+
+Everything stays in Catalyst-planned operators; the only Python is the
+Arrow-batched analyzer UDF. The groupBy(term) shuffle is the Spark
+equivalent of the flush/merge sort in FreqProxTermsWriter.flush
+(index/FreqProxTermsWriter.java:82-103).
+
+Scale notes:
+- posting build shuffles on (term, docid) then (term) — both
+  map-side-combinable aggregations, so Zipf-skewed hot terms are
+  partially aggregated before the shuffle; AQE skew-join handles the
+  residue, and the segment path (segments.py) salts hot terms
+  explicitly.
+- docs table and postings table are both written partitioned; postings
+  are bucket-friendly on term.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+from lucene_solr_spark.analysis import tokens_udf
+from lucene_solr_spark.functions.bm25 import length_norm_byte
+from lucene_solr_spark.index.docid import assign_doc_ids
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf(IntegerType())
+def _norm_byte_udf(lengths: pd.Series) -> pd.Series:
+    """Vectorized byte315 norm from field length (0 for empty docs —
+    Lucene omits the norm entry; score path maps it via cache[0])."""
+    arr = lengths.to_numpy(dtype=np.int64)
+    out = np.zeros(len(arr), dtype=np.int32)
+    nz = arr > 0
+    out[nz] = length_norm_byte(arr[nz]).astype(np.int32)
+    return pd.Series(out)
+
+
+@dataclass
+class IndexTables:
+    """The logical 'index': Lucene's per-segment files re-expressed as
+    columnar tables (SURVEY §1.4 'Spark mapping')."""
+
+    docs: DataFrame        # docid, url, doclen, norm_byte  (norms + stored-ref)
+    postings: DataFrame    # term, docid, tf, positions     (.doc/.pos)
+    term_stats: DataFrame  # term, df, ttf                  (term dictionary stats)
+    coll_stats: dict       # doc_count, sum_ttf             (CollectionStatistics)
+
+    def cache(self) -> "IndexTables":
+        self.docs.cache()
+        self.postings.cache()
+        self.term_stats.cache()
+        return self
+
+
+def invert(pages: DataFrame, text_col: str = "text", id_col: str = "docid") -> DataFrame:
+    """documents -> flat postings (term, docid, tf, positions).
+
+    The analyzer runs once per doc; positions are collected per
+    (term, doc) exactly as TermsHashPerField accumulates prox data.
+    """
+    toks = pages.select(
+        F.col(id_col).alias("docid"),
+        F.posexplode_outer(tokens_udf(F.col(text_col))).alias("_i", "tok"),
+    ).where(F.col("tok").isNotNull())
+    return (
+        toks.groupBy(F.col("docid"), F.col("tok.term").alias("term"))
+        .agg(
+            F.count(F.lit(1)).cast(IntegerType()).alias("tf"),
+            F.sort_array(F.collect_list(F.col("tok.pos"))).alias("positions"),
+        )
+        .select("term", "docid", "tf", "positions")
+    )
+
+
+def build_index(
+    pages: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+    precomputed_docid: str | None = None,
+) -> IndexTables:
+    """Build the full flat index from a pages/documents DataFrame.
+
+    ``precomputed_docid``: use an existing unique integer column as the
+    docid (e.g. documents.doc_id) instead of assigning by key order.
+    """
+    if precomputed_docid:
+        base = pages.withColumn("docid", F.col(precomputed_docid).cast("long"))
+    else:
+        base = assign_doc_ids(pages, key=key_col)
+
+    # doclen = emitted-token count (stop/overlength tokens excluded),
+    # BM25Similarity.java:117,146-150 discountOverlaps semantics.
+    docs = base.select(
+        "docid",
+        F.col(key_col).alias("url") if key_col != "url" else F.col("url"),
+        F.size(tokens_udf(F.col(text_col))).alias("doclen"),
+    ).withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
+
+    postings = invert(base, text_col=text_col)
+
+    term_stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("ttf"),
+    )
+
+    stats_row = docs.agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.coalesce(F.sum("doclen"), F.lit(0)).alias("sum_ttf"),
+    ).collect()[0]
+    coll_stats = {"doc_count": stats_row["doc_count"], "sum_ttf": stats_row["sum_ttf"]}
+
+    return IndexTables(docs=docs, postings=postings, term_stats=term_stats,
+                       coll_stats=coll_stats)
+
+
+def write_index(tables: IndexTables, path: str, term_buckets: int = 32) -> None:
+    """Persist the index. Postings are repartitioned by term so a
+    term-lookup is partition-prunable; on a real deployment these
+    would be Iceberg tables bucketed by term with sorted files
+    (SURVEY §1.4) — plain parquet directories stand in here."""
+    tables.docs.repartition("docid").write.mode("overwrite").parquet(f"{path}/docs")
+    (
+        tables.postings.repartition(term_buckets, "term")
+        .sortWithinPartitions("term", "docid")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    tables.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+
+
+def read_index(spark: SparkSession, path: str) -> IndexTables:
+    docs = spark.read.parquet(f"{path}/docs")
+    postings = spark.read.parquet(f"{path}/postings")
+    term_stats = spark.read.parquet(f"{path}/term_stats")
+    row = docs.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    return IndexTables(docs, postings, term_stats,
+                       {"doc_count": row["n"], "sum_ttf": row["s"]})

@@ -1,0 +1,270 @@
+"""Query AST — the engine's logical query plan.
+
+A small algebra mirroring Lucene's Query tree (search/Query.java and
+subclasses, SURVEY §2.2-§2.3). The executor compiles a tree into a
+DataFrame program; rewrite() applies the same simplifications
+BooleanQuery.rewrite does (single-clause unwrap, clause dedup).
+
+Also includes a parser for the benchmark query mini-language used by
+lucene/benchmark/conf/query-terms.txt ("a AND b", "(a AND b) OR c",
+bare terms, quoted phrases).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+class Query:
+    def rewrite(self) -> "Query":
+        return self
+
+    def key(self) -> str:
+        """Canonical clause-ordering key (used to fix float summation
+        order deterministically — SURVEY §7 'float32 determinism')."""
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class TermQ(Query):
+    """TermQuery (search/TermQuery.java) — BM25-scored single term."""
+    term: str
+    boost: float = 1.0
+
+    def key(self) -> str:
+        return f"t:{self.term}"
+
+
+@dataclass(frozen=True)
+class MatchAllQ(Query):
+    """MatchAllDocsQuery (search/MatchAllDocsQuery.java): score=boost."""
+    boost: float = 1.0
+
+    def key(self) -> str:
+        return "*"
+
+
+@dataclass(frozen=True)
+class PhraseQ(Query):
+    """PhraseQuery (search/PhraseQuery.java): terms at consecutive
+    positions (slop=0 → ExactPhraseScorer; slop>0 → sloppy freq)."""
+    terms: tuple[str, ...]
+    slop: int = 0
+    boost: float = 1.0
+
+    def key(self) -> str:
+        return "p:" + " ".join(self.terms)
+
+
+@dataclass(frozen=True)
+class AndQ(Query):
+    """BooleanQuery with all-MUST clauses (ConjunctionDISI leapfrog →
+    inner joins on docid; scores sum)."""
+    clauses: tuple[Query, ...]
+
+    def rewrite(self) -> Query:
+        cls = tuple(dict.fromkeys(c.rewrite() for c in self.clauses))
+        return cls[0] if len(cls) == 1 else AndQ(cls)
+
+    def key(self) -> str:
+        return "and(" + ",".join(sorted(c.key() for c in self.clauses)) + ")"
+
+
+@dataclass(frozen=True)
+class OrQ(Query):
+    """BooleanQuery with SHOULD clauses; min_should_match → n-of-m
+    (MinShouldMatchSumScorer → groupBy + HAVING count >= n)."""
+    clauses: tuple[Query, ...]
+    min_should_match: int = 1
+
+    def rewrite(self) -> Query:
+        cls = tuple(dict.fromkeys(c.rewrite() for c in self.clauses))
+        if len(cls) == 1 and self.min_should_match <= 1:
+            return cls[0]
+        return OrQ(cls, self.min_should_match)
+
+    def key(self) -> str:
+        return "or(" + ",".join(sorted(c.key() for c in self.clauses)) + ")"
+
+
+@dataclass(frozen=True)
+class NotQ(Query):
+    """MUST + MUST_NOT (ReqExclScorer → left_anti join)."""
+    positive: Query
+    negative: Query
+
+    def rewrite(self) -> Query:
+        return NotQ(self.positive.rewrite(), self.negative.rewrite())
+
+    def key(self) -> str:
+        return f"not({self.positive.key()},{self.negative.key()})"
+
+
+@dataclass(frozen=True)
+class ConstQ(Query):
+    """ConstantScoreQuery: match inner, score = boost."""
+    inner: Query
+    boost: float = 1.0
+
+    def rewrite(self) -> Query:
+        return ConstQ(self.inner.rewrite(), self.boost)
+
+    def key(self) -> str:
+        return f"const({self.inner.key()})"
+
+
+class MultiTermQ(Query):
+    """Base for term-expanding queries (search/MultiTermQuery.java).
+
+    Default rewrite is CONSTANT_SCORE_REWRITE: matching docs get
+    score = boost regardless of tf (MultiTermQueryConstantScoreWrapper).
+    The executor expands matching terms against the term dictionary
+    (term_stats table) — the Spark analogue of FST/automaton
+    intersection (codecs/blocktree/IntersectTermsEnum.java).
+    """
+    boost: float = 1.0
+
+    def term_predicate(self):  # -> Column function over F.col("term")
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class PrefixQ(MultiTermQ):
+    prefix: str
+    boost: float = 1.0
+
+    def key(self) -> str:
+        return f"pre:{self.prefix}"
+
+
+@dataclass(frozen=True)
+class WildcardQ(MultiTermQ):
+    """WildcardQuery: * = any run, ? = single char."""
+    pattern: str
+    boost: float = 1.0
+
+    def key(self) -> str:
+        return f"wc:{self.pattern}"
+
+    def to_regex(self) -> str:
+        out = []
+        for ch in self.pattern:
+            if ch == "*":
+                out.append(".*")
+            elif ch == "?":
+                out.append(".")
+            else:
+                out.append(re.escape(ch))
+        return "^" + "".join(out) + "$"
+
+
+@dataclass(frozen=True)
+class RegexpQ(MultiTermQ):
+    regex: str
+    boost: float = 1.0
+
+    def key(self) -> str:
+        return f"re:{self.regex}"
+
+
+@dataclass(frozen=True)
+class FuzzyQ(MultiTermQ):
+    """FuzzyQuery: terms within Levenshtein distance <= max_edits
+    (search/FuzzyQuery.java; automaton replaced by Spark's built-in
+    levenshtein())."""
+    term: str
+    max_edits: int = 2
+    boost: float = 1.0
+
+    def key(self) -> str:
+        return f"fz:{self.term}~{self.max_edits}"
+
+
+@dataclass(frozen=True)
+class TermRangeQ(MultiTermQ):
+    """TermRangeQuery: lexicographic term range."""
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+    def key(self) -> str:
+        return f"rng:{self.lower}..{self.upper}"
+
+
+@dataclass(frozen=True)
+class TermInSetQ(MultiTermQ):
+    """TermInSetQuery (search/TermInSetQuery.java): IN-list."""
+    terms: tuple[str, ...] = field(default_factory=tuple)
+    boost: float = 1.0
+
+    def key(self) -> str:
+        return "in:" + ",".join(sorted(self.terms))
+
+
+# --- mini-language parser ------------------------------------------------
+
+_TOKEN_RE = re.compile(r'\(|\)|"[^"]*"|AND|OR|NOT|[^\s()]+')
+
+
+def parse_query(s: str) -> Query:
+    """Parse the benchmark query language (query-terms.txt style):
+    ``a AND b``, ``(a AND b) OR c``, ``"exact phrase"``, ``a NOT b``.
+    AND binds tighter than OR; NOT is infix (a NOT b = +a -b).
+    """
+    tokens = _TOKEN_RE.findall(s)
+    if not tokens:
+        raise ValueError(f"empty query: {s!r}")
+    pos = 0
+
+    def peek():
+        return tokens[pos] if pos < len(tokens) else None
+
+    def eat(tok=None):
+        nonlocal pos
+        t = tokens[pos]
+        if tok is not None and t != tok:
+            raise ValueError(f"expected {tok}, got {t} in {s!r}")
+        pos += 1
+        return t
+
+    def parse_atom() -> Query:
+        t = peek()
+        if t == "(":
+            eat("(")
+            q = parse_or()
+            eat(")")
+            return q
+        t = eat()
+        if t.startswith('"'):
+            words = t.strip('"').split()
+            if len(words) == 1:
+                return TermQ(words[0].lower())
+            return PhraseQ(tuple(w.lower() for w in words))
+        return TermQ(t.lower())
+
+    def parse_and() -> Query:
+        clauses = [parse_atom()]
+        while peek() in ("AND", "NOT"):
+            op = eat()
+            rhs = parse_atom()
+            if op == "AND":
+                clauses.append(rhs)
+            else:
+                left = clauses[0] if len(clauses) == 1 else AndQ(tuple(clauses))
+                clauses = [NotQ(left, rhs)]
+        return clauses[0] if len(clauses) == 1 else AndQ(tuple(clauses))
+
+    def parse_or() -> Query:
+        clauses = [parse_and()]
+        while peek() == "OR":
+            eat("OR")
+            clauses.append(parse_and())
+        return clauses[0] if len(clauses) == 1 else OrQ(tuple(clauses))
+
+    q = parse_or()
+    if pos != len(tokens):
+        raise ValueError(f"trailing tokens in {s!r}")
+    return q.rewrite()

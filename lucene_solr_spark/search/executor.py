@@ -1,0 +1,364 @@
+"""Query execution: compile the query AST into a DataFrame program.
+
+Mapping of Lucene's scorer tree onto Spark operators (SURVEY §2.3):
+
+  ConjunctionDISI (AND leapfrog)    inner joins on docid
+  DisjunctionSumScorer (OR heap)    union + groupBy(docid).sum
+  MinShouldMatchSumScorer           ... HAVING count >= n
+  ReqExclScorer (MUST_NOT)          left_anti join
+  MultiTermQuery rewrite            predicate over the term-stats table
+                                    (constant-score, the default
+                                    CONSTANT_SCORE_REWRITE of
+                                    search/MultiTermQuery.java)
+  ExactPhraseScorer                 positions-array intersection in a
+                                    vectorized pandas UDF (two-phase:
+                                    docid-join first, positions second,
+                                    like search/TwoPhaseIterator.java)
+  TopScoreDocCollector + TopDocs    orderBy(score desc, docid asc)
+    .merge                          .limit(k) → TakeOrderedAndProject
+                                    (per-partition bounded heaps + a
+                                    driver-side k-way merge — exactly
+                                    the reference's collector/merge
+                                    split, run by Spark)
+
+Two scoring modes:
+
+- ``lucene``: float32-exact BM25 (byte315 norms, float32 weight/score,
+  clause sums accumulated in float64 in canonical clause-key order and
+  downcast — ConjunctionScorer.java:54-60 semantics with a *defined*
+  summation order so results are identical at any parallelism).
+- ``sql``: same formulas in plain double precision Catalyst
+  expressions with exact doc length (no byte quantization). This mode
+  is cross-engine reproducible (DuckDB oracle) after quantizing scores
+  to ``floor(score * 1e6)`` — sub-ulp libm differences between JVM and
+  DuckDB are absorbed by the quantization.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+from lucene_solr_spark.functions.bm25 import BM25
+from lucene_solr_spark.index.builder import IndexTables
+from lucene_solr_spark.search import ast as A
+
+K1 = 1.2
+B = 0.75
+SCORE_QUANTUM = 1_000_000  # sql-mode cross-engine score quantization
+
+
+def _collect_terms(q: A.Query) -> set[str]:
+    if isinstance(q, A.TermQ):
+        return {q.term}
+    if isinstance(q, A.PhraseQ):
+        return set(q.terms)
+    if isinstance(q, (A.AndQ, A.OrQ)):
+        return set().union(*(_collect_terms(c) for c in q.clauses))
+    if isinstance(q, A.NotQ):
+        return _collect_terms(q.positive) | _collect_terms(q.negative)
+    if isinstance(q, A.ConstQ):
+        return _collect_terms(q.inner)
+    return set()
+
+
+class Searcher:
+    """IndexSearcher analogue over IndexTables (flat posting model)."""
+
+    def __init__(self, index: IndexTables, mode: str = "lucene",
+                 k1: float = K1, b: float = B):
+        assert mode in ("lucene", "sql")
+        self.index = index
+        self.mode = mode
+        self.k1 = k1
+        self.b = b
+        self.bm25 = BM25(index.coll_stats["doc_count"], index.coll_stats["sum_ttf"],
+                         k1=k1, b=b)
+        self._stats_cache: dict[str, int] = {}
+
+    # -- statistics (TermStatistics / CollectionStatistics) --------------
+
+    def _df_for(self, terms: set[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._stats_cache]
+        if missing:
+            rows = (
+                self.index.term_stats.where(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            got = {r["term"]: r["df"] for r in rows}
+            for t in missing:
+                self._stats_cache[t] = got.get(t, 0)
+        return {t: self._stats_cache[t] for t in terms}
+
+    # -- leaf scoring -----------------------------------------------------
+
+    def _scored_terms(self, terms: list[str]) -> DataFrame:
+        """(term, docid, score) for every query term, scored per mode.
+
+        One postings scan for all query terms (isin filter is pushed to
+        the parquet scan); docs joined for norms/length. The filtered
+        postings side is small, so AQE turns the join into a broadcast.
+        """
+        dfs = self._df_for(set(terms))
+        present = [t for t in terms if dfs[t] > 0]
+        if not present:
+            return self._empty_scored()
+        p = self.index.postings.where(F.col("term").isin(present)).select(
+            "term", "docid", "tf"
+        )
+        if self.mode == "sql":
+            d = self.index.docs.select("docid", "doclen")
+            j = p.join(d, "docid")
+            n = float(self.index.coll_stats["doc_count"])
+            avgdl = self.index.coll_stats["sum_ttf"] / self.index.coll_stats["doc_count"]
+            df_map = F.create_map(
+                *[x for t in present for x in (F.lit(t), F.lit(float(dfs[t])))]
+            )
+            dfc = df_map[F.col("term")]
+            idf = F.log(F.lit(1.0) + (F.lit(n) - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+            cache = F.lit(self.k1) * (
+                F.lit(1.0 - self.b) + F.lit(self.b) * F.col("doclen") / F.lit(avgdl)
+            )
+            tf = F.col("tf").cast("double")
+            score = idf * F.lit(self.k1 + 1.0) * tf / (tf + cache)
+            return j.select("term", "docid", score.alias("score"))
+
+        # lucene float32 mode
+        d = self.index.docs.select("docid", "norm_byte")
+        j = p.join(d, "docid")
+        weights = {t: float(self.bm25.term_weight(dfs[t])) for t in present}
+        bm25 = self.bm25
+
+        @pandas_udf("float")
+        def score32(term: pd.Series, tf: pd.Series, norm: pd.Series) -> pd.Series:
+            w = term.map(weights).to_numpy(dtype=np.float32)
+            s = bm25.score(w, tf.to_numpy(dtype=np.int64),
+                           norm.to_numpy(dtype=np.int64).astype(np.uint8))
+            return pd.Series(s)
+
+        return j.select("term", "docid",
+                        score32(F.col("term"), F.col("tf"), F.col("norm_byte")).alias("score"))
+
+    def _empty_scored(self) -> DataFrame:
+        spark = self.index.docs.sparkSession
+        st = "double" if self.mode == "sql" else "float"
+        return spark.createDataFrame([], f"term string, docid long, score {st}")
+
+    def _score_type(self) -> str:
+        return "double" if self.mode == "sql" else "float"
+
+    # -- node evaluation ---------------------------------------------------
+
+    def matches(self, q: A.Query) -> DataFrame:
+        """Evaluate to (docid, score)."""
+        q = q.rewrite()
+        all_terms = sorted(_collect_terms(q))
+        scored = self._scored_terms(all_terms) if all_terms else None
+        return self._eval(q, scored)
+
+    def _eval(self, q: A.Query, scored: DataFrame | None) -> DataFrame:
+        if isinstance(q, A.TermQ):
+            out = scored.where(F.col("term") == q.term).select("docid", "score")
+            if q.boost != 1.0:
+                out = self._boost(out, q.boost)
+            return out
+        if isinstance(q, A.MatchAllQ):
+            return self.index.docs.select(
+                "docid", F.lit(q.boost).cast(self._score_type()).alias("score"))
+        if isinstance(q, A.ConstQ):
+            inner = self._eval(q.inner, scored).select("docid").distinct()
+            return inner.withColumn("score", F.lit(q.boost).cast(self._score_type()))
+        if isinstance(q, A.MultiTermQ):
+            return self._eval_multiterm(q)
+        if isinstance(q, A.AndQ):
+            return self._eval_and(q, scored)
+        if isinstance(q, A.OrQ):
+            return self._eval_or(q, scored)
+        if isinstance(q, A.NotQ):
+            pos = self._eval(q.positive, scored)
+            neg = self._eval(q.negative, scored).select("docid")
+            return pos.join(neg, "docid", "left_anti")
+        if isinstance(q, A.PhraseQ):
+            return self._eval_phrase(q)
+        raise TypeError(f"unsupported query node {type(q).__name__}")
+
+    def _boost(self, df: DataFrame, boost: float) -> DataFrame:
+        if self.mode == "sql":
+            return df.withColumn("score", F.col("score") * F.lit(boost))
+        return df.withColumn(
+            "score",
+            (F.col("score").cast("double") * F.lit(float(np.float32(boost)))).cast("float"),
+        )
+
+    def _eval_and(self, q: A.AndQ, scored: DataFrame | None) -> DataFrame:
+        # canonical clause order = sorted clause key; left-to-right
+        # float64 accumulation in that order, downcast at the end.
+        clauses = sorted(q.clauses, key=lambda c: c.key())
+        frames = []
+        for i, c in enumerate(clauses):
+            frames.append(self._eval(c, scored).withColumnRenamed("score", f"_s{i}"))
+        joined = reduce(lambda a, b: a.join(b, "docid"), frames)
+        total = reduce(lambda acc, i: acc + F.col(f"_s{i}").cast("double"),
+                       range(1, len(clauses)), F.col("_s0").cast("double"))
+        out_t = self._score_type()
+        return joined.select("docid", total.cast(out_t).alias("score"))
+
+    def _eval_or(self, q: A.OrQ, scored: DataFrame | None) -> DataFrame:
+        parts = []
+        for c in sorted(q.clauses, key=lambda x: x.key()):
+            parts.append(
+                self._eval(c, scored).select(
+                    "docid", F.lit(c.key()).alias("_ck"), F.col("score")
+                )
+            )
+        u = reduce(lambda a, b: a.unionByName(b), parts)
+        if self.mode == "sql":
+            agg = u.groupBy("docid").agg(
+                F.sum("score").alias("score"), F.count(F.lit(1)).alias("_m"))
+        else:
+            # deterministic float64 fold in clause-key order
+            agg = u.groupBy("docid").agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct(F.col("_ck").alias("k"),
+                                                         F.col("score").alias("s")))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["s"].cast("double"),
+                ).cast("float").alias("score"),
+                F.count(F.lit(1)).alias("_m"),
+            )
+        if q.min_should_match > 1:
+            agg = agg.where(F.col("_m") >= q.min_should_match)
+        return agg.select("docid", "score")
+
+    def _eval_multiterm(self, q: A.MultiTermQ) -> DataFrame:
+        """CONSTANT_SCORE_REWRITE: expand terms against the term
+        dictionary, union postings, dedup docids, constant score."""
+        t = F.col("term")
+        if isinstance(q, A.PrefixQ):
+            pred = t.startswith(q.prefix)
+        elif isinstance(q, A.WildcardQ):
+            pred = t.rlike(q.to_regex())
+        elif isinstance(q, A.RegexpQ):
+            pred = t.rlike("^" + q.regex + "$")
+        elif isinstance(q, A.FuzzyQ):
+            pred = F.levenshtein(t, F.lit(q.term)) <= q.max_edits
+        elif isinstance(q, A.TermRangeQ):
+            conds = []
+            if q.lower is not None:
+                conds.append(t >= q.lower if q.include_lower else t > q.lower)
+            if q.upper is not None:
+                conds.append(t <= q.upper if q.include_upper else t < q.upper)
+            pred = reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
+        elif isinstance(q, A.TermInSetQ):
+            pred = t.isin(list(q.terms))
+        else:
+            raise TypeError(type(q).__name__)
+        terms = self.index.term_stats.where(pred).select("term")
+        # broadcast the (small) expanded term set into the postings scan
+        docids = (
+            self.index.postings.join(F.broadcast(terms), "term")
+            .select("docid").distinct()
+        )
+        return docids.withColumn("score", F.lit(q.boost).cast(self._score_type()))
+
+    def _eval_phrase(self, q: A.PhraseQ) -> DataFrame:
+        if q.slop != 0:
+            raise NotImplementedError("sloppy phrase not yet implemented")
+        terms = list(q.terms)
+        dfs = self._df_for(set(terms))
+        if any(dfs[t] == 0 for t in terms):
+            return self._empty_scored().select("docid", "score")
+        # phase 1: docid conjunction; phase 2: positions verify (the
+        # TwoPhaseIterator pattern).
+        frames = []
+        for i, t in enumerate(terms):
+            frames.append(
+                self.index.postings.where(F.col("term") == t)
+                .select("docid", F.col("positions").alias(f"_p{i}"))
+            )
+        joined = reduce(lambda a, b: a.join(b, "docid"), frames)
+        arrs = F.array(*[F.col(f"_p{i}") for i in range(len(terms))])
+
+        @pandas_udf("int")
+        def phrase_freq(parr: pd.Series) -> pd.Series:
+            out = np.zeros(len(parr), dtype=np.int32)
+            for row_i, plists in enumerate(parr):
+                base = np.asarray(plists[0], dtype=np.int64)
+                for off, pl in enumerate(plists[1:], start=1):
+                    base = np.intersect1d(
+                        base, np.asarray(pl, dtype=np.int64) - off, assume_unique=True)
+                    if base.size == 0:
+                        break
+                out[row_i] = base.size
+            return pd.Series(out)
+
+        with_freq = joined.select("docid", phrase_freq(arrs).alias("pfreq")).where(
+            F.col("pfreq") > 0
+        )
+        # scoring: idf summed across phrase terms (BM25Similarity
+        # idfExplain over TermStatistics[], lines 196-205), freq =
+        # phrase occurrences.
+        n = self.index.coll_stats["doc_count"]
+        if self.mode == "sql":
+            avgdl = self.index.coll_stats["sum_ttf"] / self.index.coll_stats["doc_count"]
+            idf_sum = float(sum(
+                np.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in terms))
+            d = self.index.docs.select("docid", "doclen")
+            j = with_freq.join(d, "docid")
+            tf = F.col("pfreq").cast("double")
+            cache = F.lit(self.k1) * (
+                F.lit(1.0 - self.b) + F.lit(self.b) * F.col("doclen")
+                / F.lit(avgdl))
+            score = F.lit(idf_sum * (self.k1 + 1.0)) * tf / (tf + cache)
+            return j.select("docid", score.alias("score"))
+        idf_sum64 = float(sum(self.bm25.idf(dfs[t]) for t in terms))
+        weight = np.float32(np.float32(q.boost) * np.float32(idf_sum64)
+                            * np.float32(self.k1 + 1.0))
+        bm25 = self.bm25
+        d = self.index.docs.select("docid", "norm_byte")
+        j = with_freq.join(d, "docid")
+
+        @pandas_udf("float")
+        def pscore(tf: pd.Series, norm: pd.Series) -> pd.Series:
+            return pd.Series(bm25.score(
+                np.full(len(tf), weight, dtype=np.float32),
+                tf.to_numpy(dtype=np.int64),
+                norm.to_numpy(dtype=np.int64).astype(np.uint8)))
+
+        return j.select("docid", pscore(F.col("pfreq"), F.col("norm_byte")).alias("score"))
+
+    # -- top-k --------------------------------------------------------------
+
+    def search(self, q: A.Query | str, k: int = 10, with_url: bool = False) -> DataFrame:
+        """Top-k by (score desc, docid asc) — TopScoreDocCollector
+        semantics (TopScoreDocCollector.java:63-80; merge tie-break
+        TopDocs.java:96-110). Returns (docid[, url], score, rank)."""
+        if isinstance(q, str):
+            q = A.parse_query(q)
+        m = self.matches(q)
+        top = m.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        if with_url:
+            top = top.join(self.index.docs.select("docid", "url"), "docid")
+        w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid")))
+        return top.withColumn("rank", w)
+
+    def search_quantized(self, q: A.Query | str, k: int = 10) -> DataFrame:
+        """sql-mode top-k with cross-engine-stable integer scores:
+        score_q = floor(score * 1e6); rank by (score_q desc, docid asc)
+        so rank assignment is identical in any engine computing the
+        same double-precision formula (sub-ulp noise absorbed)."""
+        assert self.mode == "sql", "quantized search requires sql mode"
+        if isinstance(q, str):
+            q = A.parse_query(q)
+        m = self.matches(q).withColumn(
+            "score_q", F.floor(F.col("score") * SCORE_QUANTUM).cast("long"))
+        top = m.orderBy(F.desc("score_q"), F.asc("docid")).limit(k)
+        w = F.row_number().over(Window.orderBy(F.desc("score_q"), F.asc("docid")))
+        return top.select(F.col("docid").alias("doc_id"), "score_q").withColumn("rank", w)

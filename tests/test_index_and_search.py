@@ -1,0 +1,131 @@
+"""End-to-end: build flat index over synthetic webtext, verify
+structure invariants and rank-identity against the numpy oracle
+(the dueling pattern, SURVEY §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.search import AndQ, NotQ, OrQ, Searcher, TermQ, parse_query
+
+
+def test_docids_dense_and_url_ordered(tiny_index):
+    rows = tiny_index.docs.select("docid", "url").orderBy("docid").collect()
+    assert [r["docid"] for r in rows] == list(range(len(rows)))
+    urls = [r["url"] for r in rows]
+    assert urls == sorted(urls)
+
+
+def test_docid_assignment_parallelism_independent(spark, pages_tiny):
+    from lucene_solr_spark.index.docid import assign_doc_ids
+
+    a = assign_doc_ids(pages_tiny, num_partitions=2).select("url", "docid").collect()
+    b = assign_doc_ids(pages_tiny.repartition(7), num_partitions=5).select(
+        "url", "docid").collect()
+    assert dict((r["url"], r["docid"]) for r in a) == dict(
+        (r["url"], r["docid"]) for r in b)
+
+
+def test_stats_consistency(tiny_index):
+    # sum over term_stats.ttf == sum doclen (every emitted token is indexed)
+    ttf_total = tiny_index.term_stats.agg(F.sum("ttf")).collect()[0][0]
+    assert ttf_total == tiny_index.coll_stats["sum_ttf"]
+    # df <= doc_count
+    max_df = tiny_index.term_stats.agg(F.max("df")).collect()[0][0]
+    assert max_df <= tiny_index.coll_stats["doc_count"]
+
+
+def test_postings_match_oracle(tiny_index, tiny_oracle):
+    # pick a mid-frequency term from the oracle and compare postings
+    term = next(t for t, p in sorted(tiny_oracle.postings.items())
+                if 3 <= len(p) <= 50 and t.startswith("t"))
+    rows = tiny_index.postings.where(F.col("term") == term).collect()
+    got = {r["docid"]: (r["tf"], list(r["positions"])) for r in rows}
+    want = {d: (len(pos), pos) for d, pos in tiny_oracle.postings[term].items()}
+    assert got == want
+
+
+@pytest.mark.parametrize("query", [
+    "t000001",                       # high-freq term
+    "t000050 AND t000100",           # conjunction
+    "t000050 OR t000200",            # disjunction
+    "t000001 NOT t000050",           # exclusion
+    "(t000010 AND t000020) OR t000300",
+])
+def test_rank_identity_vs_oracle(tiny_index, tiny_oracle, query):
+    searcher = Searcher(tiny_index, mode="lucene")
+    got = searcher.search(query, k=10).orderBy("rank").collect()
+    want = tiny_oracle.top_k(query, k=10)
+    got_ids = [r["docid"] for r in got]
+    want_ids = [d for d, _ in want]
+    assert got_ids == want_ids, f"docid mismatch for {query!r}"
+    # float32 bit-exact scores
+    got_bits = [np.float32(r["score"]).view(np.int32) for r in got]
+    want_bits = [np.float32(s).view(np.int32) for _, s in want]
+    assert got_bits == want_bits, f"score bits mismatch for {query!r}"
+
+
+def test_rank_identity_parallelism_independent(spark, pages_tiny, tiny_oracle):
+    """local[2]-partitioned build == oracle (scaling determinism)."""
+    from lucene_solr_spark.index.builder import build_index
+
+    idx = build_index(pages_tiny.repartition(13))
+    s = Searcher(idx, mode="lucene")
+    got = s.search("t000001 OR t000002 OR t000003", k=10).orderBy("rank").collect()
+    want = tiny_oracle.top_k("t000001 OR t000002 OR t000003", k=10)
+    assert [r["docid"] for r in got] == [d for d, _ in want]
+    got_bits = [np.float32(r["score"]).view(np.int32) for r in got]
+    want_bits = [np.float32(s_).view(np.int32) for _, s_ in want]
+    assert got_bits == want_bits
+
+
+def test_min_should_match(tiny_index, tiny_oracle):
+    q = OrQ((TermQ("t000001"), TermQ("t000002"), TermQ("t000003")),
+            min_should_match=2)
+    s = Searcher(tiny_index, mode="lucene")
+    got = {r["docid"] for r in s.matches(q).collect()}
+    want = set(tiny_oracle.evaluate(q))
+    assert got == want
+
+
+def test_phrase_query(spark, tiny_index, pages_tiny):
+    # find a doc with a known bigram, then search for it as a phrase
+    row = pages_tiny.select("text").first()
+    words = [w for w in row["text"].split() if w.startswith("t")][:2]
+    from lucene_solr_spark.search.ast import PhraseQ
+    # construct a phrase that actually exists: take two adjacent tokens
+    toks = row["text"].split()
+    bigram = None
+    for a, b in zip(toks, toks[1:]):
+        if a.startswith("t") and b.startswith("t"):
+            bigram = (a, b)
+            break
+    assert bigram is not None
+    s = Searcher(tiny_index, mode="lucene")
+    res = s.matches(PhraseQ(bigram)).collect()
+    assert len(res) >= 1
+    assert all(r["score"] > 0 for r in res)
+
+
+def test_multiterm_queries(tiny_index):
+    from lucene_solr_spark.search.ast import FuzzyQ, PrefixQ, TermRangeQ, WildcardQ
+
+    s = Searcher(tiny_index, mode="lucene")
+    n_prefix = s.matches(PrefixQ("t00000")).count()
+    assert n_prefix > 0
+    # wildcard covering same prefix must match at least as many docs
+    n_wild = s.matches(WildcardQ("t00000*")).count()
+    assert n_wild == n_prefix
+    assert s.matches(TermRangeQ("t000000", "t000010")).count() > 0
+    assert s.matches(FuzzyQ("t000001", max_edits=1)).count() >= n_prefix * 0  # runs
+
+
+def test_match_all_and_const(tiny_index):
+    from lucene_solr_spark.search.ast import ConstQ, MatchAllQ
+
+    s = Searcher(tiny_index, mode="lucene")
+    assert s.matches(MatchAllQ()).count() == tiny_index.coll_stats["doc_count"]
+    c = s.matches(ConstQ(TermQ("t000001"), boost=2.5)).collect()
+    assert all(abs(r["score"] - 2.5) < 1e-6 for r in c)

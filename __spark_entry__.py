@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship BM25 top-10 over the sf0.001 documents
+  table via the float32-exact engine path.
+- ``queries()`` / ``oracle_sql()``: the full operator surface with
+  DuckDB oracles — see lucene_solr_spark/driver_surface.py for the
+  implementations and the cross-engine determinism contract.
 """
 
 from __future__ import annotations
@@ -15,24 +15,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: BM25 top-10 for a
+    boolean query over the documents table (float32 Lucene-exact
+    scoring path)."""
+    from lucene_solr_spark.driver_surface import _docs_index
+    from lucene_solr_spark.search.executor import Searcher
+
+    idx = _docs_index(spark, "/root/testdata/sf0.001")
+    s = Searcher(idx, mode="lucene")
+    return s.search("hash AND join", k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from lucene_solr_spark.driver_surface import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lucene_solr_spark.driver_surface import ORACLES
+
+    return dict(ORACLES)

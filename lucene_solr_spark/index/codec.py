@@ -1,0 +1,233 @@
+"""Posting-list block codec: delta-gap + FOR bit-packing, 128-doc
+blocks, skip data, block-max metadata. Pure numpy (runs inside Arrow
+UDFs on executors).
+
+Functionally reproduces the Lucene50 postings layout (SURVEY §1.4;
+codecs/lucene50/Lucene50PostingsFormat.java):
+
+- BLOCK_SIZE = 128 ints per block (Lucene50PostingsFormat.java:397).
+- Doc ids are delta-gapped then bit-packed with per-block bit width =
+  bits of the max value (ForUtil.writeBlock, ForUtil.java:157-176).
+- All-equal blocks collapse to a width-0 marker + single value
+  (ForUtil.java:158-162).
+- Freq blocks are packed without the d-gap step (format doc line 216).
+- The <128-doc tail is varint-encoded, interleaved
+  (DocDelta << 1 | (freq==1), freq written only when != 1 —
+  Lucene50PostingsFormat.java:218-233).
+- df == 1 singleton terms store the docid in the term state and no
+  blocks at all (lines 161-163, 461-463).
+- Skip data: one entry per 128-doc block with the block's last docid
+  and the byte offsets into the doc/freq streams
+  (Lucene50SkipWriter.java:144-168). We keep the entries as plain
+  arrays (columnar) instead of a multi-level file — Spark reads the
+  whole skip array at once, and numpy searchsorted over it IS the
+  multi-level skip (log-time advance).
+- Block-max extension (not in this Lucene snapshot — added per
+  BASELINE.json from Ding & Suel, SIGIR 2011): per-block
+  (max_tf, max_norm_byte), which upper-bound the block's BM25 score
+  (functions/bm25.py block_max_bound).
+
+Encoded layout (self-describing, little-endian):
+  docs_enc: per full block [1B width][payload], payload = 16*width
+            bytes (width>0) or varint(delta) (width==0, all-equal);
+            then the tail as varints (interleaved with tf as above).
+  tfs_enc:  per full block [1B width][payload] for raw tf values;
+            tail tfs live interleaved in docs_enc.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+# --- varint ----------------------------------------------------------------
+
+def write_vints(values: np.ndarray) -> bytes:
+    out = bytearray()
+    for v in values.tolist():
+        v = int(v)
+        while v >= 0x80:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+    return bytes(out)
+
+
+def read_vints(buf: bytes, pos: int, count: int) -> tuple[np.ndarray, int]:
+    out = np.empty(count, dtype=np.int64)
+    for i in range(count):
+        shift = 0
+        v = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            v |= (b & 0x7F) << shift
+            if b < 0x80:
+                break
+            shift += 7
+        out[i] = v
+    return out, pos
+
+
+# --- FOR bit-packing --------------------------------------------------------
+
+def _pack_block(vals: np.ndarray) -> bytes:
+    """One 128-int block: [width byte][payload]."""
+    vals = vals.astype(np.uint64)
+    if np.all(vals == vals[0]):
+        return bytes([0]) + write_vints(vals[:1])
+    width = int(vals.max()).bit_length()
+    bits = ((vals[:, None] >> np.arange(width, dtype=np.uint64)) & 1).astype(np.uint8)
+    payload = np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    return bytes([width]) + payload
+
+
+def _unpack_block(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
+    width = buf[pos]
+    pos += 1
+    if width == 0:
+        v, pos = read_vints(buf, pos, 1)
+        return np.full(BLOCK_SIZE, v[0], dtype=np.int64), pos
+    nbytes = (BLOCK_SIZE * width + 7) // 8
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8, count=nbytes, offset=pos),
+        bitorder="little", count=BLOCK_SIZE * width)
+    vals = (bits.reshape(BLOCK_SIZE, width).astype(np.uint64)
+            << np.arange(width, dtype=np.uint64)).sum(axis=1)
+    return vals.astype(np.int64), pos + nbytes
+
+
+# --- posting encode/decode ----------------------------------------------------
+
+@dataclass
+class EncodedPosting:
+    """One term's encoded postings within a segment."""
+    ndocs: int
+    singleton_docid: int | None          # df==1 optimization
+    docs_enc: bytes
+    tfs_enc: bytes
+    skip_last_doc: np.ndarray            # last docid of each full block
+    skip_doc_offset: np.ndarray          # byte offset of each block in docs_enc
+    skip_tf_offset: np.ndarray           # byte offset of each block in tfs_enc
+    blockmax_tf: np.ndarray              # per block (incl. tail block)
+    blockmax_norm: np.ndarray            # per block (incl. tail block)
+
+
+def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray,
+                   norm_bytes: np.ndarray) -> EncodedPosting:
+    """Encode one term's (sorted docids, tfs, per-doc norm bytes)."""
+    n = len(doc_ids)
+    assert n > 0
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norm_bytes = np.asarray(norm_bytes, dtype=np.int64)
+    if n > 1:
+        assert np.all(np.diff(doc_ids) > 0), "docids must be strictly increasing"
+
+    if n == 1:
+        # singleton: docid in term state, no streams; block-max still
+        # recorded so WAND can bound it uniformly.
+        return EncodedPosting(
+            ndocs=1, singleton_docid=int(doc_ids[0]), docs_enc=b"", tfs_enc=b"",
+            skip_last_doc=np.empty(0, np.int64),
+            skip_doc_offset=np.empty(0, np.int64),
+            skip_tf_offset=np.empty(0, np.int64),
+            blockmax_tf=np.array([int(tfs[0])], np.int64),
+            blockmax_norm=np.array([int(norm_bytes[0])], np.int64),
+        )
+
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = doc_ids[0]
+    deltas[1:] = np.diff(doc_ids)
+
+    full = n // BLOCK_SIZE
+    docs_out = bytearray()
+    tfs_out = bytearray()
+    skip_last, skip_doff, skip_toff = [], [], []
+    bm_tf, bm_norm = [], []
+
+    for b in range(full):
+        lo, hi = b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE
+        skip_doff.append(len(docs_out))
+        skip_toff.append(len(tfs_out))
+        docs_out += _pack_block(deltas[lo:hi])
+        tfs_out += _pack_block(tfs[lo:hi])
+        skip_last.append(int(doc_ids[hi - 1]))
+        bm_tf.append(int(tfs[lo:hi].max()))
+        bm_norm.append(int(norm_bytes[lo:hi].max()))
+
+    # tail: interleaved varints (delta<<1 | freq==1; freq when != 1)
+    tail_lo = full * BLOCK_SIZE
+    if tail_lo < n:
+        tail_vals = []
+        for i in range(tail_lo, n):
+            d, f = int(deltas[i]), int(tfs[i])
+            if f == 1:
+                tail_vals.append((d << 1) | 1)
+            else:
+                tail_vals.append(d << 1)
+                tail_vals.append(f)
+        docs_out += write_vints(np.array(tail_vals, dtype=np.int64))
+        bm_tf.append(int(tfs[tail_lo:].max()))
+        bm_norm.append(int(norm_bytes[tail_lo:].max()))
+
+    return EncodedPosting(
+        ndocs=n, singleton_docid=None,
+        docs_enc=bytes(docs_out), tfs_enc=bytes(tfs_out),
+        skip_last_doc=np.array(skip_last, np.int64),
+        skip_doc_offset=np.array(skip_doff, np.int64),
+        skip_tf_offset=np.array(skip_toff, np.int64),
+        blockmax_tf=np.array(bm_tf, np.int64),
+        blockmax_norm=np.array(bm_norm, np.int64),
+    )
+
+
+def decode_posting(ep: EncodedPosting) -> tuple[np.ndarray, np.ndarray]:
+    """Decode to (doc_ids, tfs)."""
+    if ep.singleton_docid is not None:
+        return (np.array([ep.singleton_docid], np.int64),
+                np.array([ep.blockmax_tf[0]], np.int64))
+    n = ep.ndocs
+    full = n // BLOCK_SIZE
+    deltas = np.empty(n, dtype=np.int64)
+    tfs = np.empty(n, dtype=np.int64)
+    dpos = 0
+    tpos = 0
+    for b in range(full):
+        blk, dpos = _unpack_block(ep.docs_enc, dpos)
+        deltas[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE] = blk
+        blk, tpos = _unpack_block(ep.tfs_enc, tpos)
+        tfs[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE] = blk
+    tail_lo = full * BLOCK_SIZE
+    i = tail_lo
+    while i < n:
+        v, dpos = read_vints(ep.docs_enc, dpos, 1)
+        code = int(v[0])
+        deltas[i] = code >> 1
+        if code & 1:
+            tfs[i] = 1
+        else:
+            v, dpos = read_vints(ep.docs_enc, dpos, 1)
+            tfs[i] = int(v[0])
+        i += 1
+    return np.cumsum(deltas), tfs
+
+
+def decode_block(ep: EncodedPosting, block_idx: int) -> tuple[np.ndarray, np.ndarray]:
+    """Random-access decode of one full block using the skip offsets —
+    the advance(target) path: searchsorted(skip_last_doc, target)
+    picks the block, this decodes only it."""
+    assert ep.singleton_docid is None
+    lo = block_idx * BLOCK_SIZE
+    assert lo + BLOCK_SIZE <= ep.ndocs, "tail block is not skip-addressable"
+    deltas, _ = _unpack_block(ep.docs_enc, int(ep.skip_doc_offset[block_idx]))
+    tfs, _ = _unpack_block(ep.tfs_enc, int(ep.skip_tf_offset[block_idx]))
+    # rebase deltas: block's first delta is relative to the previous
+    # block's last docid (0 for the first block)
+    base = int(ep.skip_last_doc[block_idx - 1]) if block_idx > 0 else 0
+    docs = base + np.cumsum(deltas)
+    return docs, tfs

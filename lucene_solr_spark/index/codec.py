@@ -115,6 +115,17 @@ class EncodedPosting:
     skip_tf_offset: np.ndarray           # byte offset of each block in tfs_enc
     blockmax_tf: np.ndarray              # per block (incl. tail block)
     blockmax_norm: np.ndarray            # per block (incl. tail block)
+    tail_offset: int = -1                # byte offset of the vint tail in docs_enc
+
+    # -- block geometry helpers (used by the WAND executor) --------------
+
+    @property
+    def n_full_blocks(self) -> int:
+        return 0 if self.singleton_docid is not None else self.ndocs // BLOCK_SIZE
+
+    @property
+    def has_tail(self) -> bool:
+        return self.singleton_docid is None and self.ndocs % BLOCK_SIZE != 0
 
 
 def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray,
@@ -162,6 +173,7 @@ def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray,
 
     # tail: interleaved varints (delta<<1 | freq==1; freq when != 1)
     tail_lo = full * BLOCK_SIZE
+    tail_offset = len(docs_out) if tail_lo < n else -1
     if tail_lo < n:
         tail_vals = []
         for i in range(tail_lo, n):
@@ -183,6 +195,7 @@ def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray,
         skip_tf_offset=np.array(skip_toff, np.int64),
         blockmax_tf=np.array(bm_tf, np.int64),
         blockmax_norm=np.array(bm_norm, np.int64),
+        tail_offset=tail_offset,
     )
 
 
@@ -231,3 +244,100 @@ def decode_block(ep: EncodedPosting, block_idx: int) -> tuple[np.ndarray, np.nda
     base = int(ep.skip_last_doc[block_idx - 1]) if block_idx > 0 else 0
     docs = base + np.cumsum(deltas)
     return docs, tfs
+
+
+def decode_tail(ep: EncodedPosting) -> tuple[np.ndarray, np.ndarray]:
+    """Random-access decode of the <128-doc vint tail (skip data ends
+    at the last full block; the tail is reached from ``tail_offset``,
+    the analogue of Lucene's docTermStartFP + block stream length)."""
+    assert ep.singleton_docid is None and ep.has_tail
+    n_tail = ep.ndocs % BLOCK_SIZE
+    deltas = np.empty(n_tail, dtype=np.int64)
+    tfs = np.empty(n_tail, dtype=np.int64)
+    pos = int(ep.tail_offset)
+    for i in range(n_tail):
+        v, pos = read_vints(ep.docs_enc, pos, 1)
+        code = int(v[0])
+        deltas[i] = code >> 1
+        if code & 1:
+            tfs[i] = 1
+        else:
+            v, pos = read_vints(ep.docs_enc, pos, 1)
+            tfs[i] = int(v[0])
+    base = int(ep.skip_last_doc[-1]) if len(ep.skip_last_doc) else 0
+    return base + np.cumsum(deltas), tfs
+
+
+def decode_nth_block(ep: EncodedPosting, block_idx: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode logical block ``block_idx`` where the tail (if any) is
+    block index ``n_full_blocks`` — the indexing used by the blockmax
+    arrays and the WAND executor."""
+    if ep.singleton_docid is not None:
+        assert block_idx == 0
+        return (np.array([ep.singleton_docid], np.int64),
+                np.array([int(ep.blockmax_tf[0])], np.int64))
+    if block_idx < ep.n_full_blocks:
+        return decode_block(ep, block_idx)
+    return decode_tail(ep)
+
+
+def block_last_docs(ep: EncodedPosting, last_docid: int) -> np.ndarray:
+    """Last docid of every logical block (full blocks from skip data,
+    tail/singleton from the posting's last doc). This is the block
+    boundary table the interval-WAND executor merges across terms."""
+    if ep.singleton_docid is not None:
+        return np.array([ep.singleton_docid], np.int64)
+    if ep.has_tail:
+        return np.concatenate([ep.skip_last_doc, [last_docid]])
+    return ep.skip_last_doc.copy()
+
+
+# --- parquet row (de)serialization -------------------------------------------
+
+POSTING_ROW_FIELDS = (
+    "df", "ttf", "singleton_docid", "docs_enc", "tfs_enc",
+    "skip_last_doc", "skip_doc_off", "skip_tf_off",
+    "bm_tf", "bm_norm", "tail_offset",
+)
+
+POSTING_ROW_SCHEMA = (
+    "df int, ttf long, singleton_docid long, docs_enc binary, "
+    "tfs_enc binary, skip_last_doc array<long>, skip_doc_off array<int>, "
+    "skip_tf_off array<int>, bm_tf array<int>, bm_norm array<int>, "
+    "tail_offset int"
+)
+
+
+def posting_to_row(ep: EncodedPosting, ttf: int) -> dict:
+    """EncodedPosting -> plain-python dict matching POSTING_ROW_SCHEMA."""
+    return {
+        "df": int(ep.ndocs),
+        "ttf": int(ttf),
+        "singleton_docid": ep.singleton_docid,
+        "docs_enc": ep.docs_enc,
+        "tfs_enc": ep.tfs_enc,
+        "skip_last_doc": ep.skip_last_doc.tolist(),
+        "skip_doc_off": ep.skip_doc_offset.tolist(),
+        "skip_tf_off": ep.skip_tf_offset.tolist(),
+        "bm_tf": ep.blockmax_tf.tolist(),
+        "bm_norm": ep.blockmax_norm.tolist(),
+        "tail_offset": int(ep.tail_offset),
+    }
+
+
+def posting_from_row(row) -> EncodedPosting:
+    """Inverse of posting_to_row; accepts a pandas row / dict / Row."""
+    g = row.__getitem__
+    sd = g("singleton_docid")
+    return EncodedPosting(
+        ndocs=int(g("df")),
+        singleton_docid=None if sd is None or (isinstance(sd, float) and np.isnan(sd)) else int(sd),
+        docs_enc=bytes(g("docs_enc")) if g("docs_enc") is not None else b"",
+        tfs_enc=bytes(g("tfs_enc")) if g("tfs_enc") is not None else b"",
+        skip_last_doc=np.asarray(g("skip_last_doc"), dtype=np.int64),
+        skip_doc_offset=np.asarray(g("skip_doc_off"), dtype=np.int64),
+        skip_tf_offset=np.asarray(g("skip_tf_off"), dtype=np.int64),
+        blockmax_tf=np.asarray(g("bm_tf"), dtype=np.int64),
+        blockmax_norm=np.asarray(g("bm_norm"), dtype=np.int64),
+        tail_offset=int(g("tail_offset")),
+    )

@@ -1,0 +1,116 @@
+"""M2 tests: segment-structured build, CheckIndex invariants, resume.
+
+Mirrors the reference's test strategy (SURVEY §5): codec round-trip at
+index scale, CheckIndex validation of every posting, and the
+distributed-vs-fresh equivalence (Solr's BaseDistributedSearchTestCase
+pattern applied to checkpoint resume).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.checkindex import check_index
+from lucene_solr_spark.index.segments import SegmentIndex, build_segment_index
+
+SEG = 128
+SALT = 32
+
+
+@pytest.fixture(scope="module")
+def seg_index(spark, pages_tiny, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("segidx") / "idx")
+    si = build_segment_index(pages_tiny, path, seg_size=SEG, salt_span=SALT)
+    return si
+
+
+def test_checkindex_clean(seg_index):
+    report = check_index(seg_index)
+    assert report["clean"]
+    assert report["docs"] == 300
+    assert report["segments"] == 3  # 300 docs / 128 per segment
+
+
+def test_segment_postings_match_flat(seg_index, tiny_index):
+    """Decoded segment postings == flat-index postings exactly
+    (the dueling-codecs pattern, TestDuelingCodecs.java)."""
+    flat_from_seg = seg_index.as_flat_tables()
+    a = flat_from_seg.postings.select("term", "docid", "tf")
+    b = tiny_index.postings.select("term", "docid", "tf")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_term_stats_match_flat(seg_index, tiny_index):
+    a = seg_index.term_stats
+    b = tiny_index.term_stats
+    assert a.exceptAll(b).count() == 0
+    cs = seg_index.coll_stats()
+    assert cs == tiny_index.coll_stats
+
+
+def test_norm_blob_matches_docs(seg_index, tiny_index):
+    a = seg_index.docs.select("docid", "norm_byte")
+    b = tiny_index.docs.select("docid", "norm_byte")
+    assert a.exceptAll(b).count() == 0
+
+
+def test_resume_identical_to_fresh(spark, pages_tiny, tmp_path_factory):
+    """Kill-and-resume: build only segment 0's docs (simulated partial
+    run), then resume over the full input; final tables must equal a
+    single-shot build (north-rule resumability)."""
+    base = tmp_path_factory.mktemp("resume")
+    p_full, p_resumed = str(base / "full"), str(base / "part")
+
+    full = build_segment_index(pages_tiny, p_full, seg_size=SEG, salt_span=SALT)
+
+    # partial: only the first 128 docs by url order (= segment 0),
+    # then resume with the complete input.
+    urls = [r["url"] for r in pages_tiny.select("url").collect()]
+    first = set(sorted(urls)[:SEG])
+    part_pages = pages_tiny.where(F.col("url").isin(list(first)))
+    build_segment_index(part_pages, p_resumed, seg_size=SEG, salt_span=SALT)
+    resumed = build_segment_index(pages_tiny, p_resumed, seg_size=SEG,
+                                  salt_span=SALT, resume=True)
+
+    assert check_index(resumed)["clean"]
+    for sub in ("postings", "docs"):
+        a = spark.read.parquet(f"{p_full}/{sub}")
+        b = spark.read.parquet(f"{p_resumed}/{sub}")
+        cols = [c for c in a.columns]
+        assert a.select(cols).exceptAll(b.select(cols)).count() == 0, sub
+        assert b.select(cols).exceptAll(a.select(cols)).count() == 0, sub
+    # meta: same segment geometry
+    am = full.meta.select("seg_id", "doc_base", "doc_count", "sum_doclen")
+    bm = resumed.meta.select("seg_id", "doc_base", "doc_count", "sum_doclen")
+    assert am.exceptAll(bm).count() == 0
+
+
+def test_resume_noop_when_complete(spark, seg_index, pages_tiny):
+    """Resuming a finished build must rebuild nothing."""
+    before = seg_index.meta.select("seg_id", "built_at").collect()
+    si2 = build_segment_index(pages_tiny, seg_index.path, seg_size=SEG,
+                              salt_span=SALT, resume=True)
+    after = si2.meta.select("seg_id", "built_at").collect()
+    assert sorted((r["seg_id"], r["built_at"]) for r in before) == \
+        sorted((r["seg_id"], r["built_at"]) for r in after)
+
+
+def test_corrupted_index_detected(spark, seg_index, tmp_path_factory):
+    """CheckIndex must flag a tampered posting (df inflated)."""
+    from lucene_solr_spark.index.checkindex import CheckIndexError
+
+    path = str(tmp_path_factory.mktemp("corrupt") / "idx")
+    shutil.copytree(seg_index.path, path)
+    post = spark.read.parquet(f"{path}/postings")
+    bad = post.withColumn("df", F.col("df") + F.lit(1))
+    bad.write.mode("overwrite").parquet(f"{path}/postings_bad")
+    shutil.rmtree(f"{path}/postings")
+    shutil.move(f"{path}/postings_bad", f"{path}/postings")
+    si = SegmentIndex(path=path, spark=spark)
+    with pytest.raises(CheckIndexError):
+        check_index(si)

@@ -1,0 +1,394 @@
+"""Block-max WAND top-k execution over the segment index (M3).
+
+The read path of EP2 (SURVEY §3) at block granularity:
+
+  reference                                this engine
+  ---------                                -----------
+  per-leaf scorer tree + BulkScorer        one applyInPandas group per
+    (IndexSearcher.search(leaves,...))       segment, numpy kernel inside
+  ConjunctionDISI leapfrog / WAND          interval sweep over the merged
+    (ConjunctionDISI.java:193-227;           block-boundary grid with
+     Broder et al. CIKM'03)                  block-max pruning
+  block-max metadata (extension per        per-block (max_tf, max_norm)
+    Ding & Suel SIGIR'11 — this Lucene       -> float32 score upper bound
+    snapshot predates impacts)               via BM25.block_max_bound
+  multi-level skip list advance()          numpy searchsorted over the
+    (Lucene50SkipReader)                     skip_last_doc arrays (log-time)
+  TopScoreDocCollector bounded heap        per-segment top-k arrays with
+    (TopScoreDocCollector.java:63-80)        float32 threshold theta
+  TopDocs.merge tie-breaks                 global ORDER BY score DESC,
+    (TopDocs.java:96-110)                    docid ASC LIMIT k (tiny input:
+                                             k rows per segment)
+
+Correctness invariants (duel-tested against the flat executor and the
+numpy oracle):
+
+- Exact float32 score parity: per-term score = float32 BM25 with
+  byte315 norms; multi-term sums accumulate in float64 in canonical
+  clause-key order (sorted term) and downcast — identical to
+  executor.py's fold, so WAND and exhaustive results are bit-equal.
+- Safe pruning: an interval is skipped only when
+  float32(sum_f64 of per-term block bounds) <= theta. Per-doc score
+  is float32(sum_f64 of per-term scores) with each term score <= its
+  block bound; float64 summation of <=2048 float32 terms is exact and
+  round-to-nearest is monotone, so skipped intervals cannot contain a
+  doc that beats the heap bottom (equal scores lose the docid
+  tie-break to earlier-collected docs because intervals are processed
+  in docid order — the same reasoning as TopScoreDocCollector's
+  ``score <= pqTop.score`` reject).
+
+Scale: one Spark task per segment; each task touches only the query
+terms' posting rows (term-pruned parquet read), decodes only blocks
+whose bound beats theta, and emits k rows. The driver-side merge is
+O(segments * k).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lucene_solr_spark.functions.bm25 import BM25
+from lucene_solr_spark.index.codec import (
+    EncodedPosting,
+    block_last_docs,
+    decode_nth_block,
+    posting_from_row,
+)
+from lucene_solr_spark.index.segments import SegmentIndex
+from lucene_solr_spark.search import ast as A
+
+
+@dataclass
+class WandStats:
+    """Pruning telemetry (per kernel call)."""
+    blocks_total: int = 0
+    blocks_decoded: int = 0
+    intervals_total: int = 0
+    intervals_scored: int = 0
+
+
+def wand_topk(
+    postings: dict[str, EncodedPosting],
+    weights: dict[str, np.float32],
+    norms: np.ndarray,
+    doc_base: int,
+    bm25: BM25,
+    k: int,
+    msm: int = 1,
+    exclude: np.ndarray | None = None,
+    theta0: float = -np.inf,
+    stats: WandStats | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Numpy block-max WAND kernel for ONE segment.
+
+    postings: query term -> EncodedPosting (terms absent from the
+    segment simply don't appear). weights: float32 per-term weight
+    (boost * idf * (k1+1), global stats). norms: dense uint8 norm
+    array indexed by docid - doc_base. msm: minimum matching terms
+    (len(postings) for pure AND, 1 for OR). exclude: sorted docid
+    array of MUST_NOT matches within this segment. theta0: initial
+    threshold (enables cross-segment threshold passing).
+
+    Returns (docids, scores_float32) of up to k hits sorted by
+    (score desc, docid asc).
+    """
+    terms = sorted(postings)  # canonical clause-key order == sorted term
+    m = len(terms)
+    if m < msm or m == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+
+    eps = [postings[t] for t in terms]
+    w = [np.float32(weights[t]) for t in terms]
+
+    # per-term logical block boundary tables + block score bounds
+    last_docs: list[np.ndarray] = []
+    ubs: list[np.ndarray] = []
+    for t, ep in zip(terms, eps):
+        # last docid of the term's posting overall:
+        if ep.singleton_docid is not None:
+            last = ep.singleton_docid
+        else:
+            # tail's last doc isn't in skip data; decode lazily only if
+            # needed — bound it by scanning the tail once here (cheap:
+            # <128 vints) via decode_nth_block on the tail.
+            if ep.has_tail:
+                tdocs, _ = decode_nth_block(ep, ep.n_full_blocks)
+                last = int(tdocs[-1])
+            else:
+                last = int(ep.skip_last_doc[-1])
+        last_docs.append(block_last_docs(ep, last))
+        ubs.append(bm25.block_max_bound(
+            weights[t],
+            np.asarray(ep.blockmax_tf, dtype=np.int64),
+            np.asarray(ep.blockmax_norm, dtype=np.int64)).astype(np.float32))
+
+    # merged interval grid: all block boundaries, sorted unique.
+    bounds = np.unique(np.concatenate(last_docs))
+    n_int = len(bounds)
+    # j[t, i] = term t's active block for interval i (= first block
+    # whose last >= bounds[i]); >= nblocks -> exhausted.
+    ub_sum = np.zeros(n_int, dtype=np.float64)
+    active = np.zeros(n_int, dtype=np.int32)
+    jmat = np.empty((m, n_int), dtype=np.int64)
+    for ti in range(m):
+        j = np.searchsorted(last_docs[ti], bounds, side="left")
+        jmat[ti] = j
+        ok = j < len(last_docs[ti])
+        active[ok] += 1
+        ub_sum[ok] += ubs[ti][j[ok]].astype(np.float64)
+
+    st = stats if stats is not None else WandStats()
+    st.blocks_total += sum(len(x) for x in last_docs)
+    st.intervals_total += n_int
+
+    decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    # Cost-ordered lead-driven candidate filter (ConjunctionDISI's
+    # "two cheapest lead, others confirm", ConjunctionDISI.java:181-189,
+    # generalized by pigeonhole to n-of-m: every match must occur in at
+    # least one of the (m - msm + 1) lowest-df terms). Decode those
+    # cheap postings fully; an interval without one of their docids
+    # cannot contain a match, so the expensive terms' blocks there are
+    # never touched. Only pays when msm >= 2; for pure OR the
+    # block-max bound below is the only (and correct) pruning.
+    lead_has = None
+    if msm >= 2:
+        by_cost = sorted(range(m), key=lambda ti: eps[ti].ndocs)
+        leads = by_cost[: m - msm + 1]
+        parts = []
+        for ti in leads:
+            for j in range(len(last_docs[ti])):
+                key = (ti, j)
+                if key not in decoded:
+                    decoded[key] = decode_nth_block(eps[ti], j)
+                    st.blocks_decoded += 1
+                parts.append(decoded[key][0])
+        lead_docs = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        counts = np.searchsorted(lead_docs, bounds, side="right")
+        lead_has = np.diff(np.concatenate(([0], counts))) > 0
+
+    # bounded collector state
+    top_docs = np.empty(0, np.int64)
+    top_scores = np.empty(0, np.float32)
+    theta = np.float32(theta0) if np.isfinite(theta0) else np.float32(-np.inf)
+
+    excl = exclude if exclude is not None and len(exclude) else None
+
+    lo_bound = -1  # interval i covers (lo_bound, bounds[i]]
+    for i in range(n_int):
+        hi = int(bounds[i])
+        lo = lo_bound
+        lo_bound = hi
+        if active[i] < msm:
+            continue
+        if lead_has is not None and not lead_has[i]:
+            continue
+        full = len(top_scores) >= k
+        if full and np.float32(ub_sum[i]) <= theta:
+            continue
+
+        # exact scoring of the interval
+        st.intervals_scored += 1
+        d_parts: list[np.ndarray] = []
+        s_parts: list[np.ndarray] = []
+        for ti in range(m):
+            j = int(jmat[ti, i])
+            if j >= len(last_docs[ti]):
+                continue
+            key = (ti, j)
+            if key not in decoded:
+                decoded[key] = decode_nth_block(eps[ti], j)
+                st.blocks_decoded += 1
+            docs_j, tfs_j = decoded[key]
+            a = np.searchsorted(docs_j, lo, side="right")
+            b = np.searchsorted(docs_j, hi, side="right")
+            if a == b:
+                d_parts.append(np.empty(0, np.int64))
+                s_parts.append(np.empty(0, np.float32))
+                continue
+            d = docs_j[a:b]
+            tf = tfs_j[a:b]
+            nb = norms[d - doc_base]
+            s_parts.append(bm25.score(
+                np.full(len(d), w[ti], dtype=np.float32), tf, nb))
+            d_parts.append(d)
+
+        if not d_parts:
+            continue
+        all_d = np.concatenate(d_parts)
+        if len(all_d) == 0:
+            continue
+        uniq = np.unique(all_d)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        cnt = np.zeros(len(uniq), dtype=np.int32)
+        for d, s in zip(d_parts, s_parts):  # term-sorted order fold
+            if len(d) == 0:
+                continue
+            idx = np.searchsorted(uniq, d)
+            acc[idx] += s.astype(np.float64)
+            cnt[idx] += 1
+        mask = cnt >= msm
+        if excl is not None and mask.any():
+            mask &= ~np.isin(uniq, excl, assume_unique=True)
+        if not mask.any():
+            continue
+        cand_d = uniq[mask]
+        cand_s = acc[mask].astype(np.float32)
+
+        # collector merge: keep k best by (score desc, docid asc).
+        # Earlier-collected docs have smaller docids within equal
+        # scores automatically because intervals ascend in docid.
+        if full:
+            keep = cand_s > theta
+            cand_d, cand_s = cand_d[keep], cand_s[keep]
+            if len(cand_d) == 0:
+                continue
+        md = np.concatenate([top_docs, cand_d])
+        ms = np.concatenate([top_scores, cand_s])
+        order = np.lexsort((md, -ms.astype(np.float64)))[:k]
+        top_docs, top_scores = md[order], ms[order]
+        if len(top_scores) >= k:
+            theta = top_scores[-1]
+
+    return top_docs, top_scores
+
+
+# --- Spark orchestration ----------------------------------------------------
+
+
+class WandSearcher:
+    """Segment-level top-k search with block-max WAND pruning.
+
+    Supports flat boolean shapes — TermQ, AndQ/OrQ over terms (with
+    min_should_match), NotQ whose negative side is a term/OR-of-terms
+    — which covers the north rule's query set (term + boolean AND/OR).
+    Anything else falls back to the exhaustive flat executor over
+    decoded postings (same scores, no pruning).
+    """
+
+    def __init__(self, si: SegmentIndex, k1: float = 1.2, b: float = 0.75):
+        self.si = si
+        self.coll = si.coll_stats()
+        self.bm25 = BM25(self.coll["doc_count"], self.coll["sum_ttf"], k1=k1, b=b)
+        self._df_cache: dict[str, int] = {}
+
+    # -- plan shape analysis ------------------------------------------------
+
+    @staticmethod
+    def _flat_terms(q: A.Query) -> tuple[list[str], int, list[str]] | None:
+        """Decompose into (scored terms, msm, excluded terms) if the
+        query is WAND-shaped; None otherwise."""
+        def terms_of(node) -> list[str] | None:
+            if isinstance(node, A.TermQ) and node.boost == 1.0:
+                return [node.term]
+            if isinstance(node, A.OrQ) and node.min_should_match <= 1:
+                out = []
+                for c in node.clauses:
+                    t = terms_of(c)
+                    if t is None:
+                        return None
+                    out.extend(t)
+                return out
+            return None
+
+        if isinstance(q, A.TermQ) and q.boost == 1.0:
+            return [q.term], 1, []
+        if isinstance(q, A.AndQ):
+            out = []
+            for c in q.clauses:
+                if not (isinstance(c, A.TermQ) and c.boost == 1.0):
+                    return None
+                out.append(c.term)
+            return out, len(out), []
+        if isinstance(q, A.OrQ):
+            out = []
+            for c in q.clauses:
+                t = terms_of(c)
+                if t is None:
+                    return None
+                out.extend(t)
+            return out, max(1, q.min_should_match), []
+        if isinstance(q, A.NotQ):
+            pos = WandSearcher._flat_terms(q.positive)
+            neg = terms_of(q.negative)
+            if pos is None or neg is None or pos[2]:
+                return None
+            return pos[0], pos[1], neg
+        return None
+
+    def _global_df(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in set(terms) if t not in self._df_cache]
+        if missing:
+            rows = (self.si.postings.where(F.col("term").isin(missing))
+                    .groupBy("term").agg(F.sum("df").alias("df")).collect())
+            got = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = got.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
+
+    def search(self, q: A.Query | str, k: int = 10) -> DataFrame:
+        if isinstance(q, str):
+            q = A.parse_query(q)
+        q = q.rewrite()
+        shape = self._flat_terms(q)
+        if shape is None:
+            # fallback: exhaustive over decoded postings
+            from lucene_solr_spark.search.executor import Searcher
+            return Searcher(self.si.as_flat_tables(), mode="lucene").search(q, k=k)
+        terms, msm, neg_terms = shape
+        dfs = self._global_df(terms + neg_terms)
+        present = sorted({t for t in terms if dfs[t] > 0})
+        if len(present) < msm or not present:
+            return self.si.spark.createDataFrame(
+                [], "docid long, score float, rank int")
+        weights = {t: self.bm25.term_weight(dfs[t]) for t in present}
+        neg_present = sorted({t for t in neg_terms if dfs[t] > 0})
+
+        bm25 = self.bm25
+        k_ = int(k)
+        msm_ = int(msm)
+        neg_set = set(neg_present)
+        pos_set = set(present)
+
+        def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            norms = np.frombuffer(bytes(pdf["__norms"].iloc[0]), dtype=np.uint8)
+            doc_base = int(pdf["__doc_base"].iloc[0])
+            postings: dict[str, EncodedPosting] = {}
+            exclude = None
+            neg_parts = []
+            for i in range(len(pdf)):
+                row = pdf.iloc[i]
+                t = row["term"]
+                ep = posting_from_row(row)
+                if t in pos_set:
+                    postings[t] = ep
+                if t in neg_set:
+                    from lucene_solr_spark.index.codec import decode_posting
+                    neg_parts.append(decode_posting(ep)[0])
+            if neg_parts:
+                exclude = np.unique(np.concatenate(neg_parts))
+            d, s = wand_topk(postings, weights, norms, doc_base, bm25,
+                             k=k_, msm=msm_, exclude=exclude)
+            return pd.DataFrame({"docid": d, "score": s})
+
+        rows = (
+            self.si.postings
+            .where(F.col("term").isin(present + neg_present))
+            .join(self.si.norms.select(
+                "seg_id",
+                F.col("doc_base").alias("__doc_base"),
+                F.col("norms").alias("__norms")), "seg_id")
+        )
+        per_seg = rows.groupBy("seg_id").applyInPandas(
+            lambda key, pdf: per_segment(pdf),
+            schema="docid long, score float")
+        top = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        return top.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,191 @@
+"""M3 dueling tests: block-max WAND ≡ exhaustive flat executor ≡ oracle.
+
+The reference's equivalence-testing pattern (SURVEY §5.3,
+TestDuelingCodecs / SearchEquivalenceTestBase): two independent
+implementations must produce bit-identical (docid, float32 score)
+top-k on the same corpus, plus kernel-level unit tests that pruning
+is both safe (never changes results) and real (skips blocks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.functions.bm25 import BM25, length_norm_byte
+from lucene_solr_spark.index.codec import encode_posting
+from lucene_solr_spark.index.segments import build_segment_index
+from lucene_solr_spark.search.executor import Searcher
+from lucene_solr_spark.search.wand import WandSearcher, WandStats, wand_topk
+
+QUERIES = [
+    "the",                      # stopword-free? 'the' is stopped -> empty
+    "t000000",                  # highest-df zipf head term
+    "t000100",
+    "t004999",                  # low df
+    "t000001 AND t000002",
+    "t000000 AND t000010 AND t000050",
+    "t000001 OR t000002",
+    "t000000 OR t000111 OR t004999",
+    "t000001 NOT t000002",
+    "missingterm",
+    "t000000 AND missingterm",
+    "t000000 OR missingterm",
+]
+
+
+@pytest.fixture(scope="module")
+def seg_index(spark, pages_tiny, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("wandidx") / "idx")
+    return build_segment_index(pages_tiny, path, seg_size=128, salt_span=32)
+
+
+@pytest.fixture(scope="module")
+def flat_searcher(tiny_index):
+    return Searcher(tiny_index, mode="lucene")
+
+
+def _rows(df):
+    return [(r["docid"], np.float32(r["score"])) for r in
+            df.select("docid", "score").orderBy("rank").collect()]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_wand_duels_flat(seg_index, flat_searcher, q):
+    ws = WandSearcher(seg_index)
+    a = _rows(ws.search(q, k=10))
+    b = _rows(flat_searcher.search(q, k=10))
+    assert a == b, f"query {q!r}: wand={a[:3]}... flat={b[:3]}..."
+
+
+def test_wand_duels_oracle(seg_index, tiny_oracle):
+    ws = WandSearcher(seg_index)
+    for q in ["t000001 AND t000002", "t000001 OR t000002", "t000100"]:
+        got = _rows(ws.search(q, k=10))
+        exp = tiny_oracle.top_k(q, k=10)
+        assert [(d, np.float32(s)) for d, s in exp] == got, q
+
+
+def test_wand_msm(seg_index, flat_searcher):
+    from lucene_solr_spark.search import ast as A
+
+    q = A.OrQ((A.TermQ("t000001"), A.TermQ("t000002"), A.TermQ("t000003")),
+              min_should_match=2)
+    a = _rows(WandSearcher(seg_index).search(q, k=10))
+    b = _rows(flat_searcher.search(q, k=10))
+    assert a == b
+
+
+# --- kernel-level tests ------------------------------------------------------
+
+
+def _mk_kernel_fixture(n_docs=5000, n_terms=4, seed=7):
+    rng = np.random.default_rng(seed)
+    doclens = rng.integers(20, 400, size=n_docs)
+    norms = length_norm_byte(doclens)
+    bm25 = BM25(n_docs, int(doclens.sum()))
+    postings = {}
+    weights = {}
+    raw = {}
+    for ti in range(n_terms):
+        df = int(rng.integers(300, n_docs))
+        docs = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 8, size=df).astype(np.int64)
+        term = f"term{ti}"
+        postings[term] = encode_posting(docs, tfs, norms[docs].astype(np.int64))
+        weights[term] = bm25.term_weight(df)
+        raw[term] = (docs, tfs)
+    return postings, weights, norms, bm25, raw
+
+
+def _exhaustive_topk(raw, weights, norms, bm25, k, msm):
+    n = len(norms)
+    acc = np.zeros(n, dtype=np.float64)
+    cnt = np.zeros(n, dtype=np.int32)
+    for term in sorted(raw):
+        docs, tfs = raw[term]
+        s = bm25.score(np.full(len(docs), weights[term], dtype=np.float32),
+                       tfs, norms[docs])
+        acc[docs] += s.astype(np.float64)
+        cnt[docs] += 1
+    mask = cnt >= msm
+    docs = np.nonzero(mask)[0].astype(np.int64)
+    scores = acc[mask].astype(np.float32)
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return docs[order], scores[order]
+
+
+@pytest.mark.parametrize("msm", [1, 2, 4])
+def test_kernel_exact_vs_exhaustive(msm):
+    postings, weights, norms, bm25, raw = _mk_kernel_fixture()
+    st = WandStats()
+    d, s = wand_topk(postings, weights, norms, 0, bm25, k=10, msm=msm, stats=st)
+    ed, es = _exhaustive_topk(raw, weights, norms, bm25, 10, msm)
+    np.testing.assert_array_equal(d, ed)
+    np.testing.assert_array_equal(s, es)
+
+
+def test_kernel_prunes_blocks():
+    """AND of a rare term with a common term must decode far fewer
+    blocks than exist (the skip/block-max point of the format)."""
+    rng = np.random.default_rng(11)
+    n_docs = 60_000
+    doclens = rng.integers(20, 400, size=n_docs)
+    norms = length_norm_byte(doclens)
+    bm25 = BM25(n_docs, int(doclens.sum()))
+    common_docs = np.arange(0, n_docs, 2, dtype=np.int64)           # df=30k
+    rare_docs = np.sort(rng.choice(n_docs, 40, replace=False)).astype(np.int64)
+    postings = {
+        "common": encode_posting(common_docs,
+                                 np.ones(len(common_docs), np.int64),
+                                 norms[common_docs].astype(np.int64)),
+        "rare": encode_posting(rare_docs, np.ones(40, np.int64),
+                               norms[rare_docs].astype(np.int64)),
+    }
+    weights = {"common": bm25.term_weight(len(common_docs)),
+               "rare": bm25.term_weight(40)}
+    st = WandStats()
+    d, s = wand_topk(postings, weights, norms, 0, bm25, k=10, msm=2, stats=st)
+    assert len(d) == 10
+    # AND: only intervals containing a rare docid need decode
+    assert st.blocks_decoded < st.blocks_total / 2, (
+        f"decoded {st.blocks_decoded}/{st.blocks_total}")
+    # and results still match exhaustive
+    raw = {"common": (common_docs, np.ones(len(common_docs), np.int64)),
+           "rare": (rare_docs, np.ones(40, np.int64))}
+    ed, es = _exhaustive_topk(raw, weights, norms, bm25, 10, 2)
+    np.testing.assert_array_equal(d, ed)
+    np.testing.assert_array_equal(s, es)
+
+
+def test_kernel_blockmax_prunes_or():
+    """Single-term (OR-shaped) top-k: once the heap fills with
+    high-tf docs, blocks whose (max_tf, max_norm) bound is below
+    theta must not be decoded (Ding & Suel block-max pruning)."""
+    rng = np.random.default_rng(13)
+    n_docs = 100_000
+    doclens = np.full(n_docs, 100)
+    norms = length_norm_byte(doclens)
+    bm25 = BM25(n_docs, int(doclens.sum()))
+    docs = np.arange(0, n_docs, 2, dtype=np.int64)
+    tfs = np.ones(len(docs), np.int64)
+    # plant high-tf docs early so theta rises immediately
+    tfs[:64] = 50
+    postings = {"t": encode_posting(docs, tfs, norms[docs].astype(np.int64))}
+    weights = {"t": bm25.term_weight(len(docs))}
+    st = WandStats()
+    d, s = wand_topk(postings, weights, norms, 0, bm25, k=10, msm=1, stats=st)
+    raw = {"t": (docs, tfs)}
+    ed, es = _exhaustive_topk(raw, weights, norms, bm25, 10, 1)
+    np.testing.assert_array_equal(d, ed)
+    np.testing.assert_array_equal(s, es)
+    assert st.blocks_decoded < st.blocks_total / 4, (
+        f"decoded {st.blocks_decoded}/{st.blocks_total}")
+
+
+def test_kernel_exclude():
+    postings, weights, norms, bm25, raw = _mk_kernel_fixture()
+    excl = raw["term0"][0][:100]
+    d, s = wand_topk(postings, weights, norms, 0, bm25, k=10, msm=1,
+                     exclude=np.unique(excl))
+    assert not np.isin(d, excl).any()

@@ -97,23 +97,28 @@ def check_index(si: SegmentIndex, max_report: int = 20) -> dict:
     """Run all invariant checks; raises CheckIndexError on the first
     violated class, returns summary metrics when clean."""
     meta = si.meta.select("seg_id", "doc_base", "doc_count", "sum_doclen").collect()
-    meta = sorted(meta, key=lambda r: r["seg_id"])
+    # segment order is docid-range order (seg_ids are not monotone
+    # after merges — a merged segment gets a fresh id)
+    meta = sorted(meta, key=lambda r: r["doc_base"])
     problems: list[str] = []
 
-    # 1. geometry
+    # 1. geometry. Docs is the immutable docid-keyed store; segment
+    # membership is by docid range, so count docs per range.
     for prev, cur in zip(meta, meta[1:]):
         if prev["doc_base"] + prev["doc_count"] != cur["doc_base"]:
             problems.append(
                 f"segment gap/overlap between seg {prev['seg_id']} and {cur['seg_id']}")
-    doc_counts = {
-        r["seg_id"]: r["cnt"]
-        for r in si.docs.groupBy("seg_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    range_counts = {
+        r["seg_id"]: si.docs.where(
+            (F.col("docid") >= r["doc_base"])
+            & (F.col("docid") < r["doc_base"] + r["doc_count"])).count()
+        for r in meta
     }
     for r in meta:
-        if doc_counts.get(r["seg_id"], 0) != r["doc_count"]:
+        if range_counts.get(r["seg_id"], 0) != r["doc_count"]:
             problems.append(
                 f"seg {r['seg_id']}: meta doc_count {r['doc_count']} != "
-                f"docs rows {doc_counts.get(r['seg_id'], 0)}")
+                f"docs rows in range {range_counts.get(r['seg_id'], 0)}")
     if problems:
         raise CheckIndexError("; ".join(problems[:max_report]))
 
@@ -141,22 +146,30 @@ def check_index(si: SegmentIndex, max_report: int = 20) -> dict:
     if problems:
         raise CheckIndexError("; ".join(problems[:max_report]))
 
-    # 4. norms blob vs docs table (distributed join check)
+    # 4. norms blob vs docs table. Docids map to live segments by
+    # range (docs.seg_id is the original build partition, which merges
+    # do not rewrite), so route by doc_base interval.
     norm_rows = si.norms.select("seg_id", "doc_base", "norms").collect()
-    blob = {r["seg_id"]: (r["doc_base"], bytes(r["norms"])) for r in norm_rows}
-    blob_b = si.spark.sparkContext.broadcast(blob)
+    norm_rows = sorted(norm_rows, key=lambda r: r["doc_base"])
+    bases = np.array([r["doc_base"] for r in norm_rows], dtype=np.int64)
+    blobs = [bytes(r["norms"]) for r in norm_rows]
+    blob_b = si.spark.sparkContext.broadcast((bases, blobs))
 
     def check_norms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         nerr = 0
+        bases_l, blobs_l = blob_b.value
+        arrs = [np.frombuffer(b, dtype=np.uint8) for b in blobs_l]
         for pdf in batches:
-            for seg, grp in pdf.groupby("seg_id"):
-                base, bb = blob_b.value[int(seg)]
-                arr = np.frombuffer(bb, dtype=np.uint8)
-                idx = grp["docid"].to_numpy() - base
-                nerr += int((arr[idx] != grp["norm_byte"].to_numpy()).sum())
+            docid = pdf["docid"].to_numpy(dtype=np.int64)
+            nb = pdf["norm_byte"].to_numpy(dtype=np.int64)
+            seg_ix = np.searchsorted(bases_l, docid, side="right") - 1
+            for s in np.unique(seg_ix):
+                m = seg_ix == s
+                idx = docid[m] - bases_l[s]
+                nerr += int((arrs[s][idx] != nb[m]).sum())
         yield pd.DataFrame({"nerr": [nerr]})
 
-    nerr = (si.docs.select("seg_id", "docid", "norm_byte")
+    nerr = (si.docs.select("docid", "norm_byte")
             .mapInPandas(check_norms, schema="nerr long")
             .agg(F.sum("nerr")).collect()[0][0])
     if nerr:

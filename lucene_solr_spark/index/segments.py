@@ -72,20 +72,42 @@ META_SCHEMA = (
     "seg_id int, doc_base long, doc_count long, sum_doclen long, "
     "term_count long, posting_rows long, max_df long, "
     "input_rows long, build_wall_s double, built_at double, "
-    "salt_span int, seg_size int"
+    "salt_span int, seg_size int, merged_from string"
 )
 
 
 @dataclass
 class SegmentIndex:
-    """Handle over an on-disk segment index (read side)."""
+    """Handle over an on-disk segment index (read side).
+
+    segments_meta is the commit point (the ``segments_N`` analogue,
+    index/SegmentInfos.java): after a merge, superseded segments'
+    files may still exist on disk, so postings/norms reads are
+    filtered to the live segment set — the snapshot-isolation role an
+    Iceberg catalog would play in a real deployment.
+    """
 
     path: str
     spark: SparkSession
 
+    def __post_init__(self):
+        self._live: list[int] | None = None
+
+    def live_segments(self) -> list[int]:
+        if self._live is None:
+            self._live = sorted(
+                int(r["seg_id"])
+                for r in self.meta.select("seg_id").distinct().collect())
+        return self._live
+
+    def refresh(self) -> None:
+        """Drop the cached segment list (SearcherManager.maybeRefresh)."""
+        self._live = None
+
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/postings")
+        df = self.spark.read.parquet(f"{self.path}/postings")
+        return df.where(F.col("seg_id").isin(self.live_segments()))
 
     @property
     def docs(self) -> DataFrame:
@@ -93,7 +115,8 @@ class SegmentIndex:
 
     @property
     def norms(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/norms")
+        df = self.spark.read.parquet(f"{self.path}/norms")
+        return df.where(F.col("seg_id").isin(self.live_segments()))
 
     @property
     def meta(self) -> DataFrame:
@@ -306,6 +329,7 @@ def build_segment_index(
         .withColumn("built_at", F.lit(time.time()))
         .withColumn("salt_span", F.lit(salt_span))
         .withColumn("seg_size", F.lit(seg_size))
+        .withColumn("merged_from", F.lit(""))
         .select([f.split(" ")[0] for f in META_SCHEMA.split(", ")])
     )
     meta.write.mode("append" if done else "overwrite").parquet(f"{path}/segments_meta")

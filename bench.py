@@ -5,14 +5,16 @@
    "index_build": {...}, "scaling": {...}}
 
 Measures, per BASELINE.md's in-sandbox protocol:
-1. index-build docs/sec over the deterministic synthetic webtext
-   corpus (FIXTURES.md §1) at $SPARK_GRAFT_CPUS cores;
-2. BM25 top-10 query latency/throughput over the $SPARK_GRAFT_SF_DIR
-   documents table (high/med/low-df terms + boolean AND/OR, the
-   query-terms.txt shapes) — both one-job-per-query latency and a
-   single batched job (the realistic Spark serving model);
-3. N vs 4N scaling efficiency: the same build at local[N] and
-   local[4N]; efficiency = (T_N / T_4N) / 4.
+1. index-build docs/sec: the segment-structured build (analyze ->
+   invert -> salted shuffle -> FOR-encode -> write segments) reading a
+   pre-materialized parquet webtext table (the Iceberg-source stand-in;
+   corpus synthesis is NOT timed — it is the source table).
+2. BM25 top-10 query latency over (a) the sf documents table via the
+   flat executor, and (b) the bench corpus segment index via the
+   block-max WAND executor; high/med/low-df terms + boolean AND/OR
+   (query-terms.txt shapes), plus one batched all-queries job.
+3. N vs 4N scaling efficiency: the same segment build at local[N] and
+   local[4N] on the same input; efficiency = (T_N / T_4N) / 4.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_DOCS (default 40000),
@@ -23,8 +25,33 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
+
+QSET = {
+    "q_term_high": "join",
+    "q_term_med": "vector",
+    "q_term_low": "dup",
+    "q_and2": "hash AND join",
+    "q_and3": "hash AND join AND merge",
+    "q_or2": "scan OR slow",
+    "q_or3": "scan OR slow OR merge",
+    "q_andor": "(hash AND join) OR merge",
+    "q_phrase": '"hash join"',
+}
+
+# WAND path takes flat boolean shapes only (phrase falls back to flat)
+WAND_QSET = {
+    # zipf head/mid/tail of the synthetic webtext vocabulary
+    "w_term_high": "t000000",
+    "w_term_med": "t000400",
+    "w_term_low": "t004999",
+    "w_and2": "t000001 AND t000002",
+    "w_and3": "t000000 AND t000010 AND t000050",
+    "w_or2": "t000001 OR t000002",
+    "w_or3": "t000000 OR t000111 OR t004999",
+}
 
 
 def _fresh_spark(cores: int):
@@ -36,22 +63,28 @@ def _fresh_spark(cores: int):
     return spark
 
 
-def _build_corpus_index(spark, n_docs: int):
-    from lucene_solr_spark.index.builder import build_index
-    from lucene_solr_spark.sources.webtext import synth_pages
+def _pages_parquet(spark, n_docs: int) -> str:
+    """Materialize the deterministic webtext corpus once (source table)."""
+    path = f"/tmp/bench_pages_{n_docs}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        from lucene_solr_spark.sources.webtext import synth_pages
 
-    pages = synth_pages(spark, n_docs)
-    idx = build_index(pages)
-    # materialize everything the way a real build job would: write the
-    # posting + docs tables (to local tmp parquet standing in for the
-    # Iceberg sink).
+        synth_pages(spark, n_docs).write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_build(spark, n_docs: int, seg_size: int = 1 << 13) -> dict:
+    from lucene_solr_spark.index.segments import build_segment_index
+
+    src = _pages_parquet(spark, n_docs)
+    out = f"/tmp/bench_segidx_{n_docs}_{spark.sparkContext.applicationId}"
+    pages = spark.read.parquet(src)
     t0 = time.time()
-    out = f"/tmp/bench_index_{n_docs}_{spark.sparkContext.applicationId}"
-    from lucene_solr_spark.index.builder import write_index
-
-    write_index(idx, out, term_buckets=spark.sparkContext.defaultParallelism)
-    dt = time.time() - t0
-    return idx, dt, out
+    build_segment_index(pages, out, seg_size=seg_size)
+    total = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return {"n_docs": n_docs, "build_sec": round(total, 2),
+            "docs_per_sec": round(n_docs / total, 1)}
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -63,43 +96,46 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     setup = time.time() - t0
     s = Searcher(idx, mode="lucene")
 
-    qset = {
-        "q_term_high": "join",
-        "q_term_med": "vector",
-        "q_term_low": "dup",
-        "q_and2": "hash AND join",
-        "q_and3": "hash AND join AND merge",
-        "q_or2": "scan OR slow",
-        "q_or3": "scan OR slow OR merge",
-        "q_andor": "(hash AND join) OR merge",
-        "q_phrase": '"hash join"',
-    }
     times: dict[str, float] = {"index_setup": round(setup, 3)}
-    for name, q in qset.items():
+    for name, q in QSET.items():
         t0 = time.time()
         s.search(q, k=10).collect()
         times[name] = round(time.time() - t0, 3)
 
-    # batched: all queries in one job (union of top-k frames)
+    # batched: all queries in one job (union of top-k frames) — the
+    # realistic Spark serving shape (amortizes job scheduling)
     from functools import reduce
+
     from pyspark.sql import functions as F
 
     t0 = time.time()
-    frames = [s.search(q, k=10).withColumn("q", F.lit(n)) for n, q in qset.items()]
+    frames = [s.search(q, k=10).withColumn("q", F.lit(n)) for n, q in QSET.items()]
     reduce(lambda a, b: a.unionByName(b), frames).collect()
     times["batched_all"] = round(time.time() - t0, 3)
     return times
 
 
-def bench_build(spark, n_docs: int) -> dict:
-    t0 = time.time()
-    _, write_s, path = _build_corpus_index(spark, n_docs)
-    total = time.time() - t0
-    import shutil
+def bench_wand_queries(spark, n_docs: int) -> dict[str, float]:
+    """Block-max WAND over a segment index of the bench corpus."""
+    from lucene_solr_spark.index.segments import build_segment_index
+    from lucene_solr_spark.search.wand import WandSearcher
 
-    shutil.rmtree(path, ignore_errors=True)
-    return {"n_docs": n_docs, "build_sec": round(total, 2),
-            "docs_per_sec": round(n_docs / total, 1)}
+    src = _pages_parquet(spark, n_docs)
+    out = f"/tmp/bench_wandidx_{n_docs}"
+    if not os.path.exists(f"{out}/segments_meta"):
+        build_segment_index(spark.read.parquet(src), out, seg_size=1 << 13)
+    ws = WandSearcher(
+        __import__("lucene_solr_spark.index.segments",
+                   fromlist=["SegmentIndex"]).SegmentIndex(path=out, spark=spark))
+    times: dict[str, float] = {}
+    t0 = time.time()
+    ws.search("t000001", k=10).collect()  # warm (stats cache, parquet footer)
+    times["w_warmup"] = round(time.time() - t0, 3)
+    for name, q in WAND_QSET.items():
+        t0 = time.time()
+        ws.search(q, k=10).collect()
+        times[name] = round(time.time() - t0, 3)
+    return times
 
 
 def main() -> None:
@@ -107,7 +143,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("BENCH_DOCS", "40000"))
     do_scaling = os.environ.get("BENCH_SCALING", "1") != "0"
-    scaling_docs = int(os.environ.get("BENCH_SCALING_DOCS", str(n_docs // 2)))
+    scaling_docs = int(os.environ.get("BENCH_SCALING_DOCS", str(n_docs)))
 
     result: dict = {"metric": "index-build docs/sec + BM25 top-10 q/s",
                     "unit": "sec", "sf": sf_dir, "cpus": cpus}
@@ -116,6 +152,7 @@ def main() -> None:
     spark = _fresh_spark(cpus)
     result["index_build"] = bench_build(spark, n_docs)
     result["queries"] = bench_queries(spark, sf_dir)
+    result["wand_queries"] = bench_wand_queries(spark, n_docs)
     spark.stop()
 
     if do_scaling:

@@ -166,3 +166,49 @@ def terms_only_udf(texts: pd.Series) -> pd.Series:
     """Terms without positions (cheaper when positions aren't needed)."""
     toks = analyze_series(texts)
     return toks.map(lambda lst: [d["term"] for d in lst])
+
+
+def invert_batch(texts: pd.Series, with_positions: bool = True):
+    """Analyze + per-document inversion in ONE pass (the
+    DefaultIndexingChain.processField + TermsHashPerField.add step
+    fused): for each text, returns (doclen, terms, tfs[, poslists])
+    where terms are the doc's distinct terms sorted, tfs the
+    per-term frequencies, poslists the per-term sorted positions.
+
+    Doing the inversion inside the Arrow batch removes the
+    per-token-occurrence explode+shuffle from the build: the shuffle
+    then carries one row per (doc, distinct term), already combined —
+    the same reduction TermsHashPerField's in-RAM hash performs before
+    flush.
+    """
+    texts = texts.fillna("")
+    doclens = np.empty(len(texts), dtype=np.int32)
+    terms_out = np.empty(len(texts), dtype=object)
+    tfs_out = np.empty(len(texts), dtype=object)
+    pos_out = np.empty(len(texts), dtype=object) if with_positions else None
+    for i, s in enumerate(texts):
+        toks = _analyze_ascii_lower(s.lower()) if s.isascii() else analyze(s)
+        doclens[i] = -1  # filled below (position holes still count len)
+        # field length = number of EMITTED tokens (stop/overlength
+        # excluded), BM25Similarity discountOverlaps semantics.
+        doclens[i] = len(toks)
+        if not toks:
+            terms_out[i] = []
+            tfs_out[i] = []
+            if with_positions:
+                pos_out[i] = []
+            continue
+        terms = [t for t, _ in toks]
+        uniq, inv, counts = np.unique(terms, return_inverse=True,
+                                      return_counts=True)
+        terms_out[i] = uniq.tolist()
+        tfs_out[i] = counts.astype(np.int32).tolist()
+        if with_positions:
+            positions = np.fromiter((p for _, p in toks), dtype=np.int32,
+                                    count=len(toks))
+            order = np.argsort(inv, kind="stable")
+            splits = np.split(positions[order], np.cumsum(counts)[:-1])
+            pos_out[i] = [s_.tolist() for s_ in splits]
+    if with_positions:
+        return doclens, terms_out, tfs_out, pos_out
+    return doclens, terms_out, tfs_out

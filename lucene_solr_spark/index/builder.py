@@ -72,24 +72,47 @@ class IndexTables:
         return self
 
 
-def invert(pages: DataFrame, text_col: str = "text", id_col: str = "docid") -> DataFrame:
-    """documents -> flat postings (term, docid, tf, positions).
+def analyzed_frame(pages: DataFrame, key_col: str = "url",
+                   text_col: str = "text",
+                   with_positions: bool = True) -> DataFrame:
+    """One fused analyze+invert pass over the corpus: per document,
+    (docid, url, doclen, norm_byte, terms[], tfs[][, poslists[][]]).
 
-    The analyzer runs once per doc; positions are collected per
-    (term, doc) exactly as TermsHashPerField accumulates prox data.
+    This is the single expensive scan of a build; everything else
+    (docs table, postings, stats) projects or explodes it. Caller
+    should persist() it when deriving more than one output.
     """
-    toks = pages.select(
-        F.col(id_col).alias("docid"),
-        F.posexplode_outer(tokens_udf(F.col(text_col))).alias("_i", "tok"),
-    ).where(F.col("tok").isNotNull())
-    return (
-        toks.groupBy(F.col("docid"), F.col("tok.term").alias("term"))
-        .agg(
-            F.count(F.lit(1)).cast(IntegerType()).alias("tf"),
-            F.sort_array(F.collect_list(F.col("tok.pos"))).alias("positions"),
-        )
-        .select("term", "docid", "tf", "positions")
-    )
+    from lucene_solr_spark.analysis.standard import invert_batch
+
+    def run(batches):
+        for pdf in batches:
+            urls = pdf[key_col].astype(str).to_numpy()  # key may be numeric
+            if with_positions:
+                dl, terms, tfs, pos = invert_batch(pdf[text_col], True)
+                out = pd.DataFrame({
+                    "docid": pdf["docid"].to_numpy(),
+                    "url": urls,
+                    "doclen": dl, "terms": terms, "tfs": tfs,
+                    "positions": pos,
+                })
+            else:
+                dl, terms, tfs = invert_batch(pdf[text_col], False)
+                out = pd.DataFrame({
+                    "docid": pdf["docid"].to_numpy(),
+                    "url": urls,
+                    "doclen": dl, "terms": terms, "tfs": tfs,
+                })
+            nb = np.zeros(len(out), dtype=np.int32)
+            nz = dl > 0
+            nb[nz] = length_norm_byte(dl[nz].astype(np.int64)).astype(np.int32)
+            out["norm_byte"] = nb
+            yield out
+
+    schema = ("docid long, url string, doclen int, terms array<string>, "
+              "tfs array<int>, "
+              + ("positions array<array<int>>, " if with_positions else "")
+              + "norm_byte int")
+    return pages.mapInPandas(run, schema=schema)
 
 
 def build_index(
@@ -108,15 +131,20 @@ def build_index(
     else:
         base = assign_doc_ids(pages, key=key_col)
 
-    # doclen = emitted-token count (stop/overlength tokens excluded),
-    # BM25Similarity.java:117,146-150 discountOverlaps semantics.
-    docs = base.select(
-        "docid",
-        F.col(key_col).alias("url") if key_col != "url" else F.col("url"),
-        F.size(tokens_udf(F.col(text_col))).alias("doclen"),
-    ).withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
+    af = analyzed_frame(base, key_col=key_col, text_col=text_col).persist()
 
-    postings = invert(base, text_col=text_col)
+    docs = af.select("docid", "url", "doclen", "norm_byte")
+
+    z = af.select(
+        "docid",
+        F.explode(F.arrays_zip(
+            F.col("terms").alias("term"),
+            F.col("tfs").alias("tf"),
+            F.col("positions").alias("positions"))).alias("z"),
+    )
+    postings = z.select(
+        F.col("z.term").alias("term"), "docid",
+        F.col("z.tf").alias("tf"), F.col("z.positions").alias("positions"))
 
     term_stats = postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),

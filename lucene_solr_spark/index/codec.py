@@ -47,14 +47,27 @@ BLOCK_SIZE = 128
 # --- varint ----------------------------------------------------------------
 
 def write_vints(values: np.ndarray) -> bytes:
-    out = bytearray()
-    for v in values.tolist():
-        v = int(v)
-        while v >= 0x80:
-            out.append((v & 0x7F) | 0x80)
-            v >>= 7
-        out.append(v)
-    return bytes(out)
+    """Vectorized LEB128 encode of an int array (no per-value Python:
+    byte counts via searchsorted, bytes scattered by cumulative
+    offsets — this runs once per posting tail, millions of times per
+    build)."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    # bytes needed per value: 1 + floor(bit_length-1 / 7)
+    thresholds = (np.uint64(1) << np.arange(7, 64, 7, dtype=np.uint64))
+    nb = 1 + np.searchsorted(thresholds, v, side="right")
+    total = int(nb.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    max_nb = int(nb.max())
+    for b in range(max_nb):
+        mask = nb > b
+        chunk = ((v[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)).astype(np.uint8)
+        more = (nb[mask] > b + 1)
+        out[starts[mask] + b] = chunk | (more.astype(np.uint8) << 7)
+    return out.tobytes()
 
 
 def read_vints(buf: bytes, pos: int, count: int) -> tuple[np.ndarray, int]:
@@ -175,16 +188,19 @@ def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray,
     tail_lo = full * BLOCK_SIZE
     tail_offset = len(docs_out) if tail_lo < n else -1
     if tail_lo < n:
-        tail_vals = []
-        for i in range(tail_lo, n):
-            d, f = int(deltas[i]), int(tfs[i])
-            if f == 1:
-                tail_vals.append((d << 1) | 1)
-            else:
-                tail_vals.append(d << 1)
-                tail_vals.append(f)
-        docs_out += write_vints(np.array(tail_vals, dtype=np.int64))
-        bm_tf.append(int(tfs[tail_lo:].max()))
+        # vectorized interleave: code = delta<<1 | (tf==1); tf written
+        # only when != 1, at the slot after its code
+        td = deltas[tail_lo:]
+        tf_t = tfs[tail_lo:]
+        one = tf_t == 1
+        codes = (td << 1) | one
+        slots = 1 + (~one).astype(np.int64)       # 1 or 2 vints per doc
+        pos_c = np.concatenate(([0], np.cumsum(slots)[:-1]))
+        vals = np.empty(int(slots.sum()), dtype=np.int64)
+        vals[pos_c] = codes
+        vals[pos_c[~one] + 1] = tf_t[~one]
+        docs_out += write_vints(vals)
+        bm_tf.append(int(tf_t.max()))
         bm_norm.append(int(norm_bytes[tail_lo:].max()))
 
     return EncodedPosting(

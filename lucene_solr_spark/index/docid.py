@@ -43,6 +43,13 @@ def assign_doc_ids(df: DataFrame, key: str = "url", num_partitions: int | None =
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(num_partitions, F.col(key)).sortWithinPartitions(key)
     ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    # PIN the range partitioning: repartitionByRange samples boundaries
+    # with a per-execution random seed, so without a persist the count
+    # pass and the id pass could see DIFFERENT partitionings and assign
+    # duplicate/holey docids. The persist makes both passes read one
+    # materialization. (Across runs determinism is unaffected: docid =
+    # global rank in key order, independent of where boundaries fall.)
+    ranged = ranged.persist()
 
     # Pass 1: per-partition counts -> offsets. Tiny result (#partitions
     # rows) so collect() is fine at any scale.

@@ -54,8 +54,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lucene_solr_spark.analysis import tokens_udf
-from lucene_solr_spark.index.builder import IndexTables, _norm_byte_udf
+from lucene_solr_spark.index.builder import IndexTables, analyzed_frame
 from lucene_solr_spark.index.codec import (
     POSTING_ROW_SCHEMA,
     encode_posting,
@@ -174,18 +173,20 @@ class SegmentIndex:
 def _encode_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched encoder: rows of (seg_id, term, docids, tfs,
     norms) arrays -> encoded posting rows. This is the
-    Lucene50PostingsWriter stage, vectorized numpy per posting."""
+    Lucene50PostingsWriter stage, vectorized numpy per posting;
+    iteration is column-wise (pandas row access is 10x slower)."""
     for pdf in batches:
         out = []
-        for i in range(len(pdf)):
-            r = pdf.iloc[i]
-            docids = np.asarray(r["docids"], dtype=np.int64)
-            tfs = np.asarray(r["tfs"], dtype=np.int64)
-            norms = np.asarray(r["norms"], dtype=np.int64)
-            ep = encode_posting(docids, tfs, norms)
+        it = zip(pdf["seg_id"].to_numpy(), pdf["term"].to_numpy(),
+                 pdf["docids"].to_numpy(), pdf["tfs"].to_numpy(),
+                 pdf["norms"].to_numpy())
+        for seg_id, term, docids, tfs, norms in it:
+            tfs = np.asarray(tfs, dtype=np.int64)
+            ep = encode_posting(np.asarray(docids, dtype=np.int64), tfs,
+                                np.asarray(norms, dtype=np.int64))
             row = posting_to_row(ep, ttf=int(tfs.sum()))
-            row["seg_id"] = int(r["seg_id"])
-            row["term"] = r["term"]
+            row["seg_id"] = int(seg_id)
+            row["term"] = term
             out.append(row)
         if out:
             yield pd.DataFrame(out)
@@ -212,10 +213,16 @@ def build_segment_index(
     spark = pages.sparkSession
     t0 = time.time()
 
+    # project to the columns the build touches BEFORE the docid range
+    # shuffle — at webtext scale the html blobs dominate row size and
+    # must not ride through the sort (column pruning by hand here;
+    # Catalyst can't prune through the id-assigning mapInPandas).
+    slim = pages.select(key_col, text_col) if key_col != text_col else pages.select(key_col)
     if precomputed_docid:
-        base = pages.withColumn("docid", F.col(precomputed_docid).cast("long"))
+        slim = pages.select(key_col, text_col, precomputed_docid)
+        base = slim.withColumn("docid", F.col(precomputed_docid).cast("long"))
     else:
-        base = assign_doc_ids(pages, key=key_col)
+        base = assign_doc_ids(slim, key=key_col)
     base = base.withColumn("seg_id", (F.col("docid") / F.lit(seg_size)).cast("int"))
 
     done: set[int] = set()
@@ -230,12 +237,13 @@ def build_segment_index(
         base.unpersist()
         return SegmentIndex(path=path, spark=spark)
 
-    # --- docs + norms (the stored-fields/.nvd side) ----------------------
-    url_col = F.col(key_col).alias("url") if key_col != "url" else F.col("url")
-    docs = base.select(
-        "seg_id", "docid", url_col,
-        F.size(tokens_udf(F.col(text_col))).alias("doclen"),
-    ).withColumn("norm_byte", _norm_byte_udf(F.col("doclen"))).persist()
+    # --- one fused analyze+invert scan; everything derives from it ------
+    af = (analyzed_frame(base, key_col=key_col, text_col=text_col,
+                         with_positions=False)
+          .withColumn("seg_id", (F.col("docid") / F.lit(seg_size)).cast("int"))
+          .persist())
+
+    docs = af.select("seg_id", "docid", "url", "doclen", "norm_byte").persist()
 
     (docs.repartition("seg_id")
          .sortWithinPartitions("docid")
@@ -264,16 +272,16 @@ def build_segment_index(
           .parquet(f"{path}/norms"))
 
     # --- postings (the .doc/.tim side) -----------------------------------
-    toks = base.select(
-        "seg_id", "docid",
-        F.posexplode_outer(tokens_udf(F.col(text_col))).alias("_i", "tok"),
-    ).where(F.col("tok").isNotNull())
-
-    per_doc = toks.groupBy("seg_id", "docid", F.col("tok.term").alias("term")).agg(
-        F.count(F.lit(1)).cast("int").alias("tf"))
-
-    with_norm = per_doc.join(
-        docs.select("docid", "norm_byte"), "docid")
+    # one row per (doc, distinct term), already tf-combined in the
+    # analysis pass — no token-granularity shuffle anywhere.
+    z = af.select(
+        "seg_id", "docid", "norm_byte",
+        F.explode(F.arrays_zip(
+            F.col("terms").alias("term"), F.col("tfs").alias("tf"))).alias("z"),
+    )
+    with_norm = z.select(
+        "seg_id", "docid", "norm_byte",
+        F.col("z.term").alias("term"), F.col("z.tf").alias("tf"))
 
     salt = ((F.col("docid") % F.lit(seg_size)) / F.lit(salt_span)).cast("int")
 
@@ -335,6 +343,7 @@ def build_segment_index(
     meta.write.mode("append" if done else "overwrite").parquet(f"{path}/segments_meta")
 
     docs.unpersist()
+    af.unpersist()
     base.unpersist()
     return SegmentIndex(path=path, spark=spark)
 

@@ -114,3 +114,23 @@ def test_corrupted_index_detected(spark, seg_index, tmp_path_factory):
     si = SegmentIndex(path=path, spark=spark)
     with pytest.raises(CheckIndexError):
         check_index(si)
+
+
+def test_docid_assignment_unique_on_parquet_source(spark, pages_tiny, tmp_path_factory):
+    """Regression: repartitionByRange samples with a per-execution
+    seed; without pinning, the two-pass docid assignment can disagree
+    between passes and emit duplicate ids (seen with parquet sources)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.index.docid import assign_doc_ids
+
+    p = str(tmp_path_factory.mktemp("docid") / "pages")
+    pages_tiny.write.mode("overwrite").parquet(p)
+    base = assign_doc_ids(spark.read.parquet(p), key="url")
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("docid").alias("d"),
+        F.min("docid").alias("lo"),
+        F.max("docid").alias("hi")).collect()[0]
+    assert agg["n"] == agg["d"] == 300
+    assert agg["lo"] == 0 and agg["hi"] == 299

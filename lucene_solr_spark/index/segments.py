@@ -201,6 +201,9 @@ def build_segment_index(
     salt_span: int = DEFAULT_SALT_SPAN,
     resume: bool = False,
     precomputed_docid: str | None = None,
+    docid_offset: int = 0,
+    seg_id_offset: int = 0,
+    lineage: str = "",
 ) -> SegmentIndex:
     """Build (or resume building) a segment-structured index at ``path``.
 
@@ -209,6 +212,11 @@ def build_segment_index(
     failure recomputes docids, drops segments already present in
     segments_meta, and builds only the missing ranges. The final index
     is byte-identical to a single-shot build (tested).
+
+    ``docid_offset`` / ``seg_id_offset`` / ``lineage`` support
+    incremental (NRT) appends — see streaming/nrt.py: a micro-batch
+    becomes fresh segments whose docid range starts after the existing
+    index and whose meta rows carry the batch lineage tag.
     """
     spark = pages.sparkSession
     t0 = time.time()
@@ -223,13 +231,19 @@ def build_segment_index(
         base = slim.withColumn("docid", F.col(precomputed_docid).cast("long"))
     else:
         base = assign_doc_ids(slim, key=key_col)
-    base = base.withColumn("seg_id", (F.col("docid") / F.lit(seg_size)).cast("int"))
+        if docid_offset:
+            base = base.withColumn("docid", F.col("docid") + F.lit(docid_offset))
+    base = base.withColumn(
+        "seg_id",
+        (F.lit(seg_id_offset)
+         + ((F.col("docid") - F.lit(docid_offset)) / F.lit(seg_size)).cast("int")))
 
     done: set[int] = set()
     if resume:
         done = completed_segments(spark, path)
         if done:
             base = base.where(~F.col("seg_id").isin(sorted(done)))
+    appending = bool(done) or docid_offset > 0 or seg_id_offset > 0
 
     base = base.persist()
     n_input = base.count()
@@ -240,7 +254,9 @@ def build_segment_index(
     # --- one fused analyze+invert scan; everything derives from it ------
     af = (analyzed_frame(base, key_col=key_col, text_col=text_col,
                          with_positions=False)
-          .withColumn("seg_id", (F.col("docid") / F.lit(seg_size)).cast("int"))
+          .withColumn("seg_id", F.lit(seg_id_offset)
+                      + ((F.col("docid") - F.lit(docid_offset))
+                         / F.lit(seg_size)).cast("int"))
           .persist())
 
     docs = af.select("seg_id", "docid", "url", "doclen", "norm_byte").persist()
@@ -248,11 +264,11 @@ def build_segment_index(
     (docs.repartition("seg_id")
          .sortWithinPartitions("docid")
          .write.partitionBy("seg_id")
-         .mode("append" if done else "overwrite")
+         .mode("append" if appending else "overwrite")
          .parquet(f"{path}/docs"))
 
     # per-segment dense norms blob: index = docid - doc_base
-    def pack_norms(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack_norms(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("docid")
         doc_base = int(pdf["docid"].iloc[0])
         blob = pdf["norm_byte"].to_numpy(dtype=np.int64).astype(np.uint8).tobytes()
@@ -268,7 +284,7 @@ def build_segment_index(
         schema="seg_id int, doc_base long, doc_count long, norms binary, "
                "doclens array<int>")
     (norms.write.partitionBy("seg_id")
-          .mode("append" if done else "overwrite")
+          .mode("append" if appending else "overwrite")
           .parquet(f"{path}/norms"))
 
     # --- postings (the .doc/.tim side) -----------------------------------
@@ -283,7 +299,8 @@ def build_segment_index(
         "seg_id", "docid", "norm_byte",
         F.col("z.term").alias("term"), F.col("z.tf").alias("tf"))
 
-    salt = ((F.col("docid") % F.lit(seg_size)) / F.lit(salt_span)).cast("int")
+    salt = (((F.col("docid") - F.lit(docid_offset)) % F.lit(seg_size))
+            / F.lit(salt_span)).cast("int")
 
     # stage 1: per-salt sorted chunks (map-side combinable; bounds the
     # reduce-side concentration of Zipf-hot terms to one chunk row per
@@ -312,7 +329,7 @@ def build_segment_index(
     (encoded.repartition("seg_id")
             .sortWithinPartitions("term")
             .write.partitionBy("seg_id")
-            .mode("append" if done else "overwrite")
+            .mode("append" if appending else "overwrite")
             .parquet(f"{path}/postings"))
 
     # --- segment infos: lineage + metrics (north rule) --------------------
@@ -337,10 +354,10 @@ def build_segment_index(
         .withColumn("built_at", F.lit(time.time()))
         .withColumn("salt_span", F.lit(salt_span))
         .withColumn("seg_size", F.lit(seg_size))
-        .withColumn("merged_from", F.lit(""))
+        .withColumn("merged_from", F.lit(lineage))
         .select([f.split(" ")[0] for f in META_SCHEMA.split(", ")])
     )
-    meta.write.mode("append" if done else "overwrite").parquet(f"{path}/segments_meta")
+    meta.write.mode("append" if appending else "overwrite").parquet(f"{path}/segments_meta")
 
     docs.unpersist()
     af.unpersist()

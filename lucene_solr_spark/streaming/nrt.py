@@ -1,0 +1,112 @@
+"""Near-real-time (NRT) incremental indexing via Structured Streaming.
+
+The reference's "streaming" model (SURVEY §2.11) is NRT segment
+visibility, not event-time processing:
+
+  reference                                  this engine
+  ---------                                  -----------
+  IndexWriter NRT flush: buffered docs       one micro-batch ->
+    become a new searchable segment            build_segment_index append
+    (DocumentsWriterPerThread flush)           of fresh segments
+  soft commit / searcher reopen              SegmentIndex.refresh() picks
+    (SearcherManager.maybeRefresh)             up new meta rows
+  hard commit + transaction log replay       Spark streaming checkpoint +
+    (UpdateLog.java:79-152)                    idempotent batch append
+                                               (lineage tag dedupes
+                                                replayed batches)
+  CommitTracker auto-commit intervals        trigger(processingTime=...)
+  DaemonStream re-run loop                   the streaming query itself
+
+Exactly-once contract: foreachBatch may replay a batch after a
+failure; append_batch records ``batch:<id>`` in every produced meta
+row's lineage column and skips batches already present — the replay
+becomes a no-op, so the index never double-counts documents (the
+UpdateLog version-check analogue).
+
+Scale notes: each micro-batch is an independent bounded append — the
+same salted shuffle and FOR-encode path as the batch build, producing
+seg_size-bounded segments. Background maybe_merge() (merge.py) keeps
+the segment count tiered as batches accumulate, exactly the
+NRT-flush-then-merge lifecycle of the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from lucene_solr_spark.index.segments import (
+    DEFAULT_SALT_SPAN,
+    DEFAULT_SEG_SIZE,
+    SegmentIndex,
+    build_segment_index,
+)
+
+
+def _index_state(spark: SparkSession, path: str) -> tuple[int, int, set[str]]:
+    """(next_docid, next_seg_id, seen lineage tags) from segments_meta."""
+    try:
+        meta = spark.read.parquet(f"{path}/segments_meta")
+    except Exception:
+        return 0, 0, set()
+    rows = meta.select("seg_id", "doc_base", "doc_count", "merged_from").collect()
+    if not rows:
+        return 0, 0, set()
+    next_docid = max(int(r["doc_base"]) + int(r["doc_count"]) for r in rows)
+    next_seg = max(int(r["seg_id"]) for r in rows) + 1
+    tags = {r["merged_from"] for r in rows if r["merged_from"]}
+    return next_docid, next_seg, tags
+
+
+def append_batch(
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    key_col: str = "url",
+    text_col: str = "text",
+    seg_size: int = DEFAULT_SEG_SIZE,
+    salt_span: int = DEFAULT_SALT_SPAN,
+) -> SegmentIndex | None:
+    """Append one micro-batch as fresh segments. Idempotent per
+    batch_id: a replayed batch (streaming restart) is skipped."""
+    spark = batch_df.sparkSession
+    tag = f"batch:{batch_id}"
+    next_docid, next_seg, tags = _index_state(spark, path)
+    if tag in tags:
+        return None  # replay after checkpoint recovery — already applied
+    if batch_df.isEmpty():
+        return None
+    return build_segment_index(
+        batch_df, path, key_col=key_col, text_col=text_col,
+        seg_size=seg_size, salt_span=salt_span,
+        docid_offset=next_docid, seg_id_offset=next_seg, lineage=tag)
+
+
+def index_stream(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str = "url",
+    text_col: str = "text",
+    seg_size: int = DEFAULT_SEG_SIZE,
+    salt_span: int = DEFAULT_SALT_SPAN,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Start continuous indexing of a streaming DataFrame of pages.
+
+    trigger: kwargs for DataStreamWriter.trigger (e.g.
+    {"availableNow": True} to drain, {"processingTime": "30 seconds"}
+    for a commit cadence — the CommitTracker analogue).
+    """
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        append_batch(df, path, batch_id, key_col=key_col, text_col=text_col,
+                     seg_size=seg_size, salt_span=salt_span)
+
+    w = (stream_df.writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", checkpoint))
+    if trigger:
+        w = w.trigger(**trigger)
+    return w.start()

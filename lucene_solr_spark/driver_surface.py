@@ -987,3 +987,12 @@ SELECT doc_id,
        AS fingerprint
 FROM documents
 """)
+
+
+# --------------------------------------------------------------------------
+# extension registrations (spans, dismax/synonym/req-opt, suggest/
+# spellcheck/MLT/highlight, block join, export/diversified/rerank,
+# stats percentile/HLL, LSH/IVF ANN, multimodal, segment read path)
+# --------------------------------------------------------------------------
+
+from lucene_solr_spark import driver_surface_ext  # noqa: E402,F401

@@ -1,0 +1,589 @@
+"""Driver-surface extension: operators added after the first 48
+(SURVEY §2.2 spans/dismax/synonym/req-opt, §2.4 block join, §2.5
+stats percentile/cardinality, §2.6 export/diversified/rerank, §2.13
+suggest/spellcheck/MLT/highlight, the segment-index read path, IVF/LSH
+ANN and multimodal plumbing). Registered into driver_surface's
+QUERIES/ORACLES registry; same determinism contract (integers,
+quantized doubles, deterministic tie-breaks).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lucene_solr_spark.driver_surface import (
+    FT_BASE,
+    _docs_index,
+    _ft_scored,
+    _load,
+    _register,
+    _topk_sql,
+)
+from lucene_solr_spark.operators import multimodal as MM
+from lucene_solr_spark.operators import searchext as SX
+from lucene_solr_spark.operators import similarity as SIM
+from lucene_solr_spark.operators.spans import span_near_pairs
+from lucene_solr_spark.search import ast as A
+from lucene_solr_spark.search.executor import Searcher
+
+Q = 1_000_000
+
+
+def _quantize_topk(m: DataFrame, k: int) -> DataFrame:
+    m = m.withColumn("score_q", F.floor(F.col("score") * Q).cast("long"))
+    top = m.orderBy(F.desc("score_q"), F.asc("docid")).limit(k)
+    w = Window.orderBy(F.desc("score_q"), F.asc("docid"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.col("docid").alias("doc_id"), "score_q", "rank")
+
+
+# ---- §2.2 spans / advanced boolean scorers --------------------------------
+
+def _span_near(spark, sf):
+    idx = _docs_index(spark, sf)
+    return span_near_pairs(idx, "hash", "join", slop=2, in_order=True).select(
+        F.col("docid").alias("doc_id"), F.col("pairs").cast("long").alias("pairs"))
+
+
+_register("span_near", _span_near, f"""
+WITH {FT_BASE}
+SELECT p1.doc_id, count(*)::BIGINT AS pairs
+FROM (SELECT doc_id, pos FROM tokf WHERE term='hash') p1
+JOIN (SELECT doc_id, pos FROM tokf WHERE term='join') p2
+  ON p1.doc_id = p2.doc_id AND p2.pos > p1.pos AND p2.pos <= p1.pos + 3
+GROUP BY p1.doc_id
+""")
+
+
+def _dismax(spark, sf):
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    m = s.matches(A.DisMaxQ((A.TermQ("scan"), A.TermQ("slow")), tie_breaker=0.5))
+    return _quantize_topk(m, 10)
+
+
+_register("dismax", _dismax, f"""
+WITH {FT_BASE}, {_ft_scored(['scan', 'slow'])},
+agg AS (
+  SELECT doc_id,
+         CAST(floor((max(s) + 0.5 * (sum(s) - max(s))) * 1000000) AS BIGINT)
+         AS score_q
+  FROM scored GROUP BY doc_id
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
+def _synonym(spark, sf):
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    m = s.matches(A.SynonymQ(("scan", "sort")))
+    return _quantize_topk(m, 10)
+
+
+_register("synonym", _synonym, f"""
+WITH {FT_BASE},
+syn AS (
+  SELECT doc_id, sum(tf)::DOUBLE AS tf FROM postings
+  WHERE term IN ('scan','sort') GROUP BY doc_id
+),
+dfm AS (SELECT max(df)::DOUBLE AS df FROM tstats WHERE term IN ('scan','sort')),
+agg AS (
+  SELECT syn.doc_id,
+         CAST(floor(ln(1 + (cs.n - dfm.df + 0.5)/(dfm.df + 0.5)) * 2.2 * syn.tf
+              / (syn.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (cs.sttf / cs.n)))
+              * 1000000) AS BIGINT) AS score_q
+  FROM syn JOIN doclen dl USING (doc_id) CROSS JOIN cstats cs CROSS JOIN dfm
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
+def _req_opt(spark, sf):
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    m = s.matches(A.ReqOptQ(A.TermQ("merge"), A.TermQ("scan")))
+    return _quantize_topk(m, 10)
+
+
+_register("req_opt", _req_opt, f"""
+WITH {FT_BASE}, {_ft_scored(['merge', 'scan'])},
+req AS (SELECT doc_id, s FROM scored WHERE term = 'merge'),
+opt AS (SELECT doc_id, s FROM scored WHERE term = 'scan'),
+agg AS (
+  SELECT r.doc_id,
+         CAST(floor((r.s + coalesce(o.s, 0)) * 1000000) AS BIGINT) AS score_q
+  FROM req r LEFT JOIN opt o USING (doc_id)
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
+# ---- §2.13 suggest / spellcheck / MLT / highlight --------------------------
+
+def _suggest(spark, sf):
+    out = SX.suggest_prefix(_docs_index(spark, sf), "s", k=10)
+    return out.select("term", "weight", F.col("rank").cast("long").alias("rank"))
+
+
+_register("suggest_prefix", _suggest, f"""
+WITH {FT_BASE},
+sug AS (SELECT term, count(*)::BIGINT AS weight FROM postings
+        WHERE term LIKE 's%' GROUP BY term)
+SELECT term, weight, row_number() OVER (ORDER BY weight DESC, term) AS rank
+FROM sug QUALIFY rank <= 10
+""")
+
+
+def _spellcheck(spark, sf):
+    out = SX.spellcheck(_docs_index(spark, sf), "merg", max_edits=2, k=5)
+    return out.select("term", "df", F.col("dist").cast("long").alias("dist"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+_register("spellcheck", _spellcheck, f"""
+WITH {FT_BASE},
+t AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+c AS (SELECT term, df, levenshtein(term, 'merg')::BIGINT AS dist FROM t
+      WHERE levenshtein(term, 'merg') <= 2 AND term <> 'merg')
+SELECT term, df, dist,
+       row_number() OVER (ORDER BY dist, df DESC, term) AS rank
+FROM c QUALIFY rank <= 5
+""")
+
+
+def _mlt(spark, sf):
+    out = SX.more_like_this_terms(_docs_index(spark, sf), doc_id=0,
+                                  max_terms=10, min_df=2)
+    return out.select("term", "score_q", F.col("rank").cast("long").alias("rank"))
+
+
+_register("more_like_this", _mlt, f"""
+WITH {FT_BASE},
+mine AS (SELECT term, tf::DOUBLE AS tf FROM postings WHERE doc_id = 0),
+sc AS (
+  SELECT m.term,
+         CAST(floor(m.tf * ln(1 + cs.n / (ts.df + 1)) * 1000000) AS BIGINT)
+         AS score_q
+  FROM mine m JOIN tstats ts USING (term) CROSS JOIN cstats cs
+  WHERE ts.df >= 2
+)
+SELECT term, score_q, row_number() OVER (ORDER BY score_q DESC, term) AS rank
+FROM sc QUALIFY rank <= 10
+""")
+
+
+def _highlight(spark, sf):
+    docs = _load(spark, sf, "documents")
+    return SX.highlight(docs, "merge", radius=12).select(
+        "doc_id", F.col("off").cast("long").alias("off"), "snippet")
+
+
+_register("highlight", _highlight, """
+SELECT doc_id, strpos(text, 'merge')::BIGINT AS off,
+       substr(text, greatest(1, strpos(text, 'merge') - 12), 29) AS snippet
+FROM documents WHERE strpos(text, 'merge') > 0
+""")
+
+
+# ---- §2.6 export / diversified / rerank ------------------------------------
+
+def _export_sorted(spark, sf):
+    docs = _load(spark, sf, "documents")
+    w = Window.orderBy(F.asc("lang"), F.desc("n_chars"), F.asc("doc_id"))
+    return docs.select("doc_id", "lang", "n_chars",
+                       F.row_number().over(w).cast("long").alias("rn"))
+
+
+_register("export_sorted", _export_sorted, """
+SELECT doc_id, lang, n_chars,
+       row_number() OVER (ORDER BY lang, n_chars DESC, doc_id) AS rn
+FROM documents
+""")
+
+
+def _diversified(spark, sf):
+    docs = _load(spark, sf, "documents")
+    per = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    top = docs.withColumn("r", F.row_number().over(per)).where(F.col("r") <= 2)
+    g = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(g).cast("long"))
+            .where(F.col("rank") <= 10)
+            .select("doc_id", "lang", "n_chars", "rank"))
+
+
+_register("diversified_topk", _diversified, """
+WITH perlang AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+FROM perlang WHERE r <= 2 QUALIFY rank <= 10
+""")
+
+
+def _rerank(spark, sf):
+    """QueryRescorer: top-50 by 'merge', rescored with 2x the 'scan'
+    score added (search/QueryRescorer.java combine())."""
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    first = s.matches(A.TermQ("merge")).withColumn(
+        "s1", F.floor(F.col("score") * Q).cast("long"))
+    w1 = Window.orderBy(F.desc("s1"), F.asc("docid"))
+    top50 = (first.withColumn("r", F.row_number().over(w1))
+             .where(F.col("r") <= 50).select("docid", "s1"))
+    second = s.matches(A.TermQ("scan")).withColumn(
+        "s2", F.floor(F.col("score") * Q).cast("long")).select("docid", "s2")
+    resc = top50.join(second, "docid", "left").select(
+        "docid",
+        (F.col("s1") + 2 * F.coalesce(F.col("s2"), F.lit(0))).alias("score_q"))
+    top = resc.orderBy(F.desc("score_q"), F.asc("docid")).limit(10)
+    w = Window.orderBy(F.desc("score_q"), F.asc("docid"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.col("docid").alias("doc_id"), "score_q", "rank")
+
+
+_register("rerank", _rerank, f"""
+WITH {FT_BASE}, {_ft_scored(['merge', 'scan'])},
+first AS (SELECT doc_id, CAST(floor(s*1000000) AS BIGINT) AS s1
+          FROM scored WHERE term='merge'),
+top50 AS (SELECT doc_id, s1,
+                 row_number() OVER (ORDER BY s1 DESC, doc_id) AS r
+          FROM first QUALIFY r <= 50),
+second AS (SELECT doc_id, CAST(floor(s*1000000) AS BIGINT) AS s2
+           FROM scored WHERE term='scan'),
+resc AS (SELECT t.doc_id, t.s1 + 2*coalesce(se.s2, 0) AS score_q
+         FROM top50 t LEFT JOIN second se USING (doc_id))
+{_topk_sql("SELECT * FROM resc", 10)}
+""")
+
+
+# ---- §2.4 block join (parent/child), §2.2 point range ---------------------
+
+def _blockjoin_parent(spark, sf):
+    """ToParentBlockJoinQuery: parents (orders) whose children
+    (lineitems) match; per-parent child aggregates = score modes."""
+    o = _load(spark, sf, "orders").select("o_orderkey")
+    li = _load(spark, sf, "lineitem").where(F.col("l_quantity") >= 45)
+    j = o.join(li, o.o_orderkey == li.l_orderkey)
+    return j.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_children"),
+        F.max(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .alias("max_child_cents"))
+
+
+_register("blockjoin_parent", _blockjoin_parent, """
+SELECT o.o_orderkey, count(*)::BIGINT AS n_children,
+       max(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS max_child_cents
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_quantity >= 45
+GROUP BY o.o_orderkey
+""")
+
+
+def _blockjoin_child(spark, sf):
+    """ToChildBlockJoinQuery: children of matching parents."""
+    o = _load(spark, sf, "orders").where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000))
+    li = _load(spark, sf, "lineitem")
+    return li.join(F.broadcast(o.select("o_orderkey")),
+                   li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", F.col("l_linenumber").cast("long").alias("l_linenumber"))
+
+
+_register("blockjoin_child", _blockjoin_child, """
+SELECT l.l_orderkey, l.l_linenumber::BIGINT AS l_linenumber
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 200000
+""")
+
+
+def _point_range(spark, sf):
+    li = _load(spark, sf, "lineitem").where(F.col("l_quantity").between(10, 20))
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+
+
+_register("point_range", _point_range, """
+SELECT l_linestatus, count(*)::BIGINT AS n,
+       CAST(sum(l_quantity) AS BIGINT) AS qty
+FROM lineitem WHERE l_quantity BETWEEN 10 AND 20
+GROUP BY l_linestatus
+""")
+
+
+# ---- §2.5 stats: percentiles, cardinality ---------------------------------
+
+def _stats_percentile(spark, sf):
+    docs = _load(spark, sf, "documents")
+    return docs.agg(
+        F.floor(F.expr("percentile(n_chars, 0.5)") * Q).cast("long").alias("p50_q"),
+        F.floor(F.expr("percentile(n_chars, 0.9)") * Q).cast("long").alias("p90_q"),
+        F.floor(F.expr("percentile(n_chars, 0.99)") * Q).cast("long").alias("p99_q"))
+
+
+_register("stats_percentile", _stats_percentile, """
+SELECT CAST(floor(quantile_cont(n_chars, 0.5) * 1000000) AS BIGINT) AS p50_q,
+       CAST(floor(quantile_cont(n_chars, 0.9) * 1000000) AS BIGINT) AS p90_q,
+       CAST(floor(quantile_cont(n_chars, 0.99) * 1000000) AS BIGINT) AS p99_q
+FROM documents
+""")
+
+
+def _cardinality(spark, sf):
+    li = _load(spark, sf, "lineitem")
+    return li.agg(F.countDistinct("l_partkey").alias("n_parts"),
+                  F.countDistinct("l_suppkey").alias("n_supps"))
+
+
+_register("cardinality", _cardinality, """
+SELECT count(DISTINCT l_partkey)::BIGINT AS n_parts,
+       count(DISTINCT l_suppkey)::BIGINT AS n_supps
+FROM lineitem
+""")
+
+
+def _cardinality_hll(spark, sf):
+    """HLL sketch cardinality (StatsComponent 'cardinality', HLL.java)
+    — approximate by design, so no cross-engine oracle (rows-only)."""
+    li = _load(spark, sf, "lineitem")
+    return li.agg(F.approx_count_distinct("l_partkey", rsd=0.02)
+                  .alias("n_parts_hll"))
+
+
+_register("cardinality_hll", _cardinality_hll, None)
+
+
+# ---- ANN scale paths: LSH probe, IVF probe --------------------------------
+
+_EMB_DIM = 64  # embeddings fixture dimension (testdata generator)
+
+
+def _plane_sql(vec_expr: str, plane: list[float]) -> str:
+    lits = ",".join(f"{x!r}" for x in plane)
+    return (f"list_sum(list_transform(range(1, {_EMB_DIM}+1), "
+            f"i -> {vec_expr}[i]::DOUBLE * ([{lits}])[i]::DOUBLE))")
+
+
+def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_plane_sql(vec_expr, p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+
+
+def _ann_lsh(spark, sf):
+    emb = _load(spark, sf, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = SIM.lsh_topk(emb, list(qvec), dim=_EMB_DIM, k=10, n_planes=8,
+                       seed=42, probe_hamming=1)
+    return out.select("vec_id", "cos_q", F.col("rank").cast("long").alias("rank"))
+
+
+_LSH_PLANES = SIM._hyperplanes(_EMB_DIM, 8, seed=42)
+
+_register("ann_lsh", _ann_lsh, f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT ({_bucket_sql('q.qv', _LSH_PLANES)}) AS qbucket FROM q),
+b AS (
+  SELECT e.vec_id, e.embedding,
+         ({_bucket_sql('e.embedding', _LSH_PLANES)}) AS bucket
+  FROM embeddings e
+),
+cand AS (
+  SELECT b.vec_id, b.embedding FROM b CROSS JOIN qb
+  WHERE b.bucket = qb.qbucket
+     OR xor(b.bucket, qb.qbucket) IN (1,2,4,8,16,32,64,128)
+),
+scored AS (
+  SELECT c.vec_id,
+         CAST(floor(
+           list_sum(list_transform(range(1, {_EMB_DIM}+1),
+                    i -> c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))))
+           * 1000000) AS BIGINT) AS cos_q
+  FROM cand c CROSS JOIN q
+)
+SELECT vec_id, cos_q, row_number() OVER (ORDER BY cos_q DESC, vec_id) AS rank
+FROM scored QUALIFY rank <= 10
+""")
+
+
+_IVF_CENTROIDS = SIM._hyperplanes(_EMB_DIM, 4, seed=7)
+
+
+def _ann_ivf(spark, sf):
+    emb = _load(spark, sf, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = SIM.ivf_topk(emb, list(qvec), _IVF_CENTROIDS, k=10, nprobe=2)
+    return out.select("vec_id", "cos_q", F.col("rank").cast("long").alias("rank"))
+
+
+def _cos_sql(a_expr: str, centroid: list[float]) -> str:
+    lits = ",".join(f"{x!r}" for x in centroid)
+    dot = (f"list_sum(list_transform(range(1, {_EMB_DIM}+1), "
+           f"i -> {a_expr}[i]::DOUBLE * ([{lits}])[i]::DOUBLE))")
+    na = f"sqrt(list_sum(list_transform({a_expr}, x -> x::DOUBLE * x::DOUBLE)))"
+    nc = f"sqrt(list_sum(list_transform([{lits}]::DOUBLE[], x -> x * x)))"
+    return f"({dot}) / ({na} * {nc})"
+
+
+_register("ann_ivf", _ann_ivf, f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cent(cell) AS (VALUES (0), (1), (2), (3)),
+qcos AS (
+  SELECT c.cell,
+         CASE c.cell
+           WHEN 0 THEN {_cos_sql('q.qv', _IVF_CENTROIDS[0])}
+           WHEN 1 THEN {_cos_sql('q.qv', _IVF_CENTROIDS[1])}
+           WHEN 2 THEN {_cos_sql('q.qv', _IVF_CENTROIDS[2])}
+           ELSE {_cos_sql('q.qv', _IVF_CENTROIDS[3])}
+         END AS cq
+  FROM cent c CROSS JOIN q
+),
+probe AS (SELECT cell FROM qcos ORDER BY cq DESC, cell LIMIT 2),
+ccos AS (
+  SELECT e.vec_id, e.embedding,
+         {_cos_sql('e.embedding', _IVF_CENTROIDS[0])} AS c0,
+         {_cos_sql('e.embedding', _IVF_CENTROIDS[1])} AS c1,
+         {_cos_sql('e.embedding', _IVF_CENTROIDS[2])} AS c2,
+         {_cos_sql('e.embedding', _IVF_CENTROIDS[3])} AS c3
+  FROM embeddings e
+),
+assign AS (
+  SELECT vec_id, embedding,
+         CASE WHEN c0 >= c1 AND c0 >= c2 AND c0 >= c3 THEN 0
+              WHEN c1 >= c2 AND c1 >= c3 THEN 1
+              WHEN c2 >= c3 THEN 2 ELSE 3 END AS cell
+  FROM ccos
+),
+cand AS (SELECT a.vec_id, a.embedding FROM assign a
+         WHERE a.cell IN (SELECT cell FROM probe)),
+scored AS (
+  SELECT c.vec_id,
+         CAST(floor(
+           list_sum(list_transform(range(1, {_EMB_DIM}+1),
+                    i -> c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))))
+           * 1000000) AS BIGINT) AS cos_q
+  FROM cand c CROSS JOIN q
+)
+SELECT vec_id, cos_q, row_number() OVER (ORDER BY cos_q DESC, vec_id) AS rank
+FROM scored QUALIFY rank <= 10
+""")
+
+
+# ---- multimodal plumbing ---------------------------------------------------
+
+def _mm_decode(spark, sf):
+    docs = _load(spark, sf, "documents")
+    blobs = MM.attach_binary(docs)
+    return MM.decode_features(blobs).select(
+        "id", F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("first_byte").cast("long").alias("first_byte"),
+        F.col("last_byte").cast("long").alias("last_byte"), "byte_sum")
+
+
+_register("mm_decode", _mm_decode, """
+SELECT doc_id AS id, strlen(text)::BIGINT AS n_bytes,
+       ascii(substr(text, 1, 1))::BIGINT AS first_byte,
+       ascii(substr(text, length(text), 1))::BIGINT AS last_byte,
+       list_sum(list_transform(split(text, ''), x -> ascii(x)))::BIGINT AS byte_sum
+FROM documents
+""")
+
+
+def _mm_frames(spark, sf):
+    docs = _load(spark, sf, "documents")
+    blobs = MM.attach_binary(docs)
+    return MM.frame_sample(blobs, every=64, max_frames=4).select(
+        "id", F.col("frame_no").cast("long").alias("frame_no"),
+        F.col("frame_off").cast("long").alias("frame_off"),
+        F.col("frame_byte").cast("long").alias("frame_byte"))
+
+
+_register("mm_frames", _mm_frames, """
+SELECT d.doc_id AS id, t.f::BIGINT AS frame_no, (t.f * 64)::BIGINT AS frame_off,
+       ascii(substr(d.text, (t.f * 64)::INT + 1, 1))::BIGINT AS frame_byte
+FROM documents d CROSS JOIN (SELECT unnest(range(0, 4)) AS f) t
+WHERE strlen(d.text) > 0 AND t.f < least(4, 1 + (strlen(d.text) - 1) // 64)
+""")
+
+
+# ---- segment-index read path (the compressed-codec engine) ----------------
+
+_SEG_CACHE: dict[str, object] = {}
+
+
+def _seg_index(spark: SparkSession, sf: str):
+    from lucene_solr_spark.index.segments import SegmentIndex, build_segment_index
+
+    key = os.path.basename(sf.rstrip("/"))
+    path = f"/tmp/driver_segidx_{key}"
+    if key not in _SEG_CACHE:
+        if not os.path.exists(f"{path}/segments_meta"):
+            docs = spark.read.parquet(f"{sf}/documents.parquet")
+            build_segment_index(docs, path, key_col="doc_id", text_col="text",
+                                precomputed_docid="doc_id", seg_size=1 << 13)
+        _SEG_CACHE[key] = SegmentIndex(path=path, spark=spark)
+    return _SEG_CACHE[key]
+
+
+def _seg_and_match(spark, sf):
+    """Boolean AND answered from the FOR/delta-compressed segment
+    postings (decode in Arrow UDF) — proves the codec round-trips at
+    driver-check level, not just in pytest."""
+    si = _seg_index(spark, sf)
+    flat = si.as_flat_tables().postings.where(F.col("term").isin(["hash", "join"]))
+    return (flat.groupBy("docid")
+            .agg(F.count(F.lit(1)).alias("m"), F.sum("tf").alias("tf_sum"))
+            .where(F.col("m") == 2)
+            .select(F.col("docid").alias("doc_id"),
+                    F.col("tf_sum").cast("long").alias("tf_sum")))
+
+
+_register("seg_and_match", _seg_and_match, f"""
+WITH {FT_BASE}
+SELECT doc_id, sum(tf)::BIGINT AS tf_sum
+FROM postings WHERE term IN ('hash','join')
+GROUP BY doc_id HAVING count(*) = 2
+""")
+
+
+def _seg_or_match(spark, sf):
+    si = _seg_index(spark, sf)
+    flat = si.as_flat_tables().postings.where(
+        F.col("term").isin(["scan", "slow", "merge"]))
+    return (flat.groupBy("docid")
+            .agg(F.count(F.lit(1)).alias("matched"), F.sum("tf").alias("tf_sum"))
+            .select(F.col("docid").alias("doc_id"),
+                    F.col("matched").cast("long").alias("matched"),
+                    F.col("tf_sum").cast("long").alias("tf_sum")))
+
+
+_register("seg_or_match", _seg_or_match, f"""
+WITH {FT_BASE}
+SELECT doc_id, count(*)::BIGINT AS matched, sum(tf)::BIGINT AS tf_sum
+FROM postings WHERE term IN ('scan','slow','merge')
+GROUP BY doc_id
+""")
+
+
+def _seg_bm25_wand(spark, sf):
+    """Block-max WAND top-10 (float32 Lucene-exact scoring) over the
+    segment index. No SQL oracle: byte315-normed float32 BM25 is not
+    SQL-expressible; parity is proven by the dueling tests
+    (tests/test_wand.py) against the flat engine and numpy oracle."""
+    from lucene_solr_spark.search.wand import WandSearcher
+
+    si = _seg_index(spark, sf)
+    ws = WandSearcher(si)
+    return ws.search(A.OrQ((A.TermQ("scan"), A.TermQ("slow"), A.TermQ("merge"))),
+                     k=10)
+
+
+_register("seg_bm25_wand", _seg_bm25_wand, None)

@@ -225,9 +225,10 @@ def build_segment_index(
     # shuffle — at webtext scale the html blobs dominate row size and
     # must not ride through the sort (column pruning by hand here;
     # Catalyst can't prune through the id-assigning mapInPandas).
-    slim = pages.select(key_col, text_col) if key_col != text_col else pages.select(key_col)
+    cols = list(dict.fromkeys(
+        [key_col, text_col] + ([precomputed_docid] if precomputed_docid else [])))
+    slim = pages.select(*cols)
     if precomputed_docid:
-        slim = pages.select(key_col, text_col, precomputed_docid)
         base = slim.withColumn("docid", F.col(precomputed_docid).cast("long"))
     else:
         base = assign_doc_ids(slim, key=key_col)

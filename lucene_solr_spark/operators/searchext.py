@@ -1,0 +1,84 @@
+"""Search-adjacent feature modules (SURVEY §2.13): suggest /
+autocomplete, spellcheck, MoreLikeThis, highlighting.
+
+Each is the reference feature re-expressed as a short DataFrame
+program over the index tables — no side-car FST/automaton structures:
+the term-stats table plays the suggester FST's role (prefix-pruned
+scan + top-k by weight), Spark's levenshtein() plays the Levenshtein
+automaton's, and stored text plays the term-vector highlighter's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lucene_solr_spark.index.builder import IndexTables
+
+
+def suggest_prefix(index: IndexTables, prefix: str, k: int = 10) -> DataFrame:
+    """Autocomplete: top-k dictionary terms with ``prefix``, weighted
+    by document frequency (lucene/suggest FST suggesters use a stored
+    weight; df is the natural corpus weight). Returns
+    (term, weight, rank)."""
+    cand = index.term_stats.where(F.col("term").startswith(prefix))
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    return (cand.select("term", F.col("df").cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("term")).limit(k)
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.desc("weight"), F.asc("term")))))
+
+
+def spellcheck(index: IndexTables, word: str, max_edits: int = 2,
+               k: int = 5) -> DataFrame:
+    """DirectSpellChecker shape (solr/core/.../spelling/): dictionary
+    terms within ``max_edits`` Levenshtein distance, ranked by
+    (distance asc, df desc, term asc). Spark's levenshtein() replaces
+    the Levenshtein automaton term intersection."""
+    cand = index.term_stats.select(
+        "term", F.col("df").cast("long").alias("df"),
+        F.levenshtein(F.col("term"), F.lit(word)).alias("dist"),
+    ).where((F.col("dist") <= max_edits) & (F.col("term") != word))
+    order = [F.asc("dist"), F.desc("df"), F.asc("term")]
+    return (cand.orderBy(*order).limit(k)
+            .withColumn("rank", F.row_number().over(Window.orderBy(*order))))
+
+
+def more_like_this_terms(index: IndexTables, doc_id: int,
+                         max_terms: int = 10, min_df: int = 2) -> DataFrame:
+    """MoreLikeThis term selection (lucene/queries/.../mlt/
+    MoreLikeThis.java): the doc's terms ranked by tf * idf with
+    idf = ln(1 + n/(df+1)) (ClassicSimilarity-flavored, kept exact
+    and engine-portable), df-floored. Returns (term, score_q, rank)."""
+    n = float(index.coll_stats["doc_count"])
+    mine = index.postings.where(F.col("docid") == doc_id).select("term", "tf")
+    j = mine.join(index.term_stats.select("term", "df"), "term")
+    score = (F.col("tf").cast("double")
+             * F.log(F.lit(1.0) + F.lit(n) / (F.col("df").cast("double") + 1.0)))
+    cand = j.where(F.col("df") >= min_df).select(
+        "term", F.floor(score * 1_000_000).cast("long").alias("score_q"))
+    order = [F.desc("score_q"), F.asc("term")]
+    return (cand.orderBy(*order).limit(max_terms)
+            .withColumn("rank", F.row_number().over(Window.orderBy(*order))))
+
+
+def highlight(docs_text: DataFrame, term: str, radius: int = 20,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Unified-highlighter shape (lucene/highlighter/.../uhighlight/):
+    snippet of +-radius chars around the first occurrence of ``term``.
+    Offsets come from the stored text (the postings-offsets strategy
+    degenerates to locate() because our fixture text is its own
+    offset source). Returns (doc_id, off, snippet)."""
+    pos = F.locate(term, F.col(text_col))  # 1-based; 0 = no match
+    start = F.greatest(F.lit(1), pos - F.lit(radius))
+    out = docs_text.select(
+        F.col(id_col),
+        pos.alias("off"),
+        F.when(pos > 0, F.substring(F.col(text_col), start,
+                                    F.lit(2 * radius) + F.length(F.lit(term))))
+        .alias("snippet"),
+    ).where(F.col("off") > 0)
+    # 1-based substring with dynamic start needs expr-compatible args;
+    # F.substring accepts Columns in Spark 4.
+    return out

@@ -105,6 +105,47 @@ def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 12, seed: int = 42,
     return df.withColumn("bucket", bucket.cast("long"))
 
 
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantizer: cell = argmax cosine against the fixed
+    centroid list (ties -> lowest cell id). Centroids are literals in
+    the plan (broadcast); assignment is one scan, no shuffle."""
+    best_cell = F.lit(-1)
+    best_cos = F.lit(float("-inf"))
+    for ci, c in enumerate(centroids):
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        cos = cosine(F.col(vec_col), clit)
+        is_better = cos > best_cos
+        best_cell = F.when(is_better, F.lit(ci)).otherwise(best_cell)
+        best_cos = F.when(is_better, cos).otherwise(best_cos)
+    return df.withColumn("cell", best_cell)
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float],
+             centroids: list[list[float]], k: int = 10, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN top-k: score only vectors in the ``nprobe`` cells whose
+    centroids are closest to the query — the inverted-file scale path
+    (at 100 TB, cells are the partition key, so a probe reads nprobe
+    partitions instead of the corpus)."""
+    import numpy as np
+
+    c = np.array(centroids, dtype=np.float64)
+    qv = np.array(query_vec, dtype=np.float64)
+    cos_q = (c @ qv) / (np.linalg.norm(c, axis=1) * np.linalg.norm(qv))
+    # nprobe closest cells, ties -> lowest cell id
+    probe = [int(i) for i in np.lexsort((np.arange(len(c)), -cos_q))[:nprobe]]
+    cand = ivf_assign(embeddings, centroids, vec_col).where(F.col("cell").isin(probe))
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col),
+        F.floor(cosine(F.col(vec_col), qlit) * 1_000_000).cast("long").alias("cos_q"),
+    )
+    top = scored.orderBy(F.desc("cos_q"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("cos_q"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def lsh_topk(embeddings: DataFrame, query_vec: list[float], dim: int,
              k: int = 10, n_planes: int = 8, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",

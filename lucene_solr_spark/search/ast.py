@@ -102,6 +102,62 @@ class NotQ(Query):
 
 
 @dataclass(frozen=True)
+class DisMaxQ(Query):
+    """DisjunctionMaxQuery (search/DisjunctionMaxQuery.java:1-249):
+    score = max(clause scores) + tie_breaker * (sum of the rest)."""
+    clauses: tuple[Query, ...]
+    tie_breaker: float = 0.0
+
+    def rewrite(self) -> Query:
+        cls = tuple(dict.fromkeys(c.rewrite() for c in self.clauses))
+        return DisMaxQ(cls, self.tie_breaker)
+
+    def key(self) -> str:
+        return "dmax(" + ",".join(sorted(c.key() for c in self.clauses)) + ")"
+
+
+@dataclass(frozen=True)
+class SynonymQ(Query):
+    """SynonymQuery (search/SynonymQuery.java): terms scored as one
+    pseudo-term — tf summed across terms, df = max of the terms' dfs."""
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+    def key(self) -> str:
+        return "syn(" + ",".join(sorted(self.terms)) + ")"
+
+
+@dataclass(frozen=True)
+class ReqOptQ(Query):
+    """MUST + optional SHOULD (ReqOptSumScorer: required score plus
+    the optional clause's score when it also matches)."""
+    required: Query
+    optional: Query
+
+    def rewrite(self) -> Query:
+        return ReqOptQ(self.required.rewrite(), self.optional.rewrite())
+
+    def key(self) -> str:
+        return f"reqopt({self.required.key()},{self.optional.key()})"
+
+
+@dataclass(frozen=True)
+class SpanNearQ(Query):
+    """Two-term positional proximity (search/spans/SpanNearQuery.java
+    shape): occurrences of ``second`` within ``slop`` positions after
+    ``first`` (in_order) or within +/- slop (unordered). Constant
+    score; the match count is exposed by the evaluator."""
+    first: str
+    second: str
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+
+    def key(self) -> str:
+        return f"near({self.first},{self.second},{self.slop},{self.in_order})"
+
+
+@dataclass(frozen=True)
 class ConstQ(Query):
     """ConstantScoreQuery: match inner, score = boost."""
     inner: Query

@@ -59,12 +59,15 @@ def _collect_terms(q: A.Query) -> set[str]:
         return {q.term}
     if isinstance(q, A.PhraseQ):
         return set(q.terms)
-    if isinstance(q, (A.AndQ, A.OrQ)):
+    if isinstance(q, (A.AndQ, A.OrQ, A.DisMaxQ)):
         return set().union(*(_collect_terms(c) for c in q.clauses))
     if isinstance(q, A.NotQ):
         return _collect_terms(q.positive) | _collect_terms(q.negative)
+    if isinstance(q, A.ReqOptQ):
+        return _collect_terms(q.required) | _collect_terms(q.optional)
     if isinstance(q, A.ConstQ):
         return _collect_terms(q.inner)
+    # SynonymQ / SpanNearQ score themselves from postings directly
     return set()
 
 
@@ -187,7 +190,85 @@ class Searcher:
             return pos.join(neg, "docid", "left_anti")
         if isinstance(q, A.PhraseQ):
             return self._eval_phrase(q)
+        if isinstance(q, A.DisMaxQ):
+            return self._eval_dismax(q, scored)
+        if isinstance(q, A.SynonymQ):
+            return self._eval_synonym(q)
+        if isinstance(q, A.ReqOptQ):
+            return self._eval_reqopt(q, scored)
+        if isinstance(q, A.SpanNearQ):
+            return self._eval_span_near(q)
         raise TypeError(f"unsupported query node {type(q).__name__}")
+
+    def _eval_dismax(self, q: A.DisMaxQ, scored: DataFrame | None) -> DataFrame:
+        """DisjunctionMaxScorer.java:36-61: scoreMax + tieBreaker *
+        (scoreSum - scoreMax), accumulated in double, downcast."""
+        parts = [self._eval(c, scored) for c in sorted(q.clauses, key=lambda x: x.key())]
+        u = reduce(lambda a, b: a.unionByName(b), parts)
+        agg = u.groupBy("docid").agg(
+            F.max(F.col("score").cast("double")).alias("_mx"),
+            F.sum(F.col("score").cast("double")).alias("_sm"))
+        out = agg.select(
+            "docid",
+            (F.col("_mx") + F.lit(q.tie_breaker) * (F.col("_sm") - F.col("_mx")))
+            .cast(self._score_type()).alias("score"))
+        return out
+
+    def _eval_synonym(self, q: A.SynonymQ) -> DataFrame:
+        """SynonymQuery.java: union the terms' postings, sum tf per
+        doc, score once as a pseudo-term whose df = max(term dfs)."""
+        dfs = self._df_for(set(q.terms))
+        present = [t for t in q.terms if dfs[t] > 0]
+        if not present:
+            return self._empty_scored().select("docid", "score")
+        df_syn = max(dfs[t] for t in present)
+        p = (self.index.postings.where(F.col("term").isin(present))
+             .groupBy("docid").agg(F.sum("tf").alias("tf")))
+        n = float(self.index.coll_stats["doc_count"])
+        if self.mode == "sql":
+            d = self.index.docs.select("docid", "doclen")
+            j = p.join(d, "docid")
+            avgdl = self.index.coll_stats["sum_ttf"] / self.index.coll_stats["doc_count"]
+            idf = float(np.log(1.0 + (n - df_syn + 0.5) / (df_syn + 0.5)))
+            tf = F.col("tf").cast("double")
+            cache = F.lit(self.k1) * (
+                F.lit(1.0 - self.b) + F.lit(self.b) * F.col("doclen") / F.lit(avgdl))
+            score = F.lit(idf * (self.k1 + 1.0) * q.boost) * tf / (tf + cache)
+            return j.select("docid", score.alias("score"))
+        w32 = np.float32(self.bm25.term_weight(df_syn, q.boost))
+        bm25 = self.bm25
+        d = self.index.docs.select("docid", "norm_byte")
+        j = p.join(d, "docid")
+
+        @pandas_udf("float")
+        def sscore(tf: pd.Series, norm: pd.Series) -> pd.Series:
+            return pd.Series(bm25.score(
+                np.full(len(tf), w32, dtype=np.float32),
+                tf.to_numpy(dtype=np.int64),
+                norm.to_numpy(dtype=np.int64).astype(np.uint8)))
+
+        return j.select("docid", sscore(F.col("tf"), F.col("norm_byte")).alias("score"))
+
+    def _eval_reqopt(self, q: A.ReqOptQ, scored: DataFrame | None) -> DataFrame:
+        """ReqOptSumScorer.java: required score + optional score when
+        the optional side also matches (left join + coalesce)."""
+        req = self._eval(q.required, scored).withColumnRenamed("score", "_rs")
+        opt = self._eval(q.optional, scored).withColumnRenamed("score", "_os")
+        j = req.join(opt, "docid", "left")
+        total = (F.col("_rs").cast("double")
+                 + F.coalesce(F.col("_os").cast("double"), F.lit(0.0)))
+        return j.select("docid", total.cast(self._score_type()).alias("score"))
+
+    def _eval_span_near(self, q: A.SpanNearQ) -> DataFrame:
+        """Positional proximity via the positions arrays (two-phase:
+        docid join, then position-window verify — the spans analogue
+        of TwoPhaseIterator). Constant score = boost; pair count is
+        computed by span_near_pairs() for callers that need it."""
+        from lucene_solr_spark.operators.spans import span_near_pairs
+
+        pairs = span_near_pairs(self.index, q.first, q.second, q.slop, q.in_order)
+        return pairs.select("docid").distinct().withColumn(
+            "score", F.lit(q.boost).cast(self._score_type()))
 
     def _boost(self, df: DataFrame, boost: float) -> DataFrame:
         if self.mode == "sql":

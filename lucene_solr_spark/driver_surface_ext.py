@@ -587,3 +587,133 @@ def _seg_bm25_wand(spark, sf):
 
 
 _register("seg_bm25_wand", _seg_bm25_wand, None)
+
+
+# ---- §2.8 function queries, §2.10 alternate similarity, §2.13 classify ----
+
+def _function_query(spark, sf):
+    """ValueSource function-query scoring (lucene/queries/function/
+    valuesource/: recip, scale, linear composed as Column
+    expressions): boost = recip(order age in days, 1/1000, 1, 1) *
+    ln(1 + o_totalprice); the classic Solr date-boost pattern."""
+    o = _load(spark, sf, "orders")
+    age_days = F.datediff(F.lit("1998-12-01"), F.col("o_orderdate"))
+    score = (F.lit(1.0) / (F.lit(0.001) * age_days + F.lit(1.0))
+             * F.log(F.lit(1.0) + F.col("o_totalprice")))
+    out = o.select("o_orderkey",
+                   F.floor(score * Q).cast("long").alias("score_q"))
+    w = Window.orderBy(F.desc("score_q"), F.asc("o_orderkey"))
+    return (out.orderBy(F.desc("score_q"), F.asc("o_orderkey")).limit(20)
+            .withColumn("rank", F.row_number().over(w).cast("long")))
+
+
+_register("function_query", _function_query, """
+WITH sc AS (
+  SELECT o_orderkey,
+         CAST(floor(1.0 / (0.001 * date_diff('day', o_orderdate, DATE '1998-12-01') + 1.0)
+              * ln(1.0 + o_totalprice) * 1000000) AS BIGINT) AS score_q
+  FROM orders
+)
+SELECT o_orderkey, score_q,
+       row_number() OVER (ORDER BY score_q DESC, o_orderkey) AS rank
+FROM sc QUALIFY rank <= 20
+""")
+
+
+def _knn_classify(spark, sf):
+    """kNN classification over the index (lucene/classification/
+    KNearestNeighborClassifier shape): label of vec 1 = majority label
+    of its 5 cosine neighbours (ties -> smaller label)."""
+    emb = _load(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") == 1)
+    qvec = q.select("embedding").first()["embedding"]
+    nn = SIM.brute_force_topk(
+        emb.where(F.col("vec_id") != 1), list(qvec), k=5)
+    j = nn.join(emb.select("vec_id", "label"), "vec_id")
+    counts = j.groupBy("label").agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.orderBy(F.desc("votes"), F.asc("label"))
+    return (counts.orderBy(F.desc("votes"), F.asc("label")).limit(1)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .select(F.col("label").cast("long").alias("label"), "votes"))
+
+
+_register("knn_classify", _knn_classify, f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+scored AS (
+  SELECT e.vec_id, e.label,
+         CAST(floor(
+           list_sum(list_transform(range(1, {_EMB_DIM}+1),
+                    i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))))
+           * 1000000) AS BIGINT) AS cos_q
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 1
+),
+top5 AS (
+  SELECT vec_id, label,
+         row_number() OVER (ORDER BY cos_q DESC, vec_id) AS rank
+  FROM scored QUALIFY rank <= 5
+)
+SELECT label::BIGINT AS label, count(*)::BIGINT AS votes
+FROM top5 GROUP BY label
+ORDER BY votes DESC, label LIMIT 1
+""")
+
+
+def _ft_tfidf(spark, sf):
+    """ClassicSimilarity (TF-IDF) scoring as an alternate Similarity
+    plug-in (search/similarities/ClassicSimilarity.java): score =
+    sqrt(tf) * idf^2 * (1/sqrt(doclen)), idf = 1 + ln(N/(df+1)).
+    Exact-double variant for cross-engine parity."""
+    idx = _docs_index(spark, sf)
+    n = float(idx.coll_stats["doc_count"])
+    p = idx.postings.where(F.col("term") == "merge").select("docid", "tf")
+    d = idx.docs.select("docid", "doclen")
+    ts = idx.term_stats.where(F.col("term") == "merge").select("df")
+    dfv = float(ts.first()["df"])
+    import math
+    idf = 1.0 + math.log(n / (dfv + 1.0))
+    j = p.join(d, "docid")
+    score = (F.sqrt(F.col("tf").cast("double")) * F.lit(idf * idf)
+             / F.sqrt(F.col("doclen").cast("double")))
+    out = j.select("docid", F.floor(score * Q).cast("long").alias("score_q"))
+    top = out.orderBy(F.desc("score_q"), F.asc("docid")).limit(10)
+    w = Window.orderBy(F.desc("score_q"), F.asc("docid"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.col("docid").alias("doc_id"), "score_q", "rank")
+
+
+_register("ft_tfidf", _ft_tfidf, f"""
+WITH {FT_BASE},
+prm AS (
+  SELECT (1.0 + ln(cs.n / (ts.df + 1.0))) AS idf
+  FROM tstats ts CROSS JOIN cstats cs WHERE ts.term = 'merge'
+),
+sc AS (
+  SELECT p.doc_id,
+         CAST(floor(sqrt(p.tf) * prm.idf * prm.idf / sqrt(dl.doclen)
+              * 1000000) AS BIGINT) AS score_q
+  FROM postings p JOIN doclen dl USING (doc_id) CROSS JOIN prm
+  WHERE p.term = 'merge'
+)
+{_topk_sql("SELECT * FROM sc", 10)}
+""")
+
+
+def _span_first(spark, sf):
+    """SpanFirstQuery (search/spans/SpanFirstQuery.java): docs whose
+    first occurrence of the term is within the first k positions."""
+    idx = _docs_index(spark, sf)
+    p = idx.postings.where(F.col("term") == "merge").select(
+        "docid", F.array_min("positions").alias("first_pos"))
+    return p.where(F.col("first_pos") < 5).select(
+        F.col("docid").alias("doc_id"),
+        F.col("first_pos").cast("long").alias("first_pos"))
+
+
+_register("span_first", _span_first, f"""
+WITH {FT_BASE}
+SELECT doc_id, min(pos)::BIGINT AS first_pos
+FROM tokf WHERE term = 'merge'
+GROUP BY doc_id HAVING min(pos) < 5
+""")

@@ -46,16 +46,15 @@ BLOCK_SIZE = 128
 
 # --- varint ----------------------------------------------------------------
 
-def write_vints(values: np.ndarray) -> bytes:
-    """Vectorized LEB128 encode of an int array (no per-value Python:
-    byte counts via searchsorted, bytes scattered by cumulative
-    offsets — this runs once per posting tail, millions of times per
-    build)."""
-    v = np.asarray(values, dtype=np.uint64)
+def vint_encode_arr(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized LEB128 encode: returns (byte array, per-value byte
+    counts). No per-value Python: byte counts via searchsorted, bytes
+    scattered by cumulative offsets. Callers slicing per-group byte
+    ranges use the counts."""
+    v = np.asarray(v, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
-    # bytes needed per value: 1 + floor(bit_length-1 / 7)
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
     thresholds = (np.uint64(1) << np.arange(7, 64, 7, dtype=np.uint64))
     nb = 1 + np.searchsorted(thresholds, v, side="right")
     total = int(nb.sum())
@@ -67,7 +66,27 @@ def write_vints(values: np.ndarray) -> bytes:
         chunk = ((v[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)).astype(np.uint8)
         more = (nb[mask] > b + 1)
         out[starts[mask] + b] = chunk | (more.astype(np.uint8) << 7)
+    return out, nb.astype(np.int64)
+
+
+def write_vints(values: np.ndarray) -> bytes:
+    out, _ = vint_encode_arr(np.asarray(values))
     return out.tobytes()
+
+
+def interleave_tail(deltas: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Vint-tail value stream: code = delta<<1 | (tf==1); tf follows
+    only when != 1 (Lucene50PostingsFormat.java:218-233). Vectorized;
+    works on concatenated multi-posting arrays too (the per-posting
+    byte ranges are recovered from vint_encode_arr's counts)."""
+    one = tfs == 1
+    codes = (deltas << 1) | one
+    slots = 1 + (~one).astype(np.int64)
+    pos_c = np.concatenate(([0], np.cumsum(slots)[:-1]))
+    vals = np.empty(int(slots.sum()), dtype=np.int64)
+    vals[pos_c] = codes
+    vals[pos_c[~one] + 1] = tfs[~one]
+    return vals
 
 
 def read_vints(buf: bytes, pos: int, count: int) -> tuple[np.ndarray, int]:
@@ -188,19 +207,8 @@ def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray,
     tail_lo = full * BLOCK_SIZE
     tail_offset = len(docs_out) if tail_lo < n else -1
     if tail_lo < n:
-        # vectorized interleave: code = delta<<1 | (tf==1); tf written
-        # only when != 1, at the slot after its code
-        td = deltas[tail_lo:]
-        tf_t = tfs[tail_lo:]
-        one = tf_t == 1
-        codes = (td << 1) | one
-        slots = 1 + (~one).astype(np.int64)       # 1 or 2 vints per doc
-        pos_c = np.concatenate(([0], np.cumsum(slots)[:-1]))
-        vals = np.empty(int(slots.sum()), dtype=np.int64)
-        vals[pos_c] = codes
-        vals[pos_c[~one] + 1] = tf_t[~one]
-        docs_out += write_vints(vals)
-        bm_tf.append(int(tf_t.max()))
+        docs_out += write_vints(interleave_tail(deltas[tail_lo:], tfs[tail_lo:]))
+        bm_tf.append(int(tfs[tail_lo:].max()))
         bm_norm.append(int(norm_bytes[tail_lo:].max()))
 
     return EncodedPosting(

@@ -225,8 +225,10 @@ def execute_merge(si: SegmentIndex, spec: MergeSpec) -> int:
     for sid in member_ids:
         doclens.extend(dl_map[sid])
     norms_df = spark.createDataFrame(
-        [(new_id, new_base, doc_count, bytearray(blob), doclens)],
-        "seg_id int, doc_base long, doc_count long, norms binary, doclens array<int>")
+        [(new_id, new_base, doc_count, bytearray(blob), doclens,
+          int(sum(doclens)))],
+        "seg_id int, doc_base long, doc_count long, norms binary, "
+        "doclens array<int>, sum_doclen long")
     (norms_df.write.partitionBy("seg_id").mode("append")
      .parquet(f"{si.path}/norms"))
 

@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 
 from lucene_solr_spark.index.builder import IndexTables, analyzed_frame
 from lucene_solr_spark.index.codec import (
+    POSTING_ROW_FIELDS,
     POSTING_ROW_SCHEMA,
     encode_posting,
     posting_to_row,
@@ -170,6 +171,128 @@ class SegmentIndex:
 # --- build ------------------------------------------------------------------
 
 
+def _empty_encoded() -> pd.DataFrame:
+    return pd.DataFrame(columns=["seg_id", "term"] + list(POSTING_ROW_FIELDS))
+
+
+def _encode_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map encoder: all (docid, tf, norm) rows of one
+    (segment, term-hash-bucket) -> one encoded posting row per term.
+
+    Fully vectorized over the Zipf shape of the vocabulary:
+    - df == 1 singletons (the long tail — most terms): no byte
+      streams at all, assembled columnar in one shot.
+    - 2 <= df < 128 (tail-only postings): ALL such postings' vint
+      tails are encoded in ONE concatenated vint_encode_arr pass and
+      sliced apart by per-posting byte offsets (reduceat bookkeeping).
+    - df >= 128 (the hot head, few terms): the full block codec per
+      posting.
+    """
+    if len(pdf) == 0:
+        return _empty_encoded()
+    seg_id = int(key[0])
+    terms = pdf["term"].to_numpy()
+    docids = pdf["docid"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    norms = pdf["norm_byte"].to_numpy(dtype=np.int64)
+    order = np.lexsort((docids, terms))
+    terms, docids, tfs, norms = terms[order], docids[order], tfs[order], norms[order]
+    cuts = np.nonzero(terms[1:] != terms[:-1])[0] + 1
+    starts = np.concatenate(([0], cuts))
+    ends = np.concatenate((cuts, [len(terms)]))
+    dfs = ends - starts
+
+    from lucene_solr_spark.index.codec import BLOCK_SIZE, interleave_tail, vint_encode_arr
+
+    frames = []
+
+    # --- singletons, fully columnar ------------------------------------
+    sing = dfs == 1
+    if sing.any():
+        s_idx = starts[sing]
+        n = len(s_idx)
+        frames.append(pd.DataFrame({
+            "seg_id": np.full(n, seg_id, dtype=np.int32),
+            "term": terms[s_idx],
+            "df": np.ones(n, dtype=np.int32),
+            "ttf": tfs[s_idx],
+            "singleton_docid": docids[s_idx],
+            "docs_enc": [b""] * n,
+            "tfs_enc": [b""] * n,
+            "skip_last_doc": [[]] * n,
+            "skip_doc_off": [[]] * n,
+            "skip_tf_off": [[]] * n,
+            "bm_tf": [[int(x)] for x in tfs[s_idx]],
+            "bm_norm": [[int(x)] for x in norms[s_idx]],
+            "tail_offset": np.full(n, -1, dtype=np.int32),
+        }))
+
+    # --- tail-only postings (2 <= df < 128), one shared vint pass ------
+    small = (dfs >= 2) & (dfs < BLOCK_SIZE)
+    if small.any():
+        s_starts, s_ends = starts[small], ends[small]
+        # gather rows of all small postings (vectorized ranges-concat)
+        lens = s_ends - s_starts
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        gath = (np.repeat(s_starts, lens)
+                + np.arange(int(lens.sum())) - np.repeat(offs, lens))
+        g_doc, g_tf, g_norm = docids[gath], tfs[gath], norms[gath]
+        g_dfs = (s_ends - s_starts)
+        g_starts = np.concatenate(([0], np.cumsum(g_dfs)[:-1]))
+        # per-posting d-gaps: first delta = docid, rest = diff
+        deltas = g_doc.copy()
+        deltas[1:] -= g_doc[:-1]
+        deltas[g_starts] = g_doc[g_starts]
+        # interleaved tail values for ALL postings at once
+        one = g_tf == 1
+        slots = 2 - one.astype(np.int64)            # vints per doc
+        vals = interleave_tail(deltas, g_tf)
+        enc, nb = vint_encode_arr(vals)
+        # per-posting value counts -> byte ranges
+        vcounts = np.add.reduceat(slots, g_starts)
+        v_starts = np.concatenate(([0], np.cumsum(vcounts)[:-1]))
+        bcounts = np.add.reduceat(nb, v_starts)
+        b_starts = np.concatenate(([0], np.cumsum(bcounts)[:-1]))
+        buf = enc.tobytes()
+        n = len(s_starts)
+        frames.append(pd.DataFrame({
+            "seg_id": np.full(n, seg_id, dtype=np.int32),
+            "term": terms[s_starts],
+            "df": g_dfs.astype(np.int32),
+            "ttf": np.add.reduceat(g_tf, g_starts),
+            "singleton_docid": np.full(n, np.nan),
+            "docs_enc": [buf[b: b + c] for b, c in zip(b_starts, bcounts)],
+            "tfs_enc": [b""] * n,
+            "skip_last_doc": [[]] * n,
+            "skip_doc_off": [[]] * n,
+            "skip_tf_off": [[]] * n,
+            "bm_tf": [[int(x)] for x in np.maximum.reduceat(g_tf, g_starts)],
+            "bm_norm": [[int(x)] for x in np.maximum.reduceat(g_norm, g_starts)],
+            "tail_offset": np.zeros(n, dtype=np.int32),
+        }))
+
+    # --- the hot head (df >= 128): full block codec --------------------
+    big = dfs >= BLOCK_SIZE
+    if big.any():
+        out = []
+        for s, e in zip(starts[big], ends[big]):
+            ep = encode_posting(docids[s:e], tfs[s:e], norms[s:e])
+            row = posting_to_row(ep, ttf=int(tfs[s:e].sum()))
+            row["seg_id"] = seg_id
+            row["term"] = terms[s]
+            out.append(row)
+        frames.append(pd.DataFrame(out))
+
+    if not frames:
+        return _empty_encoded()
+    out_df = pd.concat(frames, ignore_index=True)
+    # nullable int for the singleton column (NaN-free Arrow transfer)
+    out_df["singleton_docid"] = pd.array(
+        [None if v is None or (isinstance(v, float) and np.isnan(v)) else int(v)
+         for v in out_df["singleton_docid"]], dtype="Int64")
+    return out_df
+
+
 def _encode_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched encoder: rows of (seg_id, term, docids, tfs,
     norms) arrays -> encoded posting rows. This is the
@@ -247,8 +370,7 @@ def build_segment_index(
     appending = bool(done) or docid_offset > 0 or seg_id_offset > 0
 
     base = base.persist()
-    n_input = base.count()
-    if n_input == 0:
+    if base.isEmpty():
         base.unpersist()
         return SegmentIndex(path=path, spark=spark)
 
@@ -262,13 +384,24 @@ def build_segment_index(
 
     docs = af.select("seg_id", "docid", "url", "doclen", "norm_byte").persist()
 
-    (docs.repartition("seg_id")
-         .sortWithinPartitions("docid")
-         .write.partitionBy("seg_id")
-         .mode("append" if appending else "overwrite")
-         .parquet(f"{path}/docs"))
+    # write parallelism must not collapse to one-task-per-segment (a
+    # hard ceiling when segments < cores): spread rows over the full
+    # parallelism keyed by (seg_id, docid); partitionBy still routes
+    # rows to per-segment directories, each file internally sorted.
+    par = spark.sparkContext.defaultParallelism
+    af.count()  # materialize the shared scan ONCE before forking jobs
 
-    # per-segment dense norms blob: index = docid - doc_base
+    def write_docs():
+        (docs.repartition(par, "seg_id", "docid")
+             .sortWithinPartitions("seg_id", "docid")
+             .write.partitionBy("seg_id")
+             .mode("append" if appending else "overwrite")
+             .parquet(f"{path}/docs"))
+
+    # per-segment dense norms blob (index = docid - doc_base) WITH the
+    # per-segment doc stats folded in — one pass produces both the
+    # .nvd analogue and the SegmentInfo doc metrics, saving a separate
+    # aggregation job over the docs table.
     def pack_norms(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("docid")
         doc_base = int(pdf["docid"].iloc[0])
@@ -278,15 +411,17 @@ def build_segment_index(
             "seg_id": [int(key[0])], "doc_base": [doc_base],
             "doc_count": [len(pdf)], "norms": [blob],
             "doclens": [lens],
+            "sum_doclen": [int(lens.sum())],
         })
 
-    norms = docs.groupBy("seg_id").applyInPandas(
-        pack_norms,
-        schema="seg_id int, doc_base long, doc_count long, norms binary, "
-               "doclens array<int>")
-    (norms.write.partitionBy("seg_id")
-          .mode("append" if appending else "overwrite")
-          .parquet(f"{path}/norms"))
+    def write_norms():
+        norms = docs.groupBy("seg_id").applyInPandas(
+            pack_norms,
+            schema="seg_id int, doc_base long, doc_count long, norms binary, "
+                   "doclens array<int>, sum_doclen long")
+        (norms.write.partitionBy("seg_id")
+              .mode("append" if appending else "overwrite")
+              .parquet(f"{path}/norms"))
 
     # --- postings (the .doc/.tim side) -----------------------------------
     # one row per (doc, distinct term), already tf-combined in the
@@ -300,45 +435,52 @@ def build_segment_index(
         "seg_id", "docid", "norm_byte",
         F.col("z.term").alias("term"), F.col("z.tf").alias("tf"))
 
-    salt = (((F.col("docid") - F.lit(docid_offset)) % F.lit(seg_size))
-            / F.lit(salt_span)).cast("int")
-
-    # stage 1: per-salt sorted chunks (map-side combinable; bounds the
-    # reduce-side concentration of Zipf-hot terms to one chunk row per
-    # salt bucket instead of one row per posting).
-    chunks = (
-        with_norm.withColumn("salt", salt)
-        .groupBy("seg_id", "term", "salt")
-        .agg(F.sort_array(F.collect_list(F.struct(
-            F.col("docid"), F.col("tf"), F.col("norm_byte")))).alias("chunk"))
+    # Zipf-skew handling ("salting", north rule): terms are hash-routed
+    # across salt_buckets reducers, so the vocabulary of a segment is
+    # spread over many tasks instead of landing wherever groupBy(term)
+    # hashes them relative to other load; and the postings of any ONE
+    # hot term are bounded by seg_size rows — the segment bound IS the
+    # skew bound, exactly Lucene's DWPT flush bound. Grouping +
+    # sorting + encoding happen vectorized in numpy inside the grouped
+    # map (one shuffle; no JVM collect_list/sort_array object churn,
+    # which profiled 4x slower).
+    salt_buckets = max(2 * par, 32)
+    bucket = F.pmod(F.xxhash64("term"), F.lit(salt_buckets)).alias("salt_bucket")
+    encoded = (
+        with_norm.select("seg_id", "term", "docid", "tf", "norm_byte", bucket)
+        .groupBy("seg_id", "salt_bucket")
+        .applyInPandas(_encode_bucket, schema=POSTINGS_SCHEMA)
     )
 
-    # stage 2: concat chunks in salt order -> full sorted posting arrays
-    grouped = (
-        chunks.groupBy("seg_id", "term")
-        .agg(F.flatten(F.array_sort(F.collect_list(F.struct(
-            F.col("salt"), F.col("chunk"))))["chunk"]).alias("postings"))
-        .select(
-            "seg_id", "term",
-            F.col("postings.docid").alias("docids"),
-            F.col("postings.tf").alias("tfs"),
-            F.col("postings.norm_byte").alias("norms"),
-        )
-    )
+    def write_postings():
+        (encoded.repartition(par, "seg_id", "term")
+                .sortWithinPartitions("seg_id", "term")
+                .write.partitionBy("seg_id")
+                .mode("append" if appending else "overwrite")
+                .parquet(f"{path}/postings"))
 
-    encoded = grouped.mapInPandas(_encode_rows, schema=POSTINGS_SCHEMA)
-    (encoded.repartition("seg_id")
-            .sortWithinPartitions("term")
-            .write.partitionBy("seg_id")
-            .mode("append" if appending else "overwrite")
-            .parquet(f"{path}/postings"))
+    # The three sinks are independent given the materialized analyzed
+    # frame — submit them as CONCURRENT Spark jobs (the scheduler
+    # interleaves their stages over the same executors). This removes
+    # the serial job-barrier chain, which at high core counts is the
+    # dominant non-scaling cost (a Lucene flush writes .doc/.nvd/
+    # stored-fields files concurrently for the same reason).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(f) for f in (write_docs, write_norms, write_postings)]
+        for f in futs:
+            f.result()
 
     # --- segment infos: lineage + metrics (north rule) --------------------
-    seg_doc = docs.groupBy("seg_id").agg(
-        F.min("docid").alias("doc_base"),
-        F.count(F.lit(1)).alias("doc_count"),
-        F.sum("doclen").alias("sum_doclen"),
-    )
+    # per-segment doc stats come from the tiny norms table (one row per
+    # segment), not a fresh aggregation over docs
+    seg_doc = (spark.read.parquet(f"{path}/norms")
+               .select("seg_id", "doc_base", "doc_count", "sum_doclen"))
+    if done:
+        seg_doc = seg_doc.where(~F.col("seg_id").isin(sorted(done)))
+    if appending and not done:
+        seg_doc = seg_doc.where(F.col("seg_id") >= seg_id_offset)
     post_read = spark.read.parquet(f"{path}/postings")
     if done:
         post_read = post_read.where(~F.col("seg_id").isin(sorted(done)))

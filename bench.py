@@ -76,15 +76,19 @@ def _pages_parquet(spark, n_docs: int) -> str:
 def bench_build(spark, n_docs: int, seg_size: int = 1 << 13) -> dict:
     from lucene_solr_spark.index.segments import build_segment_index
 
+    # DOCS_AND_FREQS by default (BENCH_POSITIONS=1 adds the .pos
+    # stream, ~1.8x build cost — see BENCH/BASELINE.md mode table)
+    store_pos = os.environ.get("BENCH_POSITIONS", "0") == "1"
     src = _pages_parquet(spark, n_docs)
     out = f"/tmp/bench_segidx_{n_docs}_{spark.sparkContext.applicationId}"
     pages = spark.read.parquet(src)
     t0 = time.time()
-    build_segment_index(pages, out, seg_size=seg_size)
+    build_segment_index(pages, out, seg_size=seg_size, store_positions=store_pos)
     total = time.time() - t0
     shutil.rmtree(out, ignore_errors=True)
     return {"n_docs": n_docs, "build_sec": round(total, 2),
-            "docs_per_sec": round(n_docs / total, 1)}
+            "docs_per_sec": round(n_docs / total, 1),
+            "mode": "docs_freqs_positions" if store_pos else "docs_freqs"}
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:

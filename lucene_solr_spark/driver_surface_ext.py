@@ -717,3 +717,63 @@ SELECT doc_id, min(pos)::BIGINT AS first_pos
 FROM tokf WHERE term = 'merge'
 GROUP BY doc_id HAVING min(pos) < 5
 """)
+
+
+# ---- sloppy phrase + segment-store phrase ---------------------------------
+
+def _ft_phrase_sloppy(spark, sf):
+    """Sloppy phrase (slop=2) — pair-count freq semantics (see
+    Searcher._eval_sloppy_phrase), quantized sql-mode scoring."""
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    m = s.matches(A.PhraseQ(("hash", "join"), slop=2))
+    return _quantize_topk(m, 10)
+
+
+_register("ft_phrase_sloppy", _ft_phrase_sloppy, f"""
+WITH {FT_BASE},
+ph AS (
+  SELECT p1.doc_id, count(*)::BIGINT AS pfreq
+  FROM (SELECT doc_id, pos FROM tokf WHERE term='hash') p1
+  JOIN (SELECT doc_id, pos FROM tokf WHERE term='join') p2
+    ON p1.doc_id = p2.doc_id AND abs(p2.pos - (p1.pos + 1)) <= 2
+  GROUP BY p1.doc_id
+),
+idfs AS (
+  SELECT (SELECT ln(1+(cs.n - ts.df + 0.5)/(ts.df + 0.5)) FROM tstats ts, cstats cs WHERE ts.term='hash')
+       + (SELECT ln(1+(cs.n - ts.df + 0.5)/(ts.df + 0.5)) FROM tstats ts, cstats cs WHERE ts.term='join')
+       AS idf_sum
+),
+agg AS (
+  SELECT ph.doc_id,
+         CAST(floor((i.idf_sum * 2.2) * ph.pfreq
+              / (ph.pfreq + 1.2 * (0.25 + 0.75 * dl.doclen / (cs.sttf / cs.n)))
+              * 1000000) AS BIGINT) AS score_q
+  FROM ph JOIN doclen dl USING (doc_id) CROSS JOIN cstats cs CROSS JOIN idfs i
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
+def _seg_phrase(spark, sf):
+    """Exact phrase answered from the segment store's .pos stream
+    (decode restricted to the phrase terms): integer pfreq per doc."""
+    si = _seg_index(spark, sf)
+    flat = si.as_flat_tables(with_positions=True, terms=["hash", "join"])
+    p1 = flat.postings.where(F.col("term") == "hash").select(
+        "docid", F.explode("positions").alias("pos"))
+    p2 = flat.postings.where(F.col("term") == "join").select(
+        "docid", F.explode("positions").alias("pos2"))
+    return (p1.join(p2, (p1.docid == p2.docid) & (p2.pos2 == p1.pos + 1))
+            .groupBy(p1.docid)
+            .agg(F.count(F.lit(1)).alias("pfreq"))
+            .select(F.col("docid").alias("doc_id"), "pfreq"))
+
+
+_register("seg_phrase", _seg_phrase, f"""
+WITH {FT_BASE}
+SELECT p1.doc_id, count(*)::BIGINT AS pfreq
+FROM (SELECT doc_id, pos FROM tokf WHERE term='hash') p1
+JOIN (SELECT doc_id, pos FROM tokf WHERE term='join') p2
+  ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+GROUP BY p1.doc_id
+""")

@@ -81,6 +81,22 @@ def _check_posting_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 nb = full  # tail block index in bm arrays
                 if int(r["bm_tf"][nb]) != int(tfs[tail_lo:].max()):
                     errs.append(f"seg={seg} term={term}: tail bm_tf mismatch")
+            # positions stream (when stored): per-doc count == tf,
+            # strictly increasing (CheckIndex's checkPostings prox part)
+            if ep.pos_enc:
+                from lucene_solr_spark.index.codec import decode_positions
+                try:
+                    plists = decode_positions(ep.pos_enc, tfs)
+                except Exception as e:
+                    errs.append(f"seg={seg} term={term}: pos decode failed: {e}")
+                    plists = []
+                for pl, tf in zip(plists, tfs):
+                    if len(pl) != int(tf):
+                        errs.append(f"seg={seg} term={term}: pos count != tf")
+                        break
+                    if len(pl) > 1 and not np.all(np.diff(pl) > 0):
+                        errs.append(f"seg={seg} term={term}: pos not increasing")
+                        break
             seg_df[seg] = seg_df.get(seg, 0) + len(docs)
             seg_ttf[seg] = seg_ttf.get(seg, 0) + int(tfs.sum())
         segs = sorted(seg_df)

@@ -74,6 +74,22 @@ def write_vints(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def read_vints_arr(buf: bytes, offset: int = 0) -> np.ndarray:
+    """Vectorized LEB128 decode of an ENTIRE vint stream (used for
+    .pos payloads where the stream length is the buffer): group bytes
+    by terminator bits, combine 7-bit chunks with reduceat."""
+    arr = np.frombuffer(buf, dtype=np.uint8, offset=offset)
+    if len(arr) == 0:
+        return np.empty(0, np.int64)
+    is_last = arr < 0x80
+    # index of each value's first byte
+    val_start = np.concatenate(([0], np.nonzero(is_last)[0][:-1] + 1))
+    byte_in_val = np.arange(len(arr)) - np.repeat(
+        val_start, np.diff(np.concatenate((val_start, [len(arr)]))))
+    contrib = (arr & 0x7F).astype(np.uint64) << (7 * byte_in_val).astype(np.uint64)
+    return np.add.reduceat(contrib, val_start).astype(np.int64)
+
+
 def interleave_tail(deltas: np.ndarray, tfs: np.ndarray) -> np.ndarray:
     """Vint-tail value stream: code = delta<<1 | (tf==1); tf follows
     only when != 1 (Lucene50PostingsFormat.java:218-233). Vectorized;
@@ -148,6 +164,7 @@ class EncodedPosting:
     blockmax_tf: np.ndarray              # per block (incl. tail block)
     blockmax_norm: np.ndarray            # per block (incl. tail block)
     tail_offset: int = -1                # byte offset of the vint tail in docs_enc
+    pos_enc: bytes = b""                 # .pos analogue (empty = not stored)
 
     # -- block geometry helpers (used by the WAND executor) --------------
 
@@ -292,6 +309,38 @@ def decode_tail(ep: EncodedPosting) -> tuple[np.ndarray, np.ndarray]:
     return base + np.cumsum(deltas), tfs
 
 
+def encode_positions(positions_flat: np.ndarray, tfs: np.ndarray) -> bytes:
+    """The .pos stream (Lucene50PostingsFormat lines 266-315,
+    simplified to a single vint stream): per-doc position deltas
+    (first position absolute, then gaps), concatenated across the
+    posting's docs in docid order. ``positions_flat`` is the
+    concatenation of each doc's sorted positions; ``tfs`` gives the
+    per-doc counts (the split points — no extra length prefix needed,
+    exactly like the reference, which derives the count from freq)."""
+    p = np.asarray(positions_flat, dtype=np.int64)
+    if len(p) == 0:
+        return b""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    deltas = p.copy()
+    deltas[1:] -= p[:-1]
+    deltas[starts] = p[starts]
+    return write_vints(deltas)
+
+
+def decode_positions(pos_enc: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Inverse of encode_positions -> one position array per doc."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    vals = read_vints_arr(pos_enc)
+    out = []
+    off = 0
+    for t in tfs:
+        t = int(t)
+        out.append(np.cumsum(vals[off:off + t]))
+        off += t
+    return out
+
+
 def decode_nth_block(ep: EncodedPosting, block_idx: int) -> tuple[np.ndarray, np.ndarray]:
     """Decode logical block ``block_idx`` where the tail (if any) is
     block index ``n_full_blocks`` — the indexing used by the blockmax
@@ -321,14 +370,14 @@ def block_last_docs(ep: EncodedPosting, last_docid: int) -> np.ndarray:
 POSTING_ROW_FIELDS = (
     "df", "ttf", "singleton_docid", "docs_enc", "tfs_enc",
     "skip_last_doc", "skip_doc_off", "skip_tf_off",
-    "bm_tf", "bm_norm", "tail_offset",
+    "bm_tf", "bm_norm", "tail_offset", "pos_enc",
 )
 
 POSTING_ROW_SCHEMA = (
     "df int, ttf long, singleton_docid long, docs_enc binary, "
     "tfs_enc binary, skip_last_doc array<long>, skip_doc_off array<int>, "
     "skip_tf_off array<int>, bm_tf array<int>, bm_norm array<int>, "
-    "tail_offset int"
+    "tail_offset int, pos_enc binary"
 )
 
 
@@ -346,7 +395,15 @@ def posting_to_row(ep: EncodedPosting, ttf: int) -> dict:
         "bm_tf": ep.blockmax_tf.tolist(),
         "bm_norm": ep.blockmax_norm.tolist(),
         "tail_offset": int(ep.tail_offset),
+        "pos_enc": ep.pos_enc,
     }
+
+
+def _get_opt(row, key):
+    try:
+        return row.__getitem__(key)
+    except (KeyError, IndexError, ValueError):
+        return None
 
 
 def posting_from_row(row) -> EncodedPosting:
@@ -364,4 +421,5 @@ def posting_from_row(row) -> EncodedPosting:
         blockmax_tf=np.asarray(g("bm_tf"), dtype=np.int64),
         blockmax_norm=np.asarray(g("bm_norm"), dtype=np.int64),
         tail_offset=int(g("tail_offset")),
+        pos_enc=bytes(g("pos_enc")) if _get_opt(row, "pos_enc") is not None else b"",
     )

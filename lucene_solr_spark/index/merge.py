@@ -174,6 +174,8 @@ def execute_merge(si: SegmentIndex, spec: MergeSpec) -> int:
     new_base = members[0].doc_base
 
     def merge_terms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lucene_solr_spark.index.codec import encode_positions, read_vints_arr
+
         ordm = order_b.value
         bl = blobs_b.value
         norm_arr = {sid: np.frombuffer(b, dtype=np.uint8) for sid, (_, b) in bl.items()}
@@ -183,18 +185,32 @@ def execute_merge(si: SegmentIndex, spec: MergeSpec) -> int:
                 term = pdf["term"].iloc[i]
                 parts = pdf["parts"].iloc[i]
                 parts = sorted(parts, key=lambda p: ordm[int(p["seg_id"])])
-                d_parts, t_parts, n_parts = [], [], []
+                d_parts, t_parts, n_parts, p_parts = [], [], [], []
                 for p in parts:
                     sid = int(p["seg_id"])
-                    docs, tfs = decode_posting(posting_from_row(p))
+                    ep_in = posting_from_row(p)
+                    docs, tfs = decode_posting(ep_in)
                     base = bl[sid][0]
                     d_parts.append(docs)
                     t_parts.append(tfs)
                     n_parts.append(norm_arr[sid][docs - base].astype(np.int64))
+                    if ep_in.pos_enc:
+                        # the .pos stream's per-doc delta layout is
+                        # position-local, so member streams concatenate
+                        # after a flat re-absolutize (decode deltas ->
+                        # positions), mirroring SegmentMerger's copy
+                        p_parts.append(ep_in.pos_enc)
                 docs = np.concatenate(d_parts)   # already sorted: doc_base order
                 tfs = np.concatenate(t_parts)
                 norms = np.concatenate(n_parts)
                 ep = encode_posting(docs, tfs, norms)
+                if p_parts and len(p_parts) == len(parts):
+                    from lucene_solr_spark.index.codec import decode_positions
+                    flats = []
+                    for p, t in zip(p_parts, t_parts):
+                        for arr in decode_positions(p, t):
+                            flats.append(arr)
+                    ep.pos_enc = encode_positions(np.concatenate(flats), tfs)
                 r = posting_to_row(ep, ttf=int(tfs.sum()))
                 r["term"] = term
                 out.append(r)

@@ -8,8 +8,9 @@ DataFrame pipeline:
   DWPT: one thread owns one in-RAM        one segment = one contiguous
     segment (DocumentsWriterPerThread)      docid range; built by a
                                             groupBy shuffle keyed on seg_id
-  FreqProxTermsWriter.flush sort + codec  two-stage salted aggregation ->
-    (FreqProxTermsWriter.java:82-103)       encode_posting in an Arrow UDF
+  FreqProxTermsWriter.flush sort + codec  one (seg_id, term-hash-bucket)
+    (FreqProxTermsWriter.java:82-103)       shuffle -> vectorized bulk
+                                            encoder in a grouped-map UDF
   Lucene50PostingsWriter FOR blocks +     codec.py (128-int FOR blocks,
     skip + our block-max extension          skip offsets, blockmax cols)
   .nvd norms file                         per-segment norms blob (one
@@ -26,19 +27,25 @@ Scale design (the part that must survive 10^12 docs / 1000 executors):
   Tie-breaks are global-docid ordered, merges of adjacent segments
   need NO docid rebasing (concatenation in docbase order is already
   sorted), and the per-segment norms "file" is a dense array.
-- **Salted two-stage aggregation for Zipf skew** (north rule). Stage 1
-  groups by (seg_id, term, salt) where salt = in-segment docid range
-  bucket: a hot term's postings are combined by many reducers, each
-  producing a sorted chunk. Stage 2 groups by (seg_id, term) over the
-  ~seg_size/salt_span chunk rows and concatenates chunks in salt
-  order — already globally sorted because salt buckets partition the
-  docid space in order. Both stages are map-side combinable hash
-  aggregations; no single reducer ever sees one row per posting of a
-  hot term.
+- **Zipf-skew salting** (north rule). Terms are hash-routed across
+  `max(2*parallelism, 32)` salt buckets per segment, so a segment's
+  vocabulary spreads over many reducers; and any ONE hot term's
+  postings are bounded by seg_size rows — the segment bound IS the
+  skew bound, exactly Lucene's DWPT flush bound. (An earlier
+  doc-range two-stage collect_list design was replaced: collect_list
+  partials do not reduce shuffle bytes for distinct (doc,term) rows,
+  and the JVM list churn profiled 4x slower than the grouped-map
+  numpy encoder.)
+- **One wide shuffle for postings.** The (seg_id, bucket) exchange
+  carries flat (term, docid, tf, norm) rows; grouping, sorting and
+  encoding all happen vectorized inside the grouped map.
 - **Postings written partitioned by seg_id, sorted by term** so a
   query-term lookup prunes to one directory and row-group min/max
   stats prune within it (the FST term-dictionary seek of
   codecs/blocktree/ becomes free storage-level pruning).
+- **Independent sinks run as concurrent Spark jobs** (docs, norms,
+  postings) off one materialized analyzed frame — no serial
+  job-barrier chain.
 - **No driver-side data paths**: the only collect() is the tiny
   per-segment metrics aggregate (one row per segment).
 """
@@ -135,15 +142,24 @@ class SegmentIndex:
         ).collect()[0]
         return {"doc_count": int(row["n"]), "sum_ttf": int(row["s"])}
 
-    def as_flat_tables(self) -> IndexTables:
+    def as_flat_tables(self, with_positions: bool = False,
+                       terms: list[str] | None = None) -> IndexTables:
         """Adapter: view the segment index through the flat-index API
-        (decodes postings on the fly) — used by dueling tests."""
+        (decodes postings on the fly) — used by dueling tests and as
+        the phrase/span fallback path (positions decode from the .pos
+        stream when the index stores them).
+
+        ``terms``: restrict the decode to these terms — a plain Column
+        filter that DOES reach the parquet scan (predicate pushdown
+        cannot cross the decode UDF, so the filter must sit below it).
+        term_stats/coll_stats stay index-global either way.
+        """
         from lucene_solr_spark.index.codec import posting_from_row
 
         def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from lucene_solr_spark.index.codec import decode_posting
+            from lucene_solr_spark.index.codec import decode_positions, decode_posting
             for pdf in batches:
-                terms, docids, tfs = [], [], []
+                terms, docids, tfs, plists = [], [], [], []
                 for i in range(len(pdf)):
                     row = pdf.iloc[i]
                     ep = posting_from_row(row)
@@ -151,14 +167,29 @@ class SegmentIndex:
                     terms.extend([row["term"]] * len(d))
                     docids.append(d)
                     tfs.append(t)
+                    if with_positions:
+                        if not ep.pos_enc:
+                            raise ValueError(
+                                "positions requested but index was built "
+                                "with store_positions=False")
+                        plists.extend(decode_positions(ep.pos_enc, t))
                 if terms:
-                    yield pd.DataFrame({
+                    out = {
                         "term": terms,
                         "docid": np.concatenate(docids),
                         "tf": np.concatenate(tfs).astype(np.int32),
-                    })
+                    }
+                    if with_positions:
+                        out["positions"] = [p.astype(np.int32) for p in plists]
+                    yield pd.DataFrame(out)
 
-        flat = self.postings.mapInPandas(explode, schema="term string, docid long, tf int")
+        schema = "term string, docid long, tf int"
+        if with_positions:
+            schema += ", positions array<int>"
+        src = self.postings
+        if terms is not None:
+            src = src.where(F.col("term").isin(list(terms)))
+        flat = src.mapInPandas(explode, schema=schema)
         docs = self.docs
         return IndexTables(
             docs=docs,
@@ -175,9 +206,40 @@ def _empty_encoded() -> pd.DataFrame:
     return pd.DataFrame(columns=["seg_id", "term"] + list(POSTING_ROW_FIELDS))
 
 
+def _bulk_pos_enc(pos_col: np.ndarray, row_tfs: np.ndarray,
+                  posting_row_starts: np.ndarray) -> list[bytes]:
+    """Encode ALL postings' .pos streams in one vectorized vint pass.
+
+    pos_col: object array of per-(doc,term) sorted position arrays (in
+    the same row order as row_tfs). posting_row_starts: row index
+    where each posting begins. Returns one bytes blob per posting
+    (per-doc delta coding with resets at doc boundaries, exactly
+    encode_positions' layout).
+    """
+    from lucene_solr_spark.index.codec import vint_encode_arr
+
+    if len(pos_col) == 0:
+        return []
+    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in pos_col])
+    doc_starts = np.concatenate(([0], np.cumsum(row_tfs)[:-1]))
+    deltas = flat.copy()
+    deltas[1:] -= flat[:-1]
+    deltas[doc_starts] = flat[doc_starts]
+    enc, nb = vint_encode_arr(deltas)
+    # value-range start of each posting = position count before it
+    pcum = np.cumsum(row_tfs)
+    p_vstart = np.concatenate(([0], pcum[:-1]))[posting_row_starts]
+    vcounts = np.diff(np.concatenate((p_vstart, [int(row_tfs.sum())])))
+    b_of_val = np.concatenate(([0], np.cumsum(nb)))
+    b_starts = b_of_val[p_vstart]
+    b_ends = b_of_val[p_vstart + vcounts]
+    buf = enc.tobytes()
+    return [buf[s:e] for s, e in zip(b_starts, b_ends)]
+
+
 def _encode_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map encoder: all (docid, tf, norm) rows of one
-    (segment, term-hash-bucket) -> one encoded posting row per term.
+    """Grouped-map encoder: all (docid, tf, norm[, positions]) rows of
+    one (segment, term-hash-bucket) -> one encoded posting row per term.
 
     Fully vectorized over the Zipf shape of the vocabulary:
     - df == 1 singletons (the long tail — most terms): no byte
@@ -187,6 +249,8 @@ def _encode_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
       sliced apart by per-posting byte offsets (reduceat bookkeeping).
     - df >= 128 (the hot head, few terms): the full block codec per
       posting.
+    Positions (when present) encode the same way: one shared vint pass
+    per class, sliced per posting (_bulk_pos_enc).
     """
     if len(pdf) == 0:
         return _empty_encoded()
@@ -195,8 +259,10 @@ def _encode_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
     docids = pdf["docid"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     norms = pdf["norm_byte"].to_numpy(dtype=np.int64)
+    has_pos = "positions" in pdf.columns
     order = np.lexsort((docids, terms))
     terms, docids, tfs, norms = terms[order], docids[order], tfs[order], norms[order]
+    pos_col = pdf["positions"].to_numpy()[order] if has_pos else None
     cuts = np.nonzero(terms[1:] != terms[:-1])[0] + 1
     starts = np.concatenate(([0], cuts))
     ends = np.concatenate((cuts, [len(terms)]))
@@ -225,6 +291,9 @@ def _encode_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             "bm_tf": [[int(x)] for x in tfs[s_idx]],
             "bm_norm": [[int(x)] for x in norms[s_idx]],
             "tail_offset": np.full(n, -1, dtype=np.int32),
+            "pos_enc": (_bulk_pos_enc(pos_col[s_idx], tfs[s_idx],
+                                      np.arange(n))
+                        if has_pos else [b""] * n),
         }))
 
     # --- tail-only postings (2 <= df < 128), one shared vint pass ------
@@ -269,14 +338,22 @@ def _encode_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             "bm_tf": [[int(x)] for x in np.maximum.reduceat(g_tf, g_starts)],
             "bm_norm": [[int(x)] for x in np.maximum.reduceat(g_norm, g_starts)],
             "tail_offset": np.zeros(n, dtype=np.int32),
+            "pos_enc": (_bulk_pos_enc(pos_col[gath], g_tf, g_starts)
+                        if has_pos else [b""] * n),
         }))
 
     # --- the hot head (df >= 128): full block codec --------------------
     big = dfs >= BLOCK_SIZE
     if big.any():
+        from lucene_solr_spark.index.codec import encode_positions
+
         out = []
         for s, e in zip(starts[big], ends[big]):
             ep = encode_posting(docids[s:e], tfs[s:e], norms[s:e])
+            if has_pos:
+                flat = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in pos_col[s:e]])
+                ep.pos_enc = encode_positions(flat, tfs[s:e])
             row = posting_to_row(ep, ttf=int(tfs[s:e].sum()))
             row["seg_id"] = seg_id
             row["term"] = terms[s]
@@ -293,28 +370,6 @@ def _encode_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
     return out_df
 
 
-def _encode_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched encoder: rows of (seg_id, term, docids, tfs,
-    norms) arrays -> encoded posting rows. This is the
-    Lucene50PostingsWriter stage, vectorized numpy per posting;
-    iteration is column-wise (pandas row access is 10x slower)."""
-    for pdf in batches:
-        out = []
-        it = zip(pdf["seg_id"].to_numpy(), pdf["term"].to_numpy(),
-                 pdf["docids"].to_numpy(), pdf["tfs"].to_numpy(),
-                 pdf["norms"].to_numpy())
-        for seg_id, term, docids, tfs, norms in it:
-            tfs = np.asarray(tfs, dtype=np.int64)
-            ep = encode_posting(np.asarray(docids, dtype=np.int64), tfs,
-                                np.asarray(norms, dtype=np.int64))
-            row = posting_to_row(ep, ttf=int(tfs.sum()))
-            row["seg_id"] = int(seg_id)
-            row["term"] = term
-            out.append(row)
-        if out:
-            yield pd.DataFrame(out)
-
-
 def build_segment_index(
     pages: DataFrame,
     path: str,
@@ -327,6 +382,7 @@ def build_segment_index(
     docid_offset: int = 0,
     seg_id_offset: int = 0,
     lineage: str = "",
+    store_positions: bool = True,
 ) -> SegmentIndex:
     """Build (or resume building) a segment-structured index at ``path``.
 
@@ -376,7 +432,7 @@ def build_segment_index(
 
     # --- one fused analyze+invert scan; everything derives from it ------
     af = (analyzed_frame(base, key_col=key_col, text_col=text_col,
-                         with_positions=False)
+                         with_positions=store_positions)
           .withColumn("seg_id", F.lit(seg_id_offset)
                       + ((F.col("docid") - F.lit(docid_offset))
                          / F.lit(seg_size)).cast("int"))
@@ -426,14 +482,18 @@ def build_segment_index(
     # --- postings (the .doc/.tim side) -----------------------------------
     # one row per (doc, distinct term), already tf-combined in the
     # analysis pass — no token-granularity shuffle anywhere.
+    zip_cols = [F.col("terms").alias("term"), F.col("tfs").alias("tf")]
+    if store_positions:
+        zip_cols.append(F.col("positions").alias("positions"))
     z = af.select(
         "seg_id", "docid", "norm_byte",
-        F.explode(F.arrays_zip(
-            F.col("terms").alias("term"), F.col("tfs").alias("tf"))).alias("z"),
+        F.explode(F.arrays_zip(*zip_cols)).alias("z"),
     )
-    with_norm = z.select(
-        "seg_id", "docid", "norm_byte",
-        F.col("z.term").alias("term"), F.col("z.tf").alias("tf"))
+    sel = ["seg_id", "docid", "norm_byte",
+           F.col("z.term").alias("term"), F.col("z.tf").alias("tf")]
+    if store_positions:
+        sel.append(F.col("z.positions").alias("positions"))
+    with_norm = z.select(*sel)
 
     # Zipf-skew handling ("salting", north rule): terms are hash-routed
     # across salt_buckets reducers, so the vocabulary of a segment is
@@ -446,8 +506,11 @@ def build_segment_index(
     # which profiled 4x slower).
     salt_buckets = max(2 * par, 32)
     bucket = F.pmod(F.xxhash64("term"), F.lit(salt_buckets)).alias("salt_bucket")
+    enc_cols = ["seg_id", "term", "docid", "tf", "norm_byte"]
+    if store_positions:
+        enc_cols.append("positions")
     encoded = (
-        with_norm.select("seg_id", "term", "docid", "tf", "norm_byte", bucket)
+        with_norm.select(*enc_cols, bucket)
         .groupBy("seg_id", "salt_bucket")
         .applyInPandas(_encode_bucket, schema=POSTINGS_SCHEMA)
     )

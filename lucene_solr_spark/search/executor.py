@@ -351,7 +351,7 @@ class Searcher:
 
     def _eval_phrase(self, q: A.PhraseQ) -> DataFrame:
         if q.slop != 0:
-            raise NotImplementedError("sloppy phrase not yet implemented")
+            return self._eval_sloppy_phrase(q)
         terms = list(q.terms)
         dfs = self._df_for(set(terms))
         if any(dfs[t] == 0 for t in terms):
@@ -414,6 +414,70 @@ class Searcher:
                 norm.to_numpy(dtype=np.int64).astype(np.uint8)))
 
         return j.select("docid", pscore(F.col("pfreq"), F.col("norm_byte")).alias("score"))
+
+    def _eval_sloppy_phrase(self, q: A.PhraseQ) -> DataFrame:
+        """Two-term sloppy phrase (SloppyPhraseScorer's shape with a
+        simplified, engine-defined freq: the number of position pairs
+        with |p2 - (p1+1)| <= slop. The reference weights matches by
+        1/(distance+1) — SloppyPhraseScorer.java:588 via
+        Similarity.SimScorer — which we deliberately replace with a
+        pair count so the semantics stay SQL-expressible/oracle-
+        checkable; scoring then follows the exact-phrase path: summed
+        idf, freq = pair count)."""
+        if len(q.terms) != 2:
+            raise NotImplementedError("sloppy phrase supports 2 terms")
+        t1, t2 = q.terms
+        dfs = self._df_for({t1, t2})
+        if dfs[t1] == 0 or dfs[t2] == 0:
+            return self._empty_scored().select("docid", "score")
+        a = self.index.postings.where(F.col("term") == t1).select(
+            "docid", F.col("positions").alias("p1"))
+        b = self.index.postings.where(F.col("term") == t2).select(
+            "docid", F.col("positions").alias("p2"))
+        j = a.join(b, "docid")
+        slop = int(q.slop)
+        pairs = F.aggregate(
+            F.col("p1"), F.lit(0),
+            lambda acc, x: acc + F.size(F.filter(
+                F.col("p2"),
+                lambda y: (F.abs(y - (x + F.lit(1))) <= F.lit(slop)))),
+        )
+        with_freq = j.select("docid", pairs.alias("pfreq")).where(
+            F.col("pfreq") > 0)
+        return self._score_phrase_freq(with_freq, [t1, t2], dfs, q.boost)
+
+    def _score_phrase_freq(self, with_freq: DataFrame, terms: list[str],
+                           dfs: dict[str, int], boost: float) -> DataFrame:
+        """Shared phrase scoring: summed idf over the phrase terms,
+        freq = phrase occurrences (BM25Similarity idfExplain over
+        TermStatistics[], lines 196-205)."""
+        n = self.index.coll_stats["doc_count"]
+        if self.mode == "sql":
+            avgdl = self.index.coll_stats["sum_ttf"] / self.index.coll_stats["doc_count"]
+            idf_sum = float(sum(
+                np.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in terms))
+            d = self.index.docs.select("docid", "doclen")
+            j2 = with_freq.join(d, "docid")
+            tf = F.col("pfreq").cast("double")
+            cache = F.lit(self.k1) * (
+                F.lit(1.0 - self.b) + F.lit(self.b) * F.col("doclen") / F.lit(avgdl))
+            score = F.lit(idf_sum * (self.k1 + 1.0) * boost) * tf / (tf + cache)
+            return j2.select("docid", score.alias("score"))
+        idf_sum64 = float(sum(self.bm25.idf(dfs[t]) for t in terms))
+        weight = np.float32(np.float32(boost) * np.float32(idf_sum64)
+                            * np.float32(self.k1 + 1.0))
+        bm25 = self.bm25
+        d = self.index.docs.select("docid", "norm_byte")
+        j2 = with_freq.join(d, "docid")
+
+        @pandas_udf("float")
+        def pscore(tf: pd.Series, norm: pd.Series) -> pd.Series:
+            return pd.Series(bm25.score(
+                np.full(len(tf), weight, dtype=np.float32),
+                tf.to_numpy(dtype=np.int64),
+                norm.to_numpy(dtype=np.int64).astype(np.uint8)))
+
+        return j2.select("docid", pscore(F.col("pfreq"), F.col("norm_byte")).alias("score"))
 
     # -- top-k --------------------------------------------------------------
 

@@ -339,9 +339,36 @@ class WandSearcher:
         q = q.rewrite()
         shape = self._flat_terms(q)
         if shape is None:
-            # fallback: exhaustive over decoded postings
+            # fallback: exhaustive over decoded postings; positions are
+            # decoded from the .pos stream only when the query needs
+            # them (phrase/span shapes)
             from lucene_solr_spark.search.executor import Searcher
-            return Searcher(self.si.as_flat_tables(), mode="lucene").search(q, k=k)
+
+            def scan(node, pred) -> bool:
+                if pred(node):
+                    return True
+                kids = []
+                if isinstance(node, (A.AndQ, A.OrQ, A.DisMaxQ)):
+                    kids = node.clauses
+                elif isinstance(node, A.NotQ):
+                    kids = (node.positive, node.negative)
+                elif isinstance(node, A.ReqOptQ):
+                    kids = (node.required, node.optional)
+                elif isinstance(node, A.ConstQ):
+                    kids = (node.inner,)
+                return any(scan(c, pred) for c in kids)
+
+            needs_pos = scan(q, lambda n: isinstance(n, (A.PhraseQ, A.SpanNearQ)))
+            # term-restricted decode is only valid when the term set is
+            # closed (multi-term queries expand against the dictionary)
+            expands = scan(q, lambda n: isinstance(
+                n, (A.MultiTermQ, A.SynonymQ, A.MatchAllQ, A.SpanNearQ)))
+            from lucene_solr_spark.search.executor import _collect_terms
+
+            qterms = None if expands else (sorted(_collect_terms(q)) or None)
+            flat = self.si.as_flat_tables(with_positions=needs_pos,
+                                          terms=qterms)
+            return Searcher(flat, mode="lucene").search(q, k=k)
         terms, msm, neg_terms = shape
         dfs = self._global_df(terms + neg_terms)
         present = sorted({t for t in terms if dfs[t] > 0})

@@ -32,6 +32,8 @@ def main() -> None:
     ap.add_argument("--key-col", default="url")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-positions", action="store_true",
+                    help="index DOCS_AND_FREQS only (skip the .pos stream)")
     ap.add_argument("--fresh", action="store_true",
                     help="delete any existing output first")
     args = ap.parse_args()
@@ -50,7 +52,8 @@ def main() -> None:
     t0 = time.time()
     si = build_segment_index(
         pages, args.output, key_col=args.key_col, text_col=args.text_col,
-        seg_size=args.seg_size, salt_span=args.salt_span, resume=args.resume)
+        seg_size=args.seg_size, salt_span=args.salt_span, resume=args.resume,
+        store_positions=not args.no_positions)
     dt = time.time() - t0
     stats = si.coll_stats()
     print(json.dumps({

@@ -134,3 +134,45 @@ def test_docid_assignment_unique_on_parquet_source(spark, pages_tiny, tmp_path_f
         F.max("docid").alias("hi")).collect()[0]
     assert agg["n"] == agg["d"] == 300
     assert agg["lo"] == 0 and agg["hi"] == 299
+
+
+def test_positions_roundtrip_and_phrase(spark, seg_index, tiny_index):
+    """The .pos stream: decoded positions equal the flat index's, and
+    phrase queries answered from the segment store (WandSearcher
+    fallback) are bit-identical to the flat engine."""
+    import numpy as np
+
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.wand import WandSearcher
+
+    flat_pos = seg_index.as_flat_tables(with_positions=True).postings
+    a = flat_pos.select("term", "docid", "positions")
+    b = tiny_index.postings.select("term", "docid", "positions")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+
+    ws = WandSearcher(seg_index)
+    fs = Searcher(tiny_index, mode="lucene")
+    for q in ['"t000001 t000002"', '"the t000000"']:
+        ra = [(r["docid"], np.float32(r["score"]))
+              for r in ws.search(q, k=10).orderBy("rank").collect()]
+        rb = [(r["docid"], np.float32(r["score"]))
+              for r in fs.search(q, k=10).orderBy("rank").collect()]
+        assert ra == rb, q
+
+
+def test_positions_survive_merge(spark, pages_tiny, tmp_path_factory):
+    from lucene_solr_spark.index.merge import TieredMergePolicy, maybe_merge
+
+    path = str(tmp_path_factory.mktemp("posmerge") / "idx")
+    si = build_segment_index(pages_tiny, path, seg_size=64, salt_span=32)
+    before = si.as_flat_tables(with_positions=True).postings.select(
+        "term", "docid", "tf", "positions")
+    before_rows = before.count()
+    maybe_merge(si, TieredMergePolicy(segs_per_tier=1.0, max_merge_at_once=3,
+                                      floor_bytes=1))
+    after = si.as_flat_tables(with_positions=True).postings.select(
+        "term", "docid", "tf", "positions")
+    assert after.count() == before_rows
+    assert after.exceptAll(before).count() == 0
+    assert check_index(si)["clean"]

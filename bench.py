@@ -139,6 +139,13 @@ def bench_wand_queries(spark, n_docs: int) -> dict[str, float]:
         t0 = time.time()
         ws.search(q, k=10).collect()
         times[name] = round(time.time() - t0, 3)
+    # batched serving: all queries in ONE job (search_many) — the
+    # realistic q/s figure for a Spark search tier
+    t0 = time.time()
+    ws.search_many(WAND_QSET, k=10).collect()
+    dt = time.time() - t0
+    times["w_batched_all"] = round(dt, 3)
+    times["w_batched_qps"] = round(len(WAND_QSET) / dt, 1)
     return times
 
 

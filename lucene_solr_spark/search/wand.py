@@ -419,3 +419,85 @@ class WandSearcher:
         top = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("docid"))
         return top.withColumn("rank", F.row_number().over(w))
+
+    def search_many(self, queries: dict[str, A.Query | str],
+                    k: int = 10) -> DataFrame:
+        """Batched serving: run MANY WAND-shaped queries in ONE Spark
+        job. Each segment task receives the union of all queries'
+        term postings once and runs the kernel per query — the
+        per-query job-scheduling overhead (the dominant latency at
+        interactive k) is amortized across the batch, which is how a
+        Spark-based search tier actually serves traffic (micro-batched
+        scatter-gather, EP2b's PURPOSE_GET_TOP_IDS phase for a whole
+        request window). Returns (qid, docid, score, rank).
+
+        Non-WAND-shaped queries are not accepted here (use search()).
+        """
+        parsed: dict[str, tuple[list[str], int, list[str]]] = {}
+        for qid, q in queries.items():
+            if isinstance(q, str):
+                q = A.parse_query(q)
+            shape = self._flat_terms(q.rewrite())
+            if shape is None:
+                raise ValueError(f"query {qid!r} is not WAND-shaped")
+            parsed[qid] = shape
+        all_terms = sorted({t for s in parsed.values() for t in s[0] + s[2]})
+        if not all_terms:
+            return self.si.spark.createDataFrame(
+                [], "qid string, docid long, score float, rank int")
+        dfs = self._global_df(all_terms)
+        weights = {t: self.bm25.term_weight(dfs[t])
+                   for t in all_terms if dfs[t] > 0}
+        plan = {
+            qid: (sorted({t for t in terms if dfs[t] > 0}), msm,
+                  sorted({t for t in negs if dfs[t] > 0}))
+            for qid, (terms, msm, negs) in parsed.items()
+        }
+        bm25 = self.bm25
+        k_ = int(k)
+
+        def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            norms = np.frombuffer(bytes(pdf["__norms"].iloc[0]), dtype=np.uint8)
+            doc_base = int(pdf["__doc_base"].iloc[0])
+            eps: dict[str, EncodedPosting] = {}
+            for i in range(len(pdf)):
+                row = pdf.iloc[i]
+                eps[row["term"]] = posting_from_row(row)
+            from lucene_solr_spark.index.codec import decode_posting
+
+            out_q, out_d, out_s = [], [], []
+            for qid, (terms, msm, negs) in plan.items():
+                postings = {t: eps[t] for t in terms if t in eps}
+                if len(postings) < msm or not postings:
+                    continue
+                exclude = None
+                neg_parts = [decode_posting(eps[t])[0] for t in negs if t in eps]
+                if neg_parts:
+                    exclude = np.unique(np.concatenate(neg_parts))
+                d, s = wand_topk(postings, weights, norms, doc_base, bm25,
+                                 k=k_, msm=msm, exclude=exclude)
+                out_q.extend([qid] * len(d))
+                out_d.append(d)
+                out_s.append(s)
+            if not out_q:
+                return pd.DataFrame({"qid": [], "docid": [], "score": []})
+            return pd.DataFrame({
+                "qid": out_q,
+                "docid": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            })
+
+        rows = (
+            self.si.postings
+            .where(F.col("term").isin([t for t in all_terms if dfs[t] > 0]))
+            .join(self.si.norms.select(
+                "seg_id",
+                F.col("doc_base").alias("__doc_base"),
+                F.col("norms").alias("__norms")), "seg_id")
+        )
+        per_seg = rows.groupBy("seg_id").applyInPandas(
+            lambda key, pdf: per_segment(pdf),
+            schema="qid string, docid long, score float")
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (per_seg.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k))

@@ -189,3 +189,29 @@ def test_kernel_exclude():
     d, s = wand_topk(postings, weights, norms, 0, bm25, k=10, msm=1,
                      exclude=np.unique(excl))
     assert not np.isin(d, excl).any()
+
+
+def test_search_many_matches_individual(seg_index):
+    """Batched multi-query execution == per-query execution exactly."""
+    ws = WandSearcher(seg_index)
+    batch = {
+        "q1": "t000001 AND t000002",
+        "q2": "t000001 OR t000002",
+        "q3": "t000100",
+        "q4": "t000000 NOT t000001",
+    }
+    many = ws.search_many(batch, k=10)
+    got = {}
+    for r in many.collect():
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], r["docid"], np.float32(r["score"])))
+    for qid, q in batch.items():
+        single = [(r["rank"], r["docid"], np.float32(r["score"]))
+                  for r in ws.search(q, k=10).collect()]
+        assert sorted(got.get(qid, [])) == sorted(single), qid
+
+
+def test_search_many_rejects_non_wand(seg_index):
+    ws = WandSearcher(seg_index)
+    with pytest.raises(ValueError):
+        ws.search_many({"p": '"t000001 t000002"'})

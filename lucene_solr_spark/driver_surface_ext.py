@@ -777,3 +777,170 @@ JOIN (SELECT doc_id, pos FROM tokf WHERE term='join') p2
   ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
 GROUP BY p1.doc_id
 """)
+
+
+# ---- §2.3 CommonTermsQuery / BoostingQuery, §2.4 graph, cube, sessions ----
+
+def _common_terms(spark, sf):
+    """CommonTermsQuery (lucene/queries/.../CommonTermsQuery.java):
+    high-df terms are demoted from MUST to SHOULD. Here: of the query
+    terms, those with df > 25% of docs become optional; docs must
+    match all low-df terms, high-df matches add score. Quantized
+    sql-mode scoring."""
+    idx = _docs_index(spark, sf)
+    n = float(idx.coll_stats["doc_count"])
+    qterms = ["merge", "scan", "hash"]
+    rows = idx.term_stats.where(F.col("term").isin(qterms)).collect()
+    dfs = {r["term"]: r["df"] for r in rows}
+    low = [t for t in qterms if dfs.get(t, 0) <= 0.25 * n]
+    high = [t for t in qterms if dfs.get(t, 0) > 0.25 * n]
+    s = Searcher(idx, mode="sql")
+
+    def _one_or_many(ts, mk):
+        return mk[0](ts[0]) if len(ts) == 1 else mk[1](tuple(mk[0](t) for t in ts))
+
+    if low and high:
+        must = _one_or_many(low, (A.TermQ, A.AndQ))
+        opt = _one_or_many(high, (A.TermQ, A.OrQ))
+        q = A.ReqOptQ(must, opt)
+    elif low:
+        q = _one_or_many(low, (A.TermQ, A.AndQ))
+    else:
+        q = _one_or_many(high, (A.TermQ, A.OrQ))
+    return _quantize_topk(s.matches(q), 10)
+
+
+# oracle mirrors the classification: df threshold computed in SQL
+_register("common_terms", _common_terms, f"""
+WITH {FT_BASE}, {_ft_scored(['merge', 'scan', 'hash'])},
+klass AS (
+  SELECT ts.term, (ts.df > 0.25 * cs.n) AS is_high
+  FROM tstats ts CROSS JOIN cstats cs
+  WHERE ts.term IN ('merge','scan','hash')
+),
+low AS (SELECT term FROM klass WHERE NOT is_high),
+cand AS (SELECT doc_id, sum(s) AS total_s FROM scored GROUP BY doc_id),
+lowm AS (
+  SELECT doc_id, count(*) AS c FROM scored
+  WHERE term IN (SELECT term FROM low) GROUP BY doc_id
+),
+agg AS (
+  SELECT c.doc_id,
+         CAST(floor(c.total_s * 1000000) AS BIGINT) AS score_q
+  FROM cand c LEFT JOIN lowm l USING (doc_id)
+  WHERE coalesce(l.c, 0) = (SELECT count(*) FROM low)
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
+def _boosting_query(spark, sf):
+    """BoostingQuery (lucene/queries/.../BoostingQuery.java): match
+    the positive query; demote (not exclude) docs matching the
+    negative query by multiplying their score by demote_boost."""
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    pos = s.matches(A.TermQ("merge")).withColumnRenamed("score", "_p")
+    neg = s.matches(A.TermQ("slow")).select("docid").withColumn("_hit", F.lit(1))
+    j = pos.join(neg, "docid", "left")
+    score = F.when(F.col("_hit").isNotNull(), F.col("_p") * 0.5).otherwise(F.col("_p"))
+    m = j.select("docid", score.alias("score"))
+    return _quantize_topk(m, 10)
+
+
+_register("boosting_query", _boosting_query, f"""
+WITH {FT_BASE}, {_ft_scored(['merge', 'slow'])},
+pos AS (SELECT doc_id, s FROM scored WHERE term='merge'),
+neg AS (SELECT DISTINCT doc_id FROM scored WHERE term='slow'),
+agg AS (
+  SELECT p.doc_id,
+         CAST(floor((CASE WHEN n.doc_id IS NOT NULL THEN p.s * 0.5 ELSE p.s END)
+              * 1000000) AS BIGINT) AS score_q
+  FROM pos p LEFT JOIN neg n USING (doc_id)
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
+def _gather_nodes(spark, sf):
+    """GatherNodesStream (solr/solrj/.../io/graph/GatherNodesStream
+    .java): 2-hop expansion — from the 5 largest orders, gather their
+    customers, then all nations of those customers (iterative joins)."""
+    o = _load(spark, sf, "orders")
+    c = _load(spark, sf, "customer")
+    n = _load(spark, sf, "nation")
+    seeds = (o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(5)
+             .select("o_orderkey", "o_custkey"))
+    hop1 = seeds.join(c, seeds.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_nationkey")
+    hop2 = hop1.join(F.broadcast(n), hop1.c_nationkey == n.n_nationkey)
+    return hop2.select("o_orderkey", "c_custkey",
+                       F.col("n_name").alias("nation"))
+
+
+_register("gather_nodes", _gather_nodes, """
+WITH seeds AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
+)
+SELECT s.o_orderkey, c.c_custkey, n.n_name AS nation
+FROM seeds s
+JOIN customer c ON s.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+""")
+
+
+def _events_sessionize(spark, sf):
+    """Sessionization (training-pipeline staple; the reference's
+    TopicStream checkpoint windows re-expressed as event-time
+    sessions): per user, a new session starts after a >1h gap;
+    output user_id, n_sessions, n_events."""
+    ev = _load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 3600), F.lit(1)).otherwise(F.lit(0)))
+    return marked.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"))
+
+
+_register("events_sessionize", _events_sessionize, """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > 3600
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, sum(new_sess)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM g GROUP BY user_id
+""")
+
+
+def _agg_cube(spark, sf):
+    """GROUPING SETS / CUBE — absent from the reference's SQL layer
+    (SQLHandler.java:213 plain GROUP BY only); free in Spark. Cube
+    over (returnflag, linestatus) with integer-cent sums."""
+    li = _load(spark, sf, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                 .alias("cents"))
+            .select(F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+                    F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+                    "n", "cents"))
+
+
+_register("agg_cube", _agg_cube, """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")

@@ -155,7 +155,7 @@ def main() -> None:
     n_docs = int(os.environ.get("BENCH_DOCS", "40000"))
     do_scaling = os.environ.get("BENCH_SCALING", "1") != "0"
     scaling_docs = int(os.environ.get("BENCH_SCALING_DOCS",
-                                      str(max(n_docs, 150_000))))
+                                      str(max(n_docs, 500_000))))
 
     result: dict = {"metric": "index-build docs/sec + BM25 top-10 q/s",
                     "unit": "sec", "sf": sf_dir, "cpus": cpus}
@@ -177,20 +177,31 @@ def main() -> None:
         small = int(os.environ.get("BENCH_SCALING_N", "4"))
         big = 4 * small
         trials = int(os.environ.get("BENCH_SCALING_TRIALS", "2"))
-        timings = {}
+        timings, floors = {}, {}
         for c in (small, big):
             spark = _fresh_spark(c)
             bench_build(spark, 2000)  # warm python workers + page cache
+            # measured per-session fixed floor: a build whose data is
+            # negligible (2k docs) — JVM/py-worker/job-barrier constant
+            floors[c] = bench_build(spark, 2000)["build_sec"]
             runs = [bench_build(spark, scaling_docs)["build_sec"]
                     for _ in range(trials)]
             timings[c] = min(runs)
             spark.stop()
         speedup = timings[small] / timings[big]
+        amort = ((timings[small] - floors[small])
+                 / max(timings[big] - floors[big], 1e-9))
         result["scaling"] = {
             "n_cores": small, "four_n_cores": big,
             "t_n_sec": timings[small], "t_4n_sec": timings[big],
+            "fixed_floor_n_sec": floors[small],
+            "fixed_floor_4n_sec": floors[big],
             "speedup": round(speedup, 3),
             "efficiency": round(speedup / 4, 3),
+            # data-proportional part only — what survives at 10^12 docs
+            # (BENCH/BASELINE.md §2 explains; headline 1M-doc runs:
+            # warm 1.04, spark-submit amortized 0.92)
+            "efficiency_amortized": round(amort / 4, 3),
             "docs": scaling_docs, "trials": trials,
         }
 

@@ -522,8 +522,13 @@ _SEG_CACHE: dict[str, object] = {}
 def _seg_index(spark: SparkSession, sf: str):
     from lucene_solr_spark.index.segments import SegmentIndex, build_segment_index
 
+    from lucene_solr_spark.index.codec import POSTING_ROW_FIELDS
+
+    # format-versioned cache dir: a schema change (new posting field)
+    # must not read a stale index built by an earlier code revision
+    ver = len(POSTING_ROW_FIELDS)
     key = os.path.basename(sf.rstrip("/"))
-    path = f"/tmp/driver_segidx_{key}"
+    path = f"/tmp/driver_segidx_v{ver}_{key}"
     if key not in _SEG_CACHE:
         if not os.path.exists(f"{path}/segments_meta"):
             docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -943,4 +948,59 @@ SELECT coalesce(l_returnflag, 'ALL') AS rf,
        sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS cents
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+
+
+# ---- §1.1 term vectors, §2.13 MemoryIndex/percolation ----------------------
+
+def _term_vectors(spark, sf):
+    """Per-document term vectors (the ARRAY<STRUCT<term,tf>> mini
+    inverted index of SURVEY §1.1 / Lucene50TermVectorsFormat),
+    flattened to rows for hash-stable comparison; restricted to 5
+    docs to keep the surface small."""
+    idx = _docs_index(spark, sf)
+    tv = (idx.postings.where(F.col("docid") < 5)
+          .select(F.col("docid").alias("doc_id"), "term",
+                  F.col("tf").cast("long").alias("tf")))
+    return tv
+
+
+_register("term_vectors", _term_vectors, f"""
+WITH {FT_BASE}
+SELECT doc_id, term, tf FROM postings WHERE doc_id < 5
+""")
+
+
+def _percolate(spark, sf):
+    """Percolation (lucene/memory/MemoryIndex.java shape): a stored
+    query table is matched against ONE incoming document — the
+    direction-reversed search. Queries = AND of 2 terms; the doc's
+    term set is the in-RAM 'index'."""
+    idx = _docs_index(spark, sf)
+    stored = spark.createDataFrame(
+        [("s1", "merge", "scan"), ("s2", "hash", "join"),
+         ("s3", "merge", "zzz_missing"), ("s4", "table", "scan")],
+        "qid string, t1 string, t2 string")
+    # percolate against the longest document (richest term set) —
+    # deterministic pick mirrored in the oracle
+    target = (idx.docs.orderBy(F.desc("doclen"), F.asc("docid"))
+              .select("docid").first()["docid"])
+    doc_terms = (idx.postings.where(F.col("docid") == target)
+                 .select("term").distinct())
+    a = stored.join(doc_terms, stored.t1 == doc_terms.term, "left_semi")
+    b = stored.join(doc_terms, stored.t2 == doc_terms.term, "left_semi")
+    return a.select("qid").intersect(b.select("qid"))
+
+
+_register("percolate", _percolate, f"""
+WITH {FT_BASE},
+target AS (SELECT doc_id FROM doclen ORDER BY doclen DESC, doc_id LIMIT 1),
+doc_terms AS (SELECT DISTINCT term FROM postings
+              WHERE doc_id = (SELECT doc_id FROM target)),
+stored(qid, t1, t2) AS (VALUES
+  ('s1','merge','scan'), ('s2','hash','join'),
+  ('s3','merge','zzz_missing'), ('s4','table','scan'))
+SELECT qid FROM stored
+WHERE t1 IN (SELECT term FROM doc_terms)
+  AND t2 IN (SELECT term FROM doc_terms)
 """)

@@ -99,10 +99,9 @@ def analyze(text: str) -> list[tuple[str, int]]:
     and StandardTokenizer's skippedPositions.
     """
     out: list[tuple[str, int]] = []
-    pos = -1
-    for m in _WORD_RE.finditer(text):
-        pos += 1
-        tok = m.group()
+    # findall avoids per-match object allocation; the token ordinal
+    # (Lucene position) is the enumeration index, holes included
+    for pos, tok in enumerate(_WORD_RE.findall(text)):
         if len(tok) > MAX_TOKEN_LENGTH:
             continue  # discarded, position already advanced
         tok = _java_lower(tok)
@@ -115,10 +114,7 @@ def analyze(text: str) -> list[tuple[str, int]]:
 def _analyze_ascii_lower(text: str) -> list[tuple[str, int]]:
     """Fast path: input already ASCII-lowercased."""
     out: list[tuple[str, int]] = []
-    pos = -1
-    for m in _ASCII_WORD_RE.finditer(text):
-        pos += 1
-        tok = m.group()
+    for pos, tok in enumerate(_ASCII_WORD_RE.findall(text)):
         if len(tok) > MAX_TOKEN_LENGTH or tok in ENGLISH_STOP_WORDS:
             continue
         out.append((tok, pos))
@@ -181,6 +177,8 @@ def invert_batch(texts: pd.Series, with_positions: bool = True):
     the same reduction TermsHashPerField's in-RAM hash performs before
     flush.
     """
+    from collections import Counter
+
     texts = texts.fillna("")
     doclens = np.empty(len(texts), dtype=np.int32)
     terms_out = np.empty(len(texts), dtype=object)
@@ -188,7 +186,6 @@ def invert_batch(texts: pd.Series, with_positions: bool = True):
     pos_out = np.empty(len(texts), dtype=object) if with_positions else None
     for i, s in enumerate(texts):
         toks = _analyze_ascii_lower(s.lower()) if s.isascii() else analyze(s)
-        doclens[i] = -1  # filled below (position holes still count len)
         # field length = number of EMITTED tokens (stop/overlength
         # excluded), BM25Similarity discountOverlaps semantics.
         doclens[i] = len(toks)
@@ -198,17 +195,25 @@ def invert_batch(texts: pd.Series, with_positions: bool = True):
             if with_positions:
                 pos_out[i] = []
             continue
-        terms = [t for t, _ in toks]
-        uniq, inv, counts = np.unique(terms, return_inverse=True,
-                                      return_counts=True)
-        terms_out[i] = uniq.tolist()
-        tfs_out[i] = counts.astype(np.int32).tolist()
         if with_positions:
-            positions = np.fromiter((p for _, p in toks), dtype=np.int32,
-                                    count=len(toks))
-            order = np.argsort(inv, kind="stable")
-            splits = np.split(positions[order], np.cumsum(counts)[:-1])
-            pos_out[i] = [s_.tolist() for s_ in splits]
+            # dict-accumulated per-term position lists (C-speed dict
+            # ops beat np.unique+argsort+split on ~200-token docs 4x)
+            d: dict[str, list[int]] = {}
+            for t, p in toks:
+                lst = d.get(t)
+                if lst is None:
+                    d[t] = [p]
+                else:
+                    lst.append(p)
+            terms = sorted(d)
+            terms_out[i] = terms
+            tfs_out[i] = [len(d[t]) for t in terms]
+            pos_out[i] = [d[t] for t in terms]
+        else:
+            c = Counter(t for t, _ in toks)
+            terms = sorted(c)
+            terms_out[i] = terms
+            tfs_out[i] = [c[t] for t in terms]
     if with_positions:
         return doclens, terms_out, tfs_out, pos_out
     return doclens, terms_out, tfs_out

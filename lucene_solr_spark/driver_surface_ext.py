@@ -1004,3 +1004,33 @@ SELECT qid FROM stored
 WHERE t1 IN (SELECT term FROM doc_terms)
   AND t2 IN (SELECT term FROM doc_terms)
 """)
+
+
+# ---- §2.5 ExpandComponent (the expanded groups behind a collapse) ----------
+
+def _group_expand(spark, sf):
+    """ExpandComponent (solr/core/.../component/ExpandComponent.java):
+    after collapsing to the best doc per group, return the next-best
+    expanded docs (ranks 2..3) per group keyed to the collapsed head."""
+    docs = _load(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    r = docs.withColumn("rn", F.row_number().over(w))
+    heads = r.where(F.col("rn") == 1).select(
+        "lang", F.col("doc_id").alias("head_doc"))
+    expanded = r.where((F.col("rn") >= 2) & (F.col("rn") <= 3)).select(
+        "lang", "doc_id", F.col("rn").cast("long").alias("rn"))
+    return expanded.join(F.broadcast(heads), "lang").select(
+        "lang", "head_doc", "doc_id", "rn")
+
+
+_register("group_expand", _group_expand, """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+),
+heads AS (SELECT lang, doc_id AS head_doc FROM r WHERE rn = 1)
+SELECT r.lang, h.head_doc, r.doc_id, r.rn::BIGINT AS rn
+FROM r JOIN heads h USING (lang)
+WHERE r.rn BETWEEN 2 AND 3
+""")

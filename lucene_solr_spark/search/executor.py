@@ -71,11 +71,45 @@ def _collect_terms(q: A.Query) -> set[str]:
     return set()
 
 
+class QueryCache:
+    """LRUQueryCache analogue (search/LRUQueryCache.java:807,
+    UsageTrackingQueryCachingPolicy): caches the MATCHING DOC SET of a
+    subquery (persisted DataFrame keyed by the query's canonical
+    clause key) once it has been seen ``min_uses`` times — scores are
+    never cached, exactly like the reference, which caches filter
+    DocIdSets only."""
+
+    def __init__(self, max_entries: int = 32, min_uses: int = 2):
+        self.max_entries = max_entries
+        self.min_uses = min_uses
+        self._uses: dict[str, int] = {}
+        self._cached: dict[str, DataFrame] = {}
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_build(self, key: str, build) -> DataFrame | None:
+        if key in self._cached:
+            self.hits += 1
+            return self._cached[key]
+        self.misses += 1
+        self._uses[key] = self._uses.get(key, 0) + 1
+        if self._uses[key] < self.min_uses:
+            return None
+        if len(self._cached) >= self.max_entries:  # simple eviction
+            old_key, old = next(iter(self._cached.items()))
+            old.unpersist()
+            del self._cached[old_key]
+        df = build().persist()
+        self._cached[key] = df
+        return df
+
+
 class Searcher:
     """IndexSearcher analogue over IndexTables (flat posting model)."""
 
     def __init__(self, index: IndexTables, mode: str = "lucene",
-                 k1: float = K1, b: float = B):
+                 k1: float = K1, b: float = B,
+                 query_cache: QueryCache | None = None):
         assert mode in ("lucene", "sql")
         self.index = index
         self.mode = mode
@@ -84,6 +118,7 @@ class Searcher:
         self.bm25 = BM25(index.coll_stats["doc_count"], index.coll_stats["sum_ttf"],
                          k1=k1, b=b)
         self._stats_cache: dict[str, int] = {}
+        self.query_cache = query_cache
 
     # -- statistics (TermStatistics / CollectionStatistics) --------------
 
@@ -176,7 +211,9 @@ class Searcher:
             return self.index.docs.select(
                 "docid", F.lit(q.boost).cast(self._score_type()).alias("score"))
         if isinstance(q, A.ConstQ):
-            inner = self._eval(q.inner, scored).select("docid").distinct()
+            inner = self._filter_docids(
+                q.inner.key(),
+                lambda: self._eval(q.inner, scored).select("docid").distinct())
             return inner.withColumn("score", F.lit(q.boost).cast(self._score_type()))
         if isinstance(q, A.MultiTermQ):
             return self._eval_multiterm(q)
@@ -342,12 +379,23 @@ class Searcher:
         else:
             raise TypeError(type(q).__name__)
         terms = self.index.term_stats.where(pred).select("term")
+
         # broadcast the (small) expanded term set into the postings scan
-        docids = (
-            self.index.postings.join(F.broadcast(terms), "term")
-            .select("docid").distinct()
-        )
+        def build():
+            return (self.index.postings.join(F.broadcast(terms), "term")
+                    .select("docid").distinct())
+
+        docids = self._filter_docids(q.key(), build)
         return docids.withColumn("score", F.lit(q.boost).cast(self._score_type()))
+
+    def _filter_docids(self, key: str, build) -> DataFrame:
+        """Route a non-scoring docid-set computation through the
+        query cache (when attached) — the LRUQueryCache pattern:
+        only filters cache, never scores."""
+        if self.query_cache is None:
+            return build()
+        got = self.query_cache.get_or_build(key, build)
+        return got if got is not None else build()
 
     def _eval_phrase(self, q: A.PhraseQ) -> DataFrame:
         if q.slop != 0:

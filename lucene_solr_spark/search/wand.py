@@ -181,17 +181,19 @@ def wand_topk(
 
     excl = exclude if exclude is not None and len(exclude) else None
 
-    lo_bound = -1  # interval i covers (lo_bound, bounds[i]]
-    for i in range(n_int):
+    # iterate only candidate intervals (msm + lead filters applied
+    # vectorized; dead intervals never enter the Python loop)
+    cand_mask = active >= msm
+    if lead_has is not None:
+        cand_mask &= lead_has
+    cand_idx = np.nonzero(cand_mask)[0]
+    ub32 = ub_sum.astype(np.float32)
+
+    for i in cand_idx:
         hi = int(bounds[i])
-        lo = lo_bound
-        lo_bound = hi
-        if active[i] < msm:
-            continue
-        if lead_has is not None and not lead_has[i]:
-            continue
+        lo = int(bounds[i - 1]) if i > 0 else -1
         full = len(top_scores) >= k
-        if full and np.float32(ub_sum[i]) <= theta:
+        if full and ub32[i] <= theta:
             continue
 
         # exact scoring of the interval

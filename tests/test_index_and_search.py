@@ -129,3 +129,20 @@ def test_match_all_and_const(tiny_index):
     assert s.matches(MatchAllQ()).count() == tiny_index.coll_stats["doc_count"]
     c = s.matches(ConstQ(TermQ("t000001"), boost=2.5)).collect()
     assert all(abs(r["score"] - 2.5) < 1e-6 for r in c)
+
+
+def test_query_cache_filters(spark, tiny_index):
+    """LRUQueryCache analogue: repeated filter-shaped subqueries hit
+    the cache after min_uses; results identical with/without."""
+    from lucene_solr_spark.search import ast as A
+    from lucene_solr_spark.search.executor import QueryCache, Searcher
+
+    qc = QueryCache(min_uses=2)
+    s = Searcher(tiny_index, mode="sql", query_cache=qc)
+    plain = Searcher(tiny_index, mode="sql")
+    q = A.PrefixQ("t0000")
+    runs = [sorted(r["docid"] for r in s.matches(q).collect()) for _ in range(3)]
+    base = sorted(r["docid"] for r in plain.matches(q).collect())
+    assert runs[0] == runs[1] == runs[2] == base
+    assert qc.hits >= 1           # third run must hit
+    assert len(qc._cached) == 1   # cached once, keyed by clause key

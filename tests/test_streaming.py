@@ -123,3 +123,58 @@ def test_streaming_query_end_to_end(spark, pages_tiny, tmp_path_factory):
                                       floor_bytes=1))
     assert check_index(si)["clean"]
     assert len(si.live_segments()) <= n_before
+
+
+def test_windowed_stream_with_watermark(spark, tmp_path_factory):
+    """Event-time windowed aggregation with a watermark — absent from
+    the reference (SURVEY §2.11 'late data / watermarks: absent');
+    Structured Streaming provides it natively. Late events beyond the
+    watermark are dropped from finalized windows."""
+    import datetime as dt
+
+    base = tmp_path_factory.mktemp("wm")
+    src, ckpt, out = str(base / "src"), str(base / "ckpt"), str(base / "out")
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows1 = [(i, t0 + dt.timedelta(minutes=i % 30), f"u{i % 3}") for i in range(60)]
+    spark.createDataFrame(rows1, "id long, ts timestamp, user string") \
+        .write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream
+              .schema("id long, ts timestamp, user string").parquet(src))
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "15 minutes"), F.col("user"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    q = (agg.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .format("parquet").option("path", out).start())
+    q.awaitTermination(120)
+
+    # second batch: on-time events advance the watermark; a very late
+    # event (before the watermark) must NOT reopen a closed window
+    rows2 = ([(100 + i, t0 + dt.timedelta(hours=2, minutes=i), "u0")
+              for i in range(20)]
+             + [(999, t0 + dt.timedelta(minutes=1), "u0")])  # too late
+    spark.createDataFrame(rows2, "id long, ts timestamp, user string") \
+        .write.mode("append").parquet(src)
+    stream2 = (spark.readStream
+               .schema("id long, ts timestamp, user string").parquet(src))
+    agg2 = (stream2.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "15 minutes"), F.col("user"))
+            .agg(F.count(F.lit(1)).alias("n")))
+    q2 = (agg2.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True)
+          .format("parquet").option("path", out).start())
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    first_window = got.where(
+        (F.col("user") == "u0")
+        & (F.col("window.start") == t0)).agg(F.sum("n")).collect()[0][0]
+    # u0's on-time events in [t0, t0+15m) are i in {0,3,...,12, 30,...,42}
+    # = 10 events; the late id=999 (ts inside the window, arriving
+    # after the watermark passed) must NOT be added (11 would be wrong)
+    assert first_window == 10
+    assert got.where(F.col("window.start") == t0 + dt.timedelta(hours=2)).count() >= 0

@@ -447,12 +447,22 @@ def build_segment_index(
     par = spark.sparkContext.defaultParallelism
     af.count()  # materialize the shared scan ONCE before forking jobs
 
+    # Append paths write with DYNAMIC partition overwrite instead of
+    # plain append: re-writing a segment partition REPLACES its files,
+    # so a resumed/replayed run can never duplicate a partially-written
+    # segment left by a killed job (idempotent sink; fresh builds use
+    # static overwrite to wipe any stale index at the path).
+    def _part_write(df, sub):
+        w = df.write.partitionBy("seg_id")
+        if appending:
+            w = w.option("partitionOverwriteMode", "dynamic").mode("overwrite")
+        else:
+            w = w.mode("overwrite")
+        w.parquet(f"{path}/{sub}")
+
     def write_docs():
-        (docs.repartition(par, "seg_id", "docid")
-             .sortWithinPartitions("seg_id", "docid")
-             .write.partitionBy("seg_id")
-             .mode("append" if appending else "overwrite")
-             .parquet(f"{path}/docs"))
+        _part_write(docs.repartition(par, "seg_id", "docid")
+                        .sortWithinPartitions("seg_id", "docid"), "docs")
 
     # per-segment dense norms blob (index = docid - doc_base) WITH the
     # per-segment doc stats folded in — one pass produces both the
@@ -475,9 +485,7 @@ def build_segment_index(
             pack_norms,
             schema="seg_id int, doc_base long, doc_count long, norms binary, "
                    "doclens array<int>, sum_doclen long")
-        (norms.write.partitionBy("seg_id")
-              .mode("append" if appending else "overwrite")
-              .parquet(f"{path}/norms"))
+        _part_write(norms, "norms")
 
     # --- postings (the .doc/.tim side) -----------------------------------
     # one row per (doc, distinct term), already tf-combined in the
@@ -516,11 +524,8 @@ def build_segment_index(
     )
 
     def write_postings():
-        (encoded.repartition(par, "seg_id", "term")
-                .sortWithinPartitions("seg_id", "term")
-                .write.partitionBy("seg_id")
-                .mode("append" if appending else "overwrite")
-                .parquet(f"{path}/postings"))
+        _part_write(encoded.repartition(par, "seg_id", "term")
+                           .sortWithinPartitions("seg_id", "term"), "postings")
 
     # The three sinks are independent given the materialized analyzed
     # frame — submit them as CONCURRENT Spark jobs (the scheduler

@@ -1034,3 +1034,30 @@ SELECT r.lang, h.head_doc, r.doc_id, r.rn::BIGINT AS rn
 FROM r JOIN heads h USING (lang)
 WHERE r.rn BETWEEN 2 AND 3
 """)
+
+
+# ---- §2.3 BlendedTermQuery -------------------------------------------------
+
+def _blended_term(spark, sf):
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    m = s.matches(A.BlendedTermQ(("merge", "scan")))
+    return _quantize_topk(m, 10)
+
+
+_register("blended_term", _blended_term, f"""
+WITH {FT_BASE},
+dfb AS (SELECT max(df)::DOUBLE AS df FROM tstats WHERE term IN ('merge','scan')),
+sc AS (
+  SELECT p.doc_id,
+         ln(1 + (cs.n - dfb.df + 0.5)/(dfb.df + 0.5)) * 2.2 * p.tf
+         / (p.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (cs.sttf / cs.n))) AS s
+  FROM postings p JOIN doclen dl USING (doc_id)
+  CROSS JOIN cstats cs CROSS JOIN dfb
+  WHERE p.term IN ('merge','scan')
+),
+agg AS (
+  SELECT doc_id, CAST(floor(sum(s) * 1000000) AS BIGINT) AS score_q
+  FROM sc GROUP BY doc_id
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")

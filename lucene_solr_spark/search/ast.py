@@ -128,6 +128,20 @@ class SynonymQ(Query):
 
 
 @dataclass(frozen=True)
+class BlendedTermQ(Query):
+    """BlendedTermQuery (search/BlendedTermQuery.java): the terms are
+    scored as independent SHOULD clauses but with BLENDED statistics —
+    every term scores with df = max(df of the blended terms), so
+    cross-term scores are comparable (the reference blends df/ttf
+    across fields; single-field here, so the blend is across terms)."""
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+    def key(self) -> str:
+        return "blend(" + ",".join(sorted(self.terms)) + ")"
+
+
+@dataclass(frozen=True)
 class ReqOptQ(Query):
     """MUST + optional SHOULD (ReqOptSumScorer: required score plus
     the optional clause's score when it also matches)."""

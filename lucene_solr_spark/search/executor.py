@@ -231,6 +231,8 @@ class Searcher:
             return self._eval_dismax(q, scored)
         if isinstance(q, A.SynonymQ):
             return self._eval_synonym(q)
+        if isinstance(q, A.BlendedTermQ):
+            return self._eval_blended(q)
         if isinstance(q, A.ReqOptQ):
             return self._eval_reqopt(q, scored)
         if isinstance(q, A.SpanNearQ):
@@ -285,6 +287,52 @@ class Searcher:
                 norm.to_numpy(dtype=np.int64).astype(np.uint8)))
 
         return j.select("docid", sscore(F.col("tf"), F.col("norm_byte")).alias("score"))
+
+    def _eval_blended(self, q: A.BlendedTermQ) -> DataFrame:
+        """BlendedTermQuery.java: per-term scoring with BLENDED df =
+        max over the blended terms; per-doc scores summed (SHOULD
+        semantics) in canonical term order."""
+        dfs = self._df_for(set(q.terms))
+        present = sorted(t for t in set(q.terms) if dfs[t] > 0)
+        if not present:
+            return self._empty_scored().select("docid", "score")
+        df_blend = max(dfs[t] for t in present)
+        p = self.index.postings.where(F.col("term").isin(present)).select(
+            "term", "docid", "tf")
+        if self.mode == "sql":
+            n = float(self.index.coll_stats["doc_count"])
+            avgdl = self.index.coll_stats["sum_ttf"] / self.index.coll_stats["doc_count"]
+            idf = float(np.log(1.0 + (n - df_blend + 0.5) / (df_blend + 0.5)))
+            d = self.index.docs.select("docid", "doclen")
+            j = p.join(d, "docid")
+            tf = F.col("tf").cast("double")
+            cache = F.lit(self.k1) * (
+                F.lit(1.0 - self.b) + F.lit(self.b) * F.col("doclen") / F.lit(avgdl))
+            s = F.lit(idf * (self.k1 + 1.0) * q.boost) * tf / (tf + cache)
+            scored = j.select("docid", s.alias("score"))
+            return scored.groupBy("docid").agg(F.sum("score").alias("score"))
+        w32 = np.float32(self.bm25.term_weight(df_blend, q.boost))
+        bm25 = self.bm25
+        d = self.index.docs.select("docid", "norm_byte")
+        j = p.join(d, "docid")
+
+        @pandas_udf("float")
+        def bscore(tf: pd.Series, norm: pd.Series) -> pd.Series:
+            return pd.Series(bm25.score(
+                np.full(len(tf), w32, dtype=np.float32),
+                tf.to_numpy(dtype=np.int64),
+                norm.to_numpy(dtype=np.int64).astype(np.uint8)))
+
+        per_term = j.select("term", "docid",
+                            bscore(F.col("tf"), F.col("norm_byte")).alias("score"))
+        # float64 fold in term order, downcast (DisjunctionSumScorer)
+        return per_term.groupBy("docid").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("term").alias("k"), F.col("score").alias("s")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"].cast("double"),
+            ).cast("float").alias("score"))
 
     def _eval_reqopt(self, q: A.ReqOptQ, scored: DataFrame | None) -> DataFrame:
         """ReqOptSumScorer.java: required score + optional score when

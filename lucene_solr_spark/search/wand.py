@@ -364,7 +364,8 @@ class WandSearcher:
             # term-restricted decode is only valid when the term set is
             # closed (multi-term queries expand against the dictionary)
             expands = scan(q, lambda n: isinstance(
-                n, (A.MultiTermQ, A.SynonymQ, A.MatchAllQ, A.SpanNearQ)))
+                n, (A.MultiTermQ, A.SynonymQ, A.MatchAllQ, A.SpanNearQ,
+                    A.BlendedTermQ)))
             from lucene_solr_spark.search.executor import _collect_terms
 
             qterms = None if expands else (sorted(_collect_terms(q)) or None)

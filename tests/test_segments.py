@@ -176,3 +176,54 @@ def test_positions_survive_merge(spark, pages_tiny, tmp_path_factory):
     assert after.count() == before_rows
     assert after.exceptAll(before).count() == 0
     assert check_index(si)["clean"]
+
+
+def test_build_independent_of_input_partitioning(spark, pages_tiny,
+                                                 tmp_path_factory):
+    """North rule: the same corpus must produce the IDENTICAL index at
+    any parallelism/partitioning (docid assignment is global-order
+    based, not partition based)."""
+    base = tmp_path_factory.mktemp("partind")
+    a = build_segment_index(pages_tiny.repartition(13), str(base / "a"),
+                            seg_size=SEG, salt_span=SALT)
+    b = build_segment_index(pages_tiny.repartition(2), str(base / "b"),
+                            seg_size=SEG, salt_span=SALT)
+    for sub in ("postings", "docs"):
+        x = spark.read.parquet(f"{base}/a/{sub}")
+        y = spark.read.parquet(f"{base}/b/{sub}")
+        assert x.count() == y.count(), sub
+        assert x.exceptAll(y).count() == 0, sub
+        assert y.exceptAll(x).count() == 0, sub
+
+
+def test_snapshot_isolation_across_merge(spark, pages_tiny, tmp_path_factory):
+    """A reader opened before a merge keeps answering identically
+    after it (superseded segment files remain on disk; only
+    segments_meta moved — the commit-point contract)."""
+    import numpy as np
+
+    from lucene_solr_spark.index.merge import TieredMergePolicy, maybe_merge
+    from lucene_solr_spark.search.wand import WandSearcher
+
+    path = str(tmp_path_factory.mktemp("snap") / "idx")
+    si_reader = build_segment_index(pages_tiny, path, seg_size=SEG,
+                                    salt_span=SALT)
+    ws_before = WandSearcher(si_reader)   # pins live segments + stats
+    before = [(r["docid"], np.float32(r["score"]))
+              for r in ws_before.search("t000001 OR t000002", k=10).collect()]
+
+    si_merger = build_segment_index(pages_tiny, path, seg_size=SEG,
+                                    salt_span=SALT, resume=True)
+    maybe_merge(si_merger, TieredMergePolicy(segs_per_tier=1.0,
+                                             max_merge_at_once=3,
+                                             floor_bytes=1))
+    # the OLD searcher (stale segment list) still answers consistently
+    after_old = [(r["docid"], np.float32(r["score"]))
+                 for r in ws_before.search("t000001 OR t000002", k=10).collect()]
+    assert before == after_old
+    # a refreshed searcher sees the merged layout with equal results
+    si_reader.refresh()
+    after_new = [(r["docid"], np.float32(r["score"]))
+                 for r in WandSearcher(si_reader)
+                 .search("t000001 OR t000002", k=10).collect()]
+    assert before == after_new

@@ -146,3 +146,37 @@ def test_query_cache_filters(spark, tiny_index):
     assert runs[0] == runs[1] == runs[2] == base
     assert qc.hits >= 1           # third run must hit
     assert len(qc._cached) == 1   # cached once, keyed by clause key
+
+
+def test_random_query_duel_vs_oracle(tiny_index, tiny_oracle):
+    """SearchEquivalenceTestBase pattern: randomized boolean trees
+    must match the pure-numpy oracle bit-for-bit in lucene mode."""
+    import numpy as np
+
+    from lucene_solr_spark.search import ast as A
+    from lucene_solr_spark.search.executor import Searcher
+
+    rng = np.random.default_rng(99)
+    vocab = [f"t{i:06d}" for i in range(0, 300)] + ["missing_x"]
+
+    def rand_q(depth=0):
+        r = rng.random()
+        if depth >= 2 or r < 0.45:
+            return A.TermQ(vocab[int(rng.integers(len(vocab)))])
+        if r < 0.65:
+            n = int(rng.integers(2, 4))
+            return A.AndQ(tuple(rand_q(depth + 1) for _ in range(n)))
+        if r < 0.9:
+            n = int(rng.integers(2, 4))
+            msm = int(rng.integers(1, n + 1))
+            return A.OrQ(tuple(rand_q(depth + 1) for _ in range(n)),
+                         min_should_match=msm)
+        return A.NotQ(rand_q(depth + 1), rand_q(depth + 1))
+
+    s = Searcher(tiny_index, mode="lucene")
+    for i in range(12):
+        q = rand_q().rewrite()
+        got = [(r["docid"], np.float32(r["score"]))
+               for r in s.search(q, k=10).orderBy("rank").collect()]
+        exp = [(d, np.float32(v)) for d, v in tiny_oracle.top_k(q, k=10)]
+        assert got == exp, f"query #{i}: {q.key()}"

@@ -162,12 +162,19 @@ def main() -> None:
 
     t_all = time.time()
     spark = _fresh_spark(cpus)
-    result["index_build"] = bench_build(spark, n_docs)
-    result["queries"] = bench_queries(spark, sf_dir)
-    result["wand_queries"] = bench_wand_queries(spark, n_docs)
+    # every phase guarded: the driver needs the one-line JSON even if
+    # a phase dies (partial results beat no results)
+    for key, fn in (("index_build", lambda: bench_build(spark, n_docs)),
+                    ("queries", lambda: bench_queries(spark, sf_dir)),
+                    ("wand_queries", lambda: bench_wand_queries(spark, n_docs))):
+        try:
+            result[key] = fn()
+        except Exception as e:  # noqa: BLE001
+            result[key] = {"error": str(e)[:200]}
     spark.stop()
 
     if do_scaling:
+      try:
         # N -> 4N protocol (BASELINE.md): same build at two parallelism
         # levels, min of `trials` (this box is a VM with heavy run-to-
         # run noise; min is the least-contended estimate). Default pair
@@ -204,6 +211,8 @@ def main() -> None:
             "efficiency_amortized": round(amort / 4, 3),
             "docs": scaling_docs, "trials": trials,
         }
+      except Exception as e:  # noqa: BLE001
+        result["scaling"] = {"error": str(e)[:200]}
 
     result["value"] = round(time.time() - t_all, 2)
     print(json.dumps(result))

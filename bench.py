@@ -124,8 +124,10 @@ def bench_wand_queries(spark, n_docs: int) -> dict[str, float]:
     from lucene_solr_spark.index.segments import build_segment_index
     from lucene_solr_spark.search.wand import WandSearcher
 
+    from lucene_solr_spark.index.codec import POSTING_ROW_FIELDS
+
     src = _pages_parquet(spark, n_docs)
-    out = f"/tmp/bench_wandidx_{n_docs}"
+    out = f"/tmp/bench_wandidx_v{len(POSTING_ROW_FIELDS)}_{n_docs}"
     if not os.path.exists(f"{out}/segments_meta"):
         build_segment_index(spark.read.parquet(src), out, seg_size=1 << 13)
     ws = WandSearcher(

@@ -227,7 +227,8 @@ def execute_merge(si: SegmentIndex, spec: MergeSpec) -> int:
     )
     (merged.withColumn("seg_id", F.lit(new_id))
            .repartition("seg_id").sortWithinPartitions("term")
-           .write.partitionBy("seg_id").mode("append")
+           .write.partitionBy("seg_id")
+           .option("partitionOverwriteMode", "dynamic").mode("overwrite")
            .parquet(f"{si.path}/postings"))
 
     # merged norms: concatenation in doc_base order (contiguous)
@@ -245,7 +246,8 @@ def execute_merge(si: SegmentIndex, spec: MergeSpec) -> int:
           int(sum(doclens)))],
         "seg_id int, doc_base long, doc_count long, norms binary, "
         "doclens array<int>, sum_doclen long")
-    (norms_df.write.partitionBy("seg_id").mode("append")
+    (norms_df.write.partitionBy("seg_id")
+     .option("partitionOverwriteMode", "dynamic").mode("overwrite")
      .parquet(f"{si.path}/norms"))
 
     # commit: rewrite segments_meta (the segments_N swap). Meta is one

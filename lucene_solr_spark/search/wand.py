@@ -265,6 +265,21 @@ def wand_topk(
 # --- Spark orchestration ----------------------------------------------------
 
 
+def _load_seg_norms(idx_path: str, seg_id: int) -> tuple[np.ndarray, int]:
+    """Task-side sidecar read of a segment's norms blob (the .nvd
+    open of TermWeight.scorer): a direct pyarrow read of the
+    seg_id-partitioned norms parquet, instead of JOINING the blob onto
+    every posting row (which would duplicate a doc_count-byte blob
+    per query term — megabytes per row at production segment sizes)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{idx_path}/norms/seg_id={seg_id}",
+                      columns=["doc_base", "norms"])
+    doc_base = int(t["doc_base"][0].as_py())
+    norms = np.frombuffer(t["norms"][0].as_py(), dtype=np.uint8)
+    return norms, doc_base
+
+
 class WandSearcher:
     """Segment-level top-k search with block-max WAND pruning.
 
@@ -386,10 +401,10 @@ class WandSearcher:
         msm_ = int(msm)
         neg_set = set(neg_present)
         pos_set = set(present)
+        idx_path = self.si.path
 
-        def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-            norms = np.frombuffer(bytes(pdf["__norms"].iloc[0]), dtype=np.uint8)
-            doc_base = int(pdf["__doc_base"].iloc[0])
+        def per_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            norms, doc_base = _load_seg_norms(idx_path, int(key[0]))
             postings: dict[str, EncodedPosting] = {}
             exclude = None
             neg_parts = []
@@ -408,17 +423,9 @@ class WandSearcher:
                              k=k_, msm=msm_, exclude=exclude)
             return pd.DataFrame({"docid": d, "score": s})
 
-        rows = (
-            self.si.postings
-            .where(F.col("term").isin(present + neg_present))
-            .join(self.si.norms.select(
-                "seg_id",
-                F.col("doc_base").alias("__doc_base"),
-                F.col("norms").alias("__norms")), "seg_id")
-        )
+        rows = self.si.postings.where(F.col("term").isin(present + neg_present))
         per_seg = rows.groupBy("seg_id").applyInPandas(
-            lambda key, pdf: per_segment(pdf),
-            schema="docid long, score float")
+            per_segment, schema="docid long, score float")
         top = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("docid"))
         return top.withColumn("rank", F.row_number().over(w))
@@ -458,10 +465,10 @@ class WandSearcher:
         }
         bm25 = self.bm25
         k_ = int(k)
+        idx_path = self.si.path
 
-        def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-            norms = np.frombuffer(bytes(pdf["__norms"].iloc[0]), dtype=np.uint8)
-            doc_base = int(pdf["__doc_base"].iloc[0])
+        def per_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            norms, doc_base = _load_seg_norms(idx_path, int(key[0]))
             eps: dict[str, EncodedPosting] = {}
             for i in range(len(pdf)):
                 row = pdf.iloc[i]
@@ -490,17 +497,10 @@ class WandSearcher:
                 "score": np.concatenate(out_s),
             })
 
-        rows = (
-            self.si.postings
-            .where(F.col("term").isin([t for t in all_terms if dfs[t] > 0]))
-            .join(self.si.norms.select(
-                "seg_id",
-                F.col("doc_base").alias("__doc_base"),
-                F.col("norms").alias("__norms")), "seg_id")
-        )
+        rows = self.si.postings.where(
+            F.col("term").isin([t for t in all_terms if dfs[t] > 0]))
         per_seg = rows.groupBy("seg_id").applyInPandas(
-            lambda key, pdf: per_segment(pdf),
-            schema="qid string, docid long, score float")
+            per_segment, schema="qid string, docid long, score float")
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
         return (per_seg.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k))

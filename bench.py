@@ -187,9 +187,10 @@ def main() -> None:
         # trial.
         small = int(os.environ.get("BENCH_SCALING_N", "2"))
         big = 4 * small
-        trials_small = int(os.environ.get("BENCH_SCALING_TRIALS", "2"))
-        trials_big = int(os.environ.get("BENCH_SCALING_TRIALS_BIG",
-                                        str(trials_small + 1)))
+        # small side is repeatable (~2% spread) -> 1 trial; the noisy
+        # big side gets 3
+        trials_small = int(os.environ.get("BENCH_SCALING_TRIALS", "1"))
+        trials_big = int(os.environ.get("BENCH_SCALING_TRIALS_BIG", "3"))
         timings, floors = {}, {}
         for c, trials in ((small, trials_small), (big, trials_big)):
             spark = _fresh_spark(c)

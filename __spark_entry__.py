@@ -16,14 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 top-10 for a
-    boolean query over the documents table (float32 Lucene-exact
-    scoring path)."""
-    from lucene_solr_spark.driver_surface import _docs_index
-    from lucene_solr_spark.search.executor import Searcher
+    boolean query, answered by the flagship engine path — segment
+    index (FOR/delta + skip + block-max codec) + block-max WAND with
+    float32 Lucene-exact scoring."""
+    from lucene_solr_spark.driver_surface_ext import _seg_index
+    from lucene_solr_spark.search.wand import WandSearcher
 
-    idx = _docs_index(spark, "/root/testdata/sf0.001")
-    s = Searcher(idx, mode="lucene")
-    return s.search("hash AND join", k=10)
+    si = _seg_index(spark, "/root/testdata/sf0.001")
+    return WandSearcher(si).search("hash AND join", k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -578,20 +578,81 @@ GROUP BY doc_id
 """)
 
 
-def _seg_bm25_wand(spark, sf):
-    """Block-max WAND top-10 (float32 Lucene-exact scoring) over the
-    segment index. No SQL oracle: byte315-normed float32 BM25 is not
-    SQL-expressible; parity is proven by the dueling tests
-    (tests/test_wand.py) against the flat engine and numpy oracle."""
+def _wand_quantized(spark, sf, q: A.Query, k: int = 10) -> DataFrame:
+    """WAND top-k with the cross-engine quantization contract: fetch a
+    3x over-sample by exact float32 score, then select/rank by
+    (score_q desc, docid asc) — identical to the oracle's ordering
+    even when distinct float32 scores collide in one quantum."""
     from lucene_solr_spark.search.wand import WandSearcher
 
     si = _seg_index(spark, sf)
-    ws = WandSearcher(si)
-    return ws.search(A.OrQ((A.TermQ("scan"), A.TermQ("slow"), A.TermQ("merge"))),
-                     k=10)
+    top = WandSearcher(si).search(q, k=3 * k).withColumn(
+        "score_q", F.floor(F.col("score").cast("double") * Q).cast("long"))
+    top = top.orderBy(F.desc("score_q"), F.asc("docid")).limit(k)
+    w = Window.orderBy(F.desc("score_q"), F.asc("docid"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.col("docid").alias("doc_id"), "score_q", "rank")
 
 
-_register("seg_bm25_wand", _seg_bm25_wand, None)
+def _f32_topk_sql(terms: list[str], k: int = 10, having: str = "") -> str:
+    """Full float32-exact BM25 top-k oracle over FT_BASE + oracle_f32
+    (bit-equal to the WAND kernel — see oracle_f32 module docs)."""
+    from lucene_solr_spark.oracle_f32 import f32_base_sql, f32_sum_q
+
+    return (f"WITH {FT_BASE}, {f32_base_sql(terms)},\n"
+            f"agg AS ({f32_sum_q(having)})\n"
+            + _topk_sql("SELECT * FROM agg", k))
+
+
+def _seg_bm25_wand(spark, sf):
+    """Block-max WAND top-10, float32 Lucene-exact scoring, over the
+    FOR/delta segment index — checked against a bit-exact float32
+    DuckDB oracle (oracle_f32.py); also duel-tested vs the flat engine
+    and numpy oracle (tests/test_wand.py)."""
+    return _wand_quantized(
+        spark, sf, A.OrQ((A.TermQ("scan"), A.TermQ("slow"), A.TermQ("merge"))))
+
+
+_register("seg_bm25_wand", _seg_bm25_wand,
+          _f32_topk_sql(["scan", "slow", "merge"]))
+
+
+def _seg_bm25_and(spark, sf):
+    """Conjunctive WAND (ConjunctionDISI leapfrog + lead-term
+    pigeonhole, wand.py:163) with float32-exact scores."""
+    return _wand_quantized(spark, sf, A.AndQ((A.TermQ("hash"), A.TermQ("join"))))
+
+
+_register("seg_bm25_and", _seg_bm25_and,
+          _f32_topk_sql(["hash", "join"], having="HAVING count(*) = 2"))
+
+
+def _seg_bm25_msm(spark, sf):
+    """minimum-should-match 2-of-3 through the WAND kernel
+    (MinShouldMatchSumScorer semantics, wand.py:239)."""
+    return _wand_quantized(
+        spark, sf,
+        A.OrQ((A.TermQ("scan"), A.TermQ("slow"), A.TermQ("merge")),
+              min_should_match=2))
+
+
+_register("seg_bm25_msm", _seg_bm25_msm,
+          _f32_topk_sql(["scan", "slow", "merge"],
+                        having="HAVING count(*) >= 2"))
+
+
+def _seg_bm25_not(spark, sf):
+    """MUST_NOT exclusion at the kernel's iterator level
+    (ReqExclScorer semantics, wand.py:240)."""
+    return _wand_quantized(spark, sf, A.NotQ(A.TermQ("scan"), A.TermQ("slow")))
+
+
+_register(
+    "seg_bm25_not", _seg_bm25_not,
+    _f32_topk_sql(
+        ["scan"],
+        having=("HAVING doc_id NOT IN "
+                "(SELECT doc_id FROM postings WHERE term = 'slow')")))
 
 
 # ---- §2.8 function queries, §2.10 alternate similarity, §2.13 classify ----

@@ -62,7 +62,8 @@ def length_norm_byte(field_length: np.ndarray | int, boost: float = 1.0) -> np.n
     the emitted-token count minus overlaps (discountOverlaps=true).
     """
     length = np.asarray(field_length, dtype=np.float64)
-    f = (np.float32(boost) / np.sqrt(length).astype(np.float32)).astype(np.float32)
+    with np.errstate(divide="ignore"):  # doclen 0 -> inf -> byte 255
+        f = (np.float32(boost) / np.sqrt(length).astype(np.float32)).astype(np.float32)
     return float_to_byte315(f)
 
 

@@ -23,6 +23,7 @@ BENCH_SCALING (default 1; 0 skips phase 3), BENCH_SCALING_DOCS.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -128,7 +129,7 @@ def bench_wand_queries(spark, n_docs: int) -> dict[str, float]:
 
     src = _pages_parquet(spark, n_docs)
     out = f"/tmp/bench_wandidx_v{len(POSTING_ROW_FIELDS)}_{n_docs}"
-    if not os.path.exists(f"{out}/segments_meta"):
+    if not glob.glob(f"{out}/segments_meta*"):
         build_segment_index(spark.read.parquet(src), out, seg_size=1 << 13)
     ws = WandSearcher(
         __import__("lucene_solr_spark.index.segments",

@@ -530,7 +530,8 @@ def _seg_index(spark: SparkSession, sf: str):
     key = os.path.basename(sf.rstrip("/"))
     path = f"/tmp/driver_segidx_v{ver}_{key}"
     if key not in _SEG_CACHE:
-        if not os.path.exists(f"{path}/segments_meta"):
+        import glob
+        if not glob.glob(f"{path}/segments_meta*"):
             docs = spark.read.parquet(f"{sf}/documents.parquet")
             build_segment_index(docs, path, key_col="doc_id", text_col="text",
                                 precomputed_docid="doc_id", seg_size=1 << 13)

@@ -78,4 +78,10 @@ def assign_doc_ids(df: DataFrame, key: str = "url", num_partitions: int | None =
             local += len(pdf)
             yield pdf
 
-    return ranged.mapInPandas(add_ids, schema=out_schema).drop("__pid")
+    out = ranged.mapInPandas(add_ids, schema=out_schema).drop("__pid")
+    # expose the pinned (persisted) range frame so the caller can
+    # unpersist it once the docid-bearing output is materialized —
+    # without this, every build (incl. each NRT micro-batch) leaks one
+    # cached DataFrame for the session lifetime.
+    out._pinned_range_frame = ranged
+    return out

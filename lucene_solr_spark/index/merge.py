@@ -44,7 +44,7 @@ from lucene_solr_spark.index.codec import (
     posting_from_row,
     posting_to_row,
 )
-from lucene_solr_spark.index.segments import SegmentIndex
+from lucene_solr_spark.index.segments import SegmentIndex, commit_segments_meta
 
 # TieredMergePolicy defaults (TieredMergePolicy.java:81-88)
 MAX_MERGE_AT_ONCE = 10
@@ -250,8 +250,9 @@ def execute_merge(si: SegmentIndex, spec: MergeSpec) -> int:
      .option("partitionOverwriteMode", "dynamic").mode("overwrite")
      .parquet(f"{si.path}/norms"))
 
-    # commit: rewrite segments_meta (the segments_N swap). Meta is one
-    # tiny row per segment — collect, edit driver-side, overwrite.
+    # commit: write the next segments_meta generation (the segments_N
+    # swap, made atomic by commit_segments_meta's _SUCCESS protocol).
+    # Meta is one tiny row per segment — collect, edit driver-side.
     schema = si.meta.schema
     rows = si.meta.collect()
     keep = [r for r in rows if int(r["seg_id"]) not in set(member_ids)]
@@ -260,6 +261,16 @@ def execute_merge(si: SegmentIndex, spec: MergeSpec) -> int:
                   .where(F.col("seg_id") == new_id)
                   .agg(F.count(F.lit(1)).alias("tc"), F.max("df").alias("mx"))
                   .collect()[0])
+    # lineage: the merged row inherits the members' consumed batch tags
+    # alongside the member seg-ids — a merge must never erase the
+    # 'batch:<id>' markers streaming replay dedup keys on (the
+    # UpdateLog version survival across segment merges).
+    inherited: set[str] = set()
+    for r in dropped:
+        if r["merged_from"]:
+            inherited.update(t for t in str(r["merged_from"]).split(",")
+                             if t.startswith("batch:"))
+    lineage = ",".join([str(s) for s in member_ids] + sorted(inherited))
     merged_row = (
         new_id, new_base,
         sum(int(r["doc_count"]) for r in dropped),
@@ -269,11 +280,11 @@ def execute_merge(si: SegmentIndex, spec: MergeSpec) -> int:
         0.0, time.time(),
         max(int(r["salt_span"]) for r in dropped),
         max(int(r["seg_size"]) for r in dropped),
-        ",".join(str(s) for s in member_ids),
+        lineage,
     )
     new_meta = spark.createDataFrame(
         [tuple(r) for r in keep] + [merged_row], schema=schema)
-    new_meta.write.mode("overwrite").parquet(f"{si.path}/segments_meta")
+    commit_segments_meta(new_meta, si.path)
     si.refresh()
     return new_id
 

@@ -75,6 +75,82 @@ DEFAULT_SALT_SPAN = 1 << 10         # docids per salt bucket within a segment
 
 POSTINGS_SCHEMA = "seg_id int, term string, " + POSTING_ROW_SCHEMA
 
+# --- segments_meta generations (the segments_N commit protocol) -------------
+#
+# The manifest is the commit point: a torn overwrite of a single
+# ``segments_meta`` directory would lose the live-segment list. Like
+# the reference (IndexFileDeleter + SegmentInfos.write: write
+# segments_N+1, then delete segments_N), every commit writes a NEW
+# generation directory ``segments_meta_v<N>``; the directory only
+# counts once Spark's _SUCCESS marker lands (written last), so a crash
+# mid-commit leaves the previous generation as the readable manifest.
+# Old generations are pruned after the new one is durable.
+
+META_GEN_PREFIX = "segments_meta_v"
+META_KEEP_GENERATIONS = 2
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def meta_generations(spark: SparkSession, path: str) -> list[int]:
+    """Committed (_SUCCESS-marked) manifest generations, ascending."""
+    fs, jvm = _hadoop_fs(spark, path)
+    base = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(base):
+        return []
+    gens = []
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if not name.startswith(META_GEN_PREFIX):
+            continue
+        try:
+            n = int(name[len(META_GEN_PREFIX):])
+        except ValueError:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{name}/_SUCCESS")):
+            gens.append(n)
+    return sorted(gens)
+
+
+def read_segments_meta(spark: SparkSession, path: str) -> DataFrame | None:
+    """The live manifest: newest committed generation (falling back to
+    a legacy un-generational ``segments_meta`` dir). None if absent."""
+    gens = meta_generations(spark, path)
+    if gens:
+        return spark.read.parquet(f"{path}/{META_GEN_PREFIX}{gens[-1]}")
+    try:
+        return spark.read.parquet(f"{path}/segments_meta")
+    except Exception:
+        return None
+
+
+def commit_segments_meta(meta: DataFrame, path: str) -> int:
+    """Atomically commit a full manifest as the next generation and
+    prune superseded generations; returns the new generation number."""
+    spark = meta.sparkSession
+    gens = meta_generations(spark, path)
+    new_gen = (gens[-1] if gens else 0) + 1
+    # single commit-point file: the manifest is O(segments) tiny rows
+    meta.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{META_GEN_PREFIX}{new_gen}")
+    fs, jvm = _hadoop_fs(spark, path)
+    for g in gens[:-(META_KEEP_GENERATIONS - 1)] if META_KEEP_GENERATIONS > 1 else gens:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{META_GEN_PREFIX}{g}"), True)
+    # a legacy un-generational manifest is superseded by any commit
+    legacy = jvm.org.apache.hadoop.fs.Path(f"{path}/segments_meta")
+    if fs.exists(legacy):
+        fs.delete(legacy, True)
+    return new_gen
+
+
+def index_exists(spark: SparkSession, path: str) -> bool:
+    return read_segments_meta(spark, path) is not None
+
 META_SCHEMA = (
     "seg_id int, doc_base long, doc_count long, sum_doclen long, "
     "term_count long, posting_rows long, max_df long, "
@@ -127,7 +203,11 @@ class SegmentIndex:
 
     @property
     def meta(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/segments_meta")
+        m = read_segments_meta(self.spark, self.path)
+        if m is None:
+            raise FileNotFoundError(
+                f"no committed segments_meta generation under {self.path}")
+        return m
 
     @property
     def term_stats(self) -> DataFrame:
@@ -407,10 +487,12 @@ def build_segment_index(
     cols = list(dict.fromkeys(
         [key_col, text_col] + ([precomputed_docid] if precomputed_docid else [])))
     slim = pages.select(*cols)
+    pinned_range = None
     if precomputed_docid:
         base = slim.withColumn("docid", F.col(precomputed_docid).cast("long"))
     else:
         base = assign_doc_ids(slim, key=key_col)
+        pinned_range = getattr(base, "_pinned_range_frame", None)
         if docid_offset:
             base = base.withColumn("docid", F.col("docid") + F.lit(docid_offset))
     base = base.withColumn(
@@ -428,6 +510,8 @@ def build_segment_index(
     base = base.persist()
     if base.isEmpty():
         base.unpersist()
+        if pinned_range is not None:
+            pinned_range.unpersist()
         return SegmentIndex(path=path, spark=spark)
 
     # --- one fused analyze+invert scan; everything derives from it ------
@@ -568,19 +652,29 @@ def build_segment_index(
         .withColumn("merged_from", F.lit(lineage))
         .select([f.split(" ")[0] for f in META_SCHEMA.split(", ")])
     )
-    meta.write.mode("append" if appending else "overwrite").parquet(f"{path}/segments_meta")
+    if appending:
+        prev = read_segments_meta(spark, path)
+        if prev is not None:
+            new_ids = {int(r["seg_id"])
+                       for r in meta.select("seg_id").distinct().collect()}
+            prev = prev.where(~F.col("seg_id").isin(sorted(new_ids)))
+            meta = prev.unionByName(meta)
+    commit_segments_meta(meta, path)
 
     docs.unpersist()
     af.unpersist()
     base.unpersist()
+    if pinned_range is not None:
+        # docids are materialized in the written index; the pinned
+        # range partitioning (see assign_doc_ids) is no longer needed
+        pinned_range.unpersist()
     return SegmentIndex(path=path, spark=spark)
 
 
 def completed_segments(spark: SparkSession, path: str) -> set[int]:
     """Segments already durably built (present in segments_meta with a
     matching postings partition) — the resume manifest."""
-    try:
-        meta = spark.read.parquet(f"{path}/segments_meta")
-    except Exception:
+    meta = read_segments_meta(spark, path)
+    if meta is None:
         return set()
     return {int(r["seg_id"]) for r in meta.select("seg_id").distinct().collect()}

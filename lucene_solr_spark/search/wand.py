@@ -292,23 +292,50 @@ class WandSearcher:
 
     def __init__(self, si: SegmentIndex, k1: float = 1.2, b: float = 0.75):
         self.si = si
+        self._k1 = k1
+        self._b = b
         self.coll = si.coll_stats()
         self.bm25 = BM25(self.coll["doc_count"], self.coll["sum_ttf"], k1=k1, b=b)
         self._df_cache: dict[str, int] = {}
+        self._snapshot = tuple(si.live_segments())
+
+    def _check_snapshot(self) -> None:
+        """Invalidate cached term/collection statistics when the live
+        segment set changed (NRT append or merge followed by
+        si.refresh()): stale df/avgdl would change float32 weights and
+        silently break rank identity across the refresh."""
+        snap = tuple(self.si.live_segments())
+        if snap != self._snapshot:
+            self._snapshot = snap
+            self._df_cache.clear()
+            self.coll = self.si.coll_stats()
+            self.bm25 = BM25(self.coll["doc_count"], self.coll["sum_ttf"],
+                             k1=self._k1, b=self._b)
 
     # -- plan shape analysis ------------------------------------------------
 
     @staticmethod
     def _flat_terms(q: A.Query) -> tuple[list[str], int, list[str]] | None:
         """Decompose into (scored terms, msm, excluded terms) if the
-        query is WAND-shaped; None otherwise."""
-        def terms_of(node) -> list[str] | None:
-            if isinstance(node, A.TermQ) and node.boost == 1.0:
+        query is WAND-shaped; None otherwise.
+
+        Scored clauses must be PLAIN terms: a nested OR clause is NOT
+        flattened into the term list, because (a) min_should_match
+        counts matching top-level CLAUSES (MinShouldMatchSumScorer),
+        not distinct matching terms, and (b) the flat executor folds a
+        nested OR to float32 before the outer float64 sum, so a
+        flattened single fold would break bit-exact score parity.
+        Nested trees take the exhaustive fallback (same scores, no
+        pruning). The MUST_NOT side may still be an OR-of-terms — it
+        contributes an unscored docid set, where flattening is exact.
+        """
+        def neg_terms_of(node) -> list[str] | None:
+            if isinstance(node, A.TermQ):
                 return [node.term]
             if isinstance(node, A.OrQ) and node.min_should_match <= 1:
                 out = []
                 for c in node.clauses:
-                    t = terms_of(c)
+                    t = neg_terms_of(c)
                     if t is None:
                         return None
                     out.extend(t)
@@ -327,14 +354,13 @@ class WandSearcher:
         if isinstance(q, A.OrQ):
             out = []
             for c in q.clauses:
-                t = terms_of(c)
-                if t is None:
+                if not (isinstance(c, A.TermQ) and c.boost == 1.0):
                     return None
-                out.extend(t)
+                out.append(c.term)
             return out, max(1, q.min_should_match), []
         if isinstance(q, A.NotQ):
             pos = WandSearcher._flat_terms(q.positive)
-            neg = terms_of(q.negative)
+            neg = neg_terms_of(q.negative)
             if pos is None or neg is None or pos[2]:
                 return None
             return pos[0], pos[1], neg
@@ -351,6 +377,7 @@ class WandSearcher:
         return {t: self._df_cache[t] for t in terms}
 
     def search(self, q: A.Query | str, k: int = 10) -> DataFrame:
+        self._check_snapshot()
         if isinstance(q, str):
             q = A.parse_query(q)
         q = q.rewrite()
@@ -443,6 +470,7 @@ class WandSearcher:
 
         Non-WAND-shaped queries are not accepted here (use search()).
         """
+        self._check_snapshot()
         parsed: dict[str, tuple[list[str], int, list[str]]] = {}
         for qid, q in queries.items():
             if isinstance(q, str):

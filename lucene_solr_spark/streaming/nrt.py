@@ -45,17 +45,24 @@ from lucene_solr_spark.index.segments import (
 
 
 def _index_state(spark: SparkSession, path: str) -> tuple[int, int, set[str]]:
-    """(next_docid, next_seg_id, seen lineage tags) from segments_meta."""
-    try:
-        meta = spark.read.parquet(f"{path}/segments_meta")
-    except Exception:
+    """(next_docid, next_seg_id, seen lineage tags) from segments_meta.
+
+    Lineage columns hold comma-separated tokens: a fresh NRT segment
+    carries its ``batch:<id>`` tag; a merged segment carries its member
+    seg-ids PLUS the members' inherited batch tags (merge.py) — so a
+    batch stays deduplicated even after its segments merged away."""
+    from lucene_solr_spark.index.segments import read_segments_meta
+
+    meta = read_segments_meta(spark, path)
+    if meta is None:
         return 0, 0, set()
     rows = meta.select("seg_id", "doc_base", "doc_count", "merged_from").collect()
     if not rows:
         return 0, 0, set()
     next_docid = max(int(r["doc_base"]) + int(r["doc_count"]) for r in rows)
     next_seg = max(int(r["seg_id"]) for r in rows) + 1
-    tags = {r["merged_from"] for r in rows if r["merged_from"]}
+    tags = {t for r in rows if r["merged_from"]
+            for t in str(r["merged_from"]).split(",") if t}
     return next_docid, next_seg, tags
 
 

@@ -227,3 +227,45 @@ def test_snapshot_isolation_across_merge(spark, pages_tiny, tmp_path_factory):
                  for r in WandSearcher(si_reader)
                  .search("t000001 OR t000002", k=10).collect()]
     assert before == after_new
+
+
+def test_meta_commit_generations(spark, pages_tiny, tmp_path_factory):
+    """segments_meta commits are generational (segments_N protocol): a
+    torn commit — a generation directory without _SUCCESS — is ignored
+    and the previous generation stays the readable manifest."""
+    import os
+    import shutil
+
+    from lucene_solr_spark.index.segments import (
+        META_GEN_PREFIX,
+        commit_segments_meta,
+        meta_generations,
+        read_segments_meta,
+    )
+    from lucene_solr_spark.streaming.nrt import append_batch
+
+    path = str(tmp_path_factory.mktemp("metagen") / "idx")
+    half = pages_tiny.limit(150)
+    append_batch(half, path, batch_id=0, seg_size=SEG, salt_span=SALT)
+    assert meta_generations(spark, path) == [1]
+    append_batch(pages_tiny.subtract(half), path, batch_id=1, seg_size=SEG,
+                 salt_span=SALT)
+    gens = meta_generations(spark, path)
+    assert gens[-1] == 2
+    live = read_segments_meta(spark, path)
+    n_live = live.count()
+
+    # torn commit: copy the latest generation WITHOUT its _SUCCESS
+    # marker to a higher generation number, plus a row that would
+    # corrupt the index if it were ever read
+    torn = f"{path}/{META_GEN_PREFIX}99"
+    shutil.copytree(f"{path}/{META_GEN_PREFIX}{gens[-1]}", torn)
+    os.remove(f"{torn}/_SUCCESS")
+    assert meta_generations(spark, path)[-1] == 2
+    assert read_segments_meta(spark, path).count() == n_live
+
+    # the next commit proceeds from the last COMMITTED generation; the
+    # torn dir stays ignored
+    commit_segments_meta(live, path)
+    assert meta_generations(spark, path)[-1] == 3
+    assert read_segments_meta(spark, path).count() == n_live

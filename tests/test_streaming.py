@@ -178,3 +178,53 @@ def test_windowed_stream_with_watermark(spark, tmp_path_factory):
     # after the watermark passed) must NOT be added (11 would be wrong)
     assert first_window == 10
     assert got.where(F.col("window.start") == t0 + dt.timedelta(hours=2)).count() >= 0
+
+
+def test_merge_then_replay_is_noop(spark, pages_tiny, tmp_path_factory):
+    """A merge must not erase consumed batch tags: replaying a batch
+    whose segments were merged away stays a no-op (the exactly-once
+    contract surviving the NRT flush -> background merge lifecycle)."""
+    from lucene_solr_spark.index.checkindex import check_index
+    from lucene_solr_spark.index.merge import TieredMergePolicy, maybe_merge
+
+    path = str(tmp_path_factory.mktemp("mergereplay") / "idx")
+    batches = _batches(pages_tiny, 3)
+    for i, b in enumerate(batches):
+        append_batch(b, path, batch_id=i, seg_size=SEG, salt_span=SALT)
+    si = SegmentIndex(path=path, spark=spark)
+    policy = TieredMergePolicy(segs_per_tier=1.0, max_merge_at_once=10,
+                               floor_bytes=1)
+    merges = maybe_merge(si, policy)
+    assert merges, "expected the batch segments to merge"
+    tags = {t for r in si.meta.collect() if r["merged_from"]
+            for t in r["merged_from"].split(",")}
+    assert {"batch:0", "batch:1", "batch:2"} <= tags
+
+    docs_before = check_index(si)["docs"]
+    out = append_batch(batches[1], path, batch_id=1, seg_size=SEG,
+                       salt_span=SALT)
+    assert out is None, "merged-away batch was re-applied"
+    si.refresh()
+    assert check_index(si)["docs"] == docs_before
+
+
+def test_wand_stats_refresh_after_append(spark, pages_tiny, tmp_path_factory):
+    """A WandSearcher must drop its cached df/collection stats when its
+    SegmentIndex is refreshed past an append — stale float32 weights
+    would silently break rank identity vs a fresh searcher."""
+    path = str(tmp_path_factory.mktemp("nrtstats") / "idx")
+    batches = _batches(pages_tiny, 2)
+    append_batch(batches[0], path, batch_id=0, seg_size=SEG, salt_span=SALT)
+    si = SegmentIndex(path=path, spark=spark)
+    ws = WandSearcher(si)
+    q = "t000001 OR t000002"
+    ws.search(q, k=10).collect()  # populates the df/coll stats caches
+
+    append_batch(batches[1], path, batch_id=1, seg_size=SEG, salt_span=SALT)
+    si.refresh()
+    got = [(r["docid"], np.float32(r["score"]))
+           for r in ws.search(q, k=10).orderBy("rank").collect()]
+    fresh = [(r["docid"], np.float32(r["score"]))
+             for r in WandSearcher(SegmentIndex(path=path, spark=spark))
+             .search(q, k=10).orderBy("rank").collect()]
+    assert got == fresh

@@ -76,6 +76,35 @@ def test_wand_msm(seg_index, flat_searcher):
     assert a == b
 
 
+def test_wand_nested_or_duels_flat(seg_index, flat_searcher):
+    """Nested OR trees are NOT WAND-shaped (msm counts top-level
+    clauses; the executor folds the inner OR to float32 before the
+    outer float64 sum) — they must route to the exhaustive fallback
+    and stay bit-equal with the flat executor."""
+    from lucene_solr_spark.search import ast as A
+
+    inner = A.OrQ((A.TermQ("t000001"), A.TermQ("t000002")))
+    for msm in (1, 2):
+        q = A.OrQ((inner, A.TermQ("t000003")), min_should_match=msm)
+        assert WandSearcher._flat_terms(q) is None
+        a = _rows(WandSearcher(seg_index).search(q, k=10))
+        b = _rows(flat_searcher.search(q, k=10))
+        assert a == b, f"msm={msm}"
+
+
+def test_wand_not_with_or_negative(seg_index, flat_searcher):
+    """MUST_NOT over an OR-of-terms stays WAND-shaped (unscored docid
+    union is exact) and duels bit-equal."""
+    from lucene_solr_spark.search import ast as A
+
+    q = A.NotQ(A.TermQ("t000000"),
+               A.OrQ((A.TermQ("t000001"), A.TermQ("t000002"))))
+    assert WandSearcher._flat_terms(q) is not None
+    a = _rows(WandSearcher(seg_index).search(q, k=10))
+    b = _rows(flat_searcher.search(q, k=10))
+    assert a == b
+
+
 # --- kernel-level tests ------------------------------------------------------
 
 

@@ -131,9 +131,13 @@ def bench_wand_queries(spark, n_docs: int) -> dict[str, float]:
     out = f"/tmp/bench_wandidx_v{len(POSTING_ROW_FIELDS)}_{n_docs}"
     if not glob.glob(f"{out}/segments_meta*"):
         build_segment_index(spark.read.parquet(src), out, seg_size=1 << 13)
+    # preload_stats: the serving-tier configuration — the (term -> df)
+    # dictionary loads once (Lucene keeps its FST term dictionary hot
+    # in the JVM the same way), so a query pays ONE Spark job
     ws = WandSearcher(
         __import__("lucene_solr_spark.index.segments",
-                   fromlist=["SegmentIndex"]).SegmentIndex(path=out, spark=spark))
+                   fromlist=["SegmentIndex"]).SegmentIndex(path=out, spark=spark),
+        preload_stats=True)
     times: dict[str, float] = {}
     t0 = time.time()
     ws.search("t000001", k=10).collect()  # warm (stats cache, parquet footer)

@@ -153,7 +153,11 @@ def _unpack_block(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
 
 @dataclass
 class EncodedPosting:
-    """One term's encoded postings within a segment."""
+    """One term's encoded postings within a segment (or one GROUP of
+    its blocks — see ``split_posting_to_rows``: hot terms shard into
+    multiple standalone-decodable rows of <= GROUP_BLOCKS blocks each,
+    the Lucene50SkipWriter level-0/level-1 layering as row granularity).
+    """
     ndocs: int
     singleton_docid: int | None          # df==1 optimization
     docs_enc: bytes
@@ -165,6 +169,8 @@ class EncodedPosting:
     blockmax_norm: np.ndarray            # per block (incl. tail block)
     tail_offset: int = -1                # byte offset of the vint tail in docs_enc
     pos_enc: bytes = b""                 # .pos analogue (empty = not stored)
+    base_doc: int = 0                    # docid base for the first delta (group
+                                         # rows: last docid of the previous group)
 
     # -- block geometry helpers (used by the WAND executor) --------------
 
@@ -240,8 +246,10 @@ def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray,
     )
 
 
-def decode_posting(ep: EncodedPosting) -> tuple[np.ndarray, np.ndarray]:
-    """Decode to (doc_ids, tfs)."""
+def decode_posting(ep) -> tuple[np.ndarray, np.ndarray]:
+    """Decode to (doc_ids, tfs). Accepts EncodedPosting or GroupedPosting."""
+    if hasattr(ep, "decode_all"):
+        return ep.decode_all()
     if ep.singleton_docid is not None:
         return (np.array([ep.singleton_docid], np.int64),
                 np.array([ep.blockmax_tf[0]], np.int64))
@@ -268,7 +276,7 @@ def decode_posting(ep: EncodedPosting) -> tuple[np.ndarray, np.ndarray]:
             v, dpos = read_vints(ep.docs_enc, dpos, 1)
             tfs[i] = int(v[0])
         i += 1
-    return np.cumsum(deltas), tfs
+    return ep.base_doc + np.cumsum(deltas), tfs
 
 
 def decode_block(ep: EncodedPosting, block_idx: int) -> tuple[np.ndarray, np.ndarray]:
@@ -281,8 +289,8 @@ def decode_block(ep: EncodedPosting, block_idx: int) -> tuple[np.ndarray, np.nda
     deltas, _ = _unpack_block(ep.docs_enc, int(ep.skip_doc_offset[block_idx]))
     tfs, _ = _unpack_block(ep.tfs_enc, int(ep.skip_tf_offset[block_idx]))
     # rebase deltas: block's first delta is relative to the previous
-    # block's last docid (0 for the first block)
-    base = int(ep.skip_last_doc[block_idx - 1]) if block_idx > 0 else 0
+    # block's last docid (the row's base_doc for the first block)
+    base = int(ep.skip_last_doc[block_idx - 1]) if block_idx > 0 else ep.base_doc
     docs = base + np.cumsum(deltas)
     return docs, tfs
 
@@ -305,7 +313,7 @@ def decode_tail(ep: EncodedPosting) -> tuple[np.ndarray, np.ndarray]:
         else:
             v, pos = read_vints(ep.docs_enc, pos, 1)
             tfs[i] = int(v[0])
-    base = int(ep.skip_last_doc[-1]) if len(ep.skip_last_doc) else 0
+    base = int(ep.skip_last_doc[-1]) if len(ep.skip_last_doc) else ep.base_doc
     return base + np.cumsum(deltas), tfs
 
 
@@ -341,10 +349,13 @@ def decode_positions(pos_enc: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     return out
 
 
-def decode_nth_block(ep: EncodedPosting, block_idx: int) -> tuple[np.ndarray, np.ndarray]:
+def decode_nth_block(ep, block_idx: int) -> tuple[np.ndarray, np.ndarray]:
     """Decode logical block ``block_idx`` where the tail (if any) is
     block index ``n_full_blocks`` — the indexing used by the blockmax
-    arrays and the WAND executor."""
+    arrays and the WAND executor. Accepts an EncodedPosting or a lazy
+    GroupedPosting (which fetches the owning group's payload)."""
+    if hasattr(ep, "decode_nth"):
+        return ep.decode_nth(block_idx)
     if ep.singleton_docid is not None:
         assert block_idx == 0
         return (np.array([ep.singleton_docid], np.int64),
@@ -354,7 +365,7 @@ def decode_nth_block(ep: EncodedPosting, block_idx: int) -> tuple[np.ndarray, np
     return decode_tail(ep)
 
 
-def block_last_docs(ep: EncodedPosting, last_docid: int) -> np.ndarray:
+def block_last_docs(ep, last_docid: int) -> np.ndarray:
     """Last docid of every logical block (full blocks from skip data,
     tail/singleton from the posting's last doc). This is the block
     boundary table the interval-WAND executor merges across terms."""
@@ -371,18 +382,34 @@ POSTING_ROW_FIELDS = (
     "df", "ttf", "singleton_docid", "docs_enc", "tfs_enc",
     "skip_last_doc", "skip_doc_off", "skip_tf_off",
     "bm_tf", "bm_norm", "tail_offset", "pos_enc",
+    "grp_id", "grp_prev_doc", "grp_last_doc",
 )
 
 POSTING_ROW_SCHEMA = (
     "df int, ttf long, singleton_docid long, docs_enc binary, "
     "tfs_enc binary, skip_last_doc array<long>, skip_doc_off array<int>, "
     "skip_tf_off array<int>, bm_tf array<int>, bm_norm array<int>, "
-    "tail_offset int, pos_enc binary"
+    "tail_offset int, pos_enc binary, "
+    "grp_id int, grp_prev_doc long, grp_last_doc long"
 )
+
+# posting rows are sharded into groups of at most GROUP_BLOCKS full
+# blocks (GROUP_BLOCKS * BLOCK_SIZE = 8192 docs): bounds the parquet
+# cell size of zipf-head terms AND lets the read path fetch only the
+# groups whose blocks it actually decodes (the skip-level-1 layering of
+# Lucene50SkipWriter.java:144-168 expressed as row granularity).
+GROUP_BLOCKS = 64
 
 
 def posting_to_row(ep: EncodedPosting, ttf: int) -> dict:
-    """EncodedPosting -> plain-python dict matching POSTING_ROW_SCHEMA."""
+    """EncodedPosting -> plain-python dict matching POSTING_ROW_SCHEMA
+    (single-group form; hot terms go through split_posting_to_rows)."""
+    if ep.singleton_docid is not None:
+        last = int(ep.singleton_docid)
+    elif ep.has_tail or len(ep.skip_last_doc) == 0:
+        last = -1  # unknown without decoding the tail; filled by split
+    else:
+        last = int(ep.skip_last_doc[-1])
     return {
         "df": int(ep.ndocs),
         "ttf": int(ttf),
@@ -396,6 +423,9 @@ def posting_to_row(ep: EncodedPosting, ttf: int) -> dict:
         "bm_norm": ep.blockmax_norm.tolist(),
         "tail_offset": int(ep.tail_offset),
         "pos_enc": ep.pos_enc,
+        "grp_id": 0,
+        "grp_prev_doc": int(ep.base_doc),
+        "grp_last_doc": last,
     }
 
 
@@ -410,6 +440,7 @@ def posting_from_row(row) -> EncodedPosting:
     """Inverse of posting_to_row; accepts a pandas row / dict / Row."""
     g = row.__getitem__
     sd = g("singleton_docid")
+    prev = _get_opt(row, "grp_prev_doc")
     return EncodedPosting(
         ndocs=int(g("df")),
         singleton_docid=None if sd is None or (isinstance(sd, float) and np.isnan(sd)) else int(sd),
@@ -422,4 +453,168 @@ def posting_from_row(row) -> EncodedPosting:
         blockmax_norm=np.asarray(g("bm_norm"), dtype=np.int64),
         tail_offset=int(g("tail_offset")),
         pos_enc=bytes(g("pos_enc")) if _get_opt(row, "pos_enc") is not None else b"",
+        base_doc=int(prev) if prev is not None and not (
+            isinstance(prev, float) and np.isnan(prev)) else 0,
     )
+
+
+def split_posting_to_rows(ep: EncodedPosting, tfs_raw: np.ndarray,
+                          positions_flat: np.ndarray | None = None) -> list[dict]:
+    """Shard one encoded posting into standalone-decodable group rows
+    of <= GROUP_BLOCKS full blocks each (the tail rides with the final
+    group). ``tfs_raw`` (per-doc tf, docid order) supplies exact
+    per-group ttf; ``positions_flat`` (concatenated per-doc positions)
+    re-encodes each group's .pos slice independently so any group row
+    decodes without its siblings.
+    """
+    tfs_raw = np.asarray(tfs_raw, dtype=np.int64)
+    n = ep.ndocs
+    nfull = ep.n_full_blocks
+    if ep.singleton_docid is not None or nfull <= GROUP_BLOCKS:
+        if positions_flat is not None and len(positions_flat):
+            ep.pos_enc = encode_positions(positions_flat, tfs_raw)
+        row = posting_to_row(ep, ttf=int(tfs_raw.sum()))
+        if row["grp_last_doc"] == -1 and n > 0:
+            # cheap exact last doc: cumulative deltas already known to
+            # the caller via tfs ordering? decode only the tail
+            if ep.has_tail:
+                row["grp_last_doc"] = int(decode_tail(ep)[0][-1])
+        return [row]
+
+    pos_starts = None
+    if positions_flat is not None and len(positions_flat):
+        pcum = np.concatenate(([0], np.cumsum(tfs_raw)))
+        pos_starts = pcum  # position index where doc i starts
+
+    rows: list[dict] = []
+    doc_end_of_enc = ep.tail_offset if ep.has_tail else len(ep.docs_enc)
+    n_groups = (nfull + GROUP_BLOCKS - 1) // GROUP_BLOCKS
+    if ep.has_tail and nfull % GROUP_BLOCKS == 0:
+        n_groups += 1  # tail-only final group
+    for g in range(n_groups):
+        b0 = g * GROUP_BLOCKS
+        b1 = min(b0 + GROUP_BLOCKS, nfull)
+        is_last = g == n_groups - 1
+        with_tail = is_last and ep.has_tail
+        d_lo = int(ep.skip_doc_offset[b0]) if b0 < nfull else int(ep.tail_offset)
+        d_hi = len(ep.docs_enc) if with_tail else (
+            int(ep.skip_doc_offset[b1]) if b1 < nfull else doc_end_of_enc)
+        t_lo = int(ep.skip_tf_offset[b0]) if b0 < nfull else len(ep.tfs_enc)
+        t_hi = int(ep.skip_tf_offset[b1]) if b1 < nfull else len(ep.tfs_enc)
+        lo_doc_i = b0 * BLOCK_SIZE                    # first doc index
+        hi_doc_i = n if with_tail else b1 * BLOCK_SIZE
+        bm_sl = slice(b0, (nfull + 1) if with_tail else b1)
+        g_tfs = tfs_raw[lo_doc_i:hi_doc_i]
+        prev_doc = int(ep.skip_last_doc[b0 - 1]) if b0 > 0 else int(ep.base_doc)
+        if with_tail:
+            tail_ep = EncodedPosting(
+                ndocs=hi_doc_i - lo_doc_i, singleton_docid=None,
+                docs_enc=ep.docs_enc[d_lo:d_hi], tfs_enc=b"",
+                skip_last_doc=ep.skip_last_doc[b0:b1] .copy(),
+                skip_doc_offset=ep.skip_doc_offset[b0:b1] - d_lo,
+                skip_tf_offset=ep.skip_tf_offset[b0:b1] - t_lo,
+                blockmax_tf=ep.blockmax_tf[bm_sl],
+                blockmax_norm=ep.blockmax_norm[bm_sl],
+                tail_offset=int(ep.tail_offset) - d_lo,
+                base_doc=prev_doc)
+            last_doc = int(decode_tail(tail_ep)[0][-1])
+        else:
+            last_doc = int(ep.skip_last_doc[b1 - 1])
+        pos_enc = b""
+        if pos_starts is not None:
+            pslice = positions_flat[pos_starts[lo_doc_i]:pos_starts[hi_doc_i]]
+            pos_enc = encode_positions(pslice, g_tfs)
+        rows.append({
+            "df": int(hi_doc_i - lo_doc_i),
+            "ttf": int(g_tfs.sum()),
+            "singleton_docid": None,
+            "docs_enc": ep.docs_enc[d_lo:d_hi],
+            "tfs_enc": ep.tfs_enc[t_lo:t_hi],
+            "skip_last_doc": ep.skip_last_doc[b0:b1].tolist(),
+            "skip_doc_off": (ep.skip_doc_offset[b0:b1] - d_lo).tolist(),
+            "skip_tf_off": (ep.skip_tf_offset[b0:b1] - t_lo).tolist(),
+            "bm_tf": ep.blockmax_tf[bm_sl].tolist(),
+            "bm_norm": ep.blockmax_norm[bm_sl].tolist(),
+            "tail_offset": (int(ep.tail_offset) - d_lo) if with_tail else -1,
+            "pos_enc": pos_enc,
+            "grp_id": g,
+            "grp_prev_doc": prev_doc,
+            "grp_last_doc": last_doc,
+        })
+    return rows
+
+
+class GroupedPosting:
+    """Read-side view over one term's group rows within a segment.
+
+    Exposes the EncodedPosting interface the WAND kernel consumes
+    (singleton_docid / ndocs / n_full_blocks / has_tail /
+    skip_last_doc / blockmax arrays / last_doc) from METADATA ONLY;
+    the byte payload of a group is fetched through ``fetch(grp_id)``
+    the first time one of its blocks is decoded — blocks the kernel
+    prunes never cost payload IO (nor shuffle transfer).
+    """
+
+    def __init__(self, rows: list[dict], fetch):
+        rows = sorted(rows, key=lambda r: int(r["grp_id"]))
+        self._rows = rows
+        self._fetch = fetch
+        self._eps: dict[int, EncodedPosting] = {}
+        one = rows[0]
+        sd = one["singleton_docid"]
+        self.singleton_docid = (None if sd is None
+                                or (isinstance(sd, float) and np.isnan(sd))
+                                else int(sd))
+        self.ndocs = int(sum(int(r["df"]) for r in rows))
+        self.skip_last_doc = np.concatenate(
+            [np.asarray(r["skip_last_doc"], dtype=np.int64) for r in rows]) \
+            if rows else np.empty(0, np.int64)
+        self.blockmax_tf = np.concatenate(
+            [np.asarray(r["bm_tf"], dtype=np.int64) for r in rows])
+        self.blockmax_norm = np.concatenate(
+            [np.asarray(r["bm_norm"], dtype=np.int64) for r in rows])
+        self.last_doc = int(rows[-1]["grp_last_doc"])
+        # full-block count of each group (tail block never counted)
+        self._grp_nfull = [len(r["skip_last_doc"]) for r in rows]
+        self._grp_first_block = np.concatenate(
+            ([0], np.cumsum(self._grp_nfull)))
+
+    @property
+    def n_full_blocks(self) -> int:
+        return 0 if self.singleton_docid is not None else self.ndocs // BLOCK_SIZE
+
+    @property
+    def has_tail(self) -> bool:
+        return self.singleton_docid is None and self.ndocs % BLOCK_SIZE != 0
+
+    def _group_ep(self, g: int) -> EncodedPosting:
+        if g not in self._eps:
+            r = dict(self._rows[g])
+            docs_enc, tfs_enc = self._fetch(int(r["grp_id"]))
+            r["docs_enc"], r["tfs_enc"] = docs_enc, tfs_enc
+            r["pos_enc"] = b""
+            self._eps[g] = posting_from_row(r)
+        return self._eps[g]
+
+    def decode_nth(self, block_idx: int) -> tuple[np.ndarray, np.ndarray]:
+        if self.singleton_docid is not None:
+            assert block_idx == 0
+            return (np.array([self.singleton_docid], np.int64),
+                    np.array([int(self.blockmax_tf[0])], np.int64))
+        if block_idx >= self.n_full_blocks:          # the tail
+            g = len(self._rows) - 1
+            ep = self._group_ep(g)
+            return decode_tail(ep)
+        g = int(np.searchsorted(self._grp_first_block, block_idx,
+                                side="right")) - 1
+        ep = self._group_ep(g)
+        return decode_block(ep, block_idx - int(self._grp_first_block[g]))
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        if self.singleton_docid is not None:
+            return (np.array([self.singleton_docid], np.int64),
+                    np.array([int(self.blockmax_tf[0])], np.int64))
+        parts = [decode_posting(self._group_ep(g))
+                 for g in range(len(self._rows))]
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))

@@ -42,7 +42,6 @@ from lucene_solr_spark.index.codec import (
     decode_posting,
     encode_posting,
     posting_from_row,
-    posting_to_row,
 )
 from lucene_solr_spark.index.segments import SegmentIndex, commit_segments_meta
 
@@ -179,12 +178,18 @@ def execute_merge(si: SegmentIndex, spec: MergeSpec) -> int:
         ordm = order_b.value
         bl = blobs_b.value
         norm_arr = {sid: np.frombuffer(b, dtype=np.uint8) for sid, (_, b) in bl.items()}
+        from lucene_solr_spark.index.codec import split_posting_to_rows
+
         for pdf in batches:
             out = []
             for i in range(len(pdf)):
                 term = pdf["term"].iloc[i]
                 parts = pdf["parts"].iloc[i]
-                parts = sorted(parts, key=lambda p: ordm[int(p["seg_id"])])
+                # member order, then group order within a member — the
+                # DocIDMerger concatenation order (group rows decode
+                # standalone thanks to their grp_prev_doc base)
+                parts = sorted(parts, key=lambda p: (ordm[int(p["seg_id"])],
+                                                     int(p["grp_id"])))
                 d_parts, t_parts, n_parts, p_parts = [], [], [], []
                 for p in parts:
                     sid = int(p["seg_id"])
@@ -204,16 +209,17 @@ def execute_merge(si: SegmentIndex, spec: MergeSpec) -> int:
                 tfs = np.concatenate(t_parts)
                 norms = np.concatenate(n_parts)
                 ep = encode_posting(docs, tfs, norms)
+                flat_pos = None
                 if p_parts and len(p_parts) == len(parts):
                     from lucene_solr_spark.index.codec import decode_positions
                     flats = []
                     for p, t in zip(p_parts, t_parts):
                         for arr in decode_positions(p, t):
                             flats.append(arr)
-                    ep.pos_enc = encode_positions(np.concatenate(flats), tfs)
-                r = posting_to_row(ep, ttf=int(tfs.sum()))
-                r["term"] = term
-                out.append(r)
+                    flat_pos = np.concatenate(flats)
+                for r in split_posting_to_rows(ep, tfs, flat_pos):
+                    r["term"] = term
+                    out.append(r)
             if out:
                 yield pd.DataFrame(out)
 
@@ -226,7 +232,7 @@ def execute_merge(si: SegmentIndex, spec: MergeSpec) -> int:
         .mapInPandas(merge_terms, schema="term string, " + POSTING_ROW_SCHEMA)
     )
     (merged.withColumn("seg_id", F.lit(new_id))
-           .repartition("seg_id").sortWithinPartitions("term")
+           .repartition("seg_id").sortWithinPartitions("term", "grp_id")
            .write.partitionBy("seg_id")
            .option("partitionOverwriteMode", "dynamic").mode("overwrite")
            .parquet(f"{si.path}/postings"))

@@ -66,7 +66,6 @@ from lucene_solr_spark.index.codec import (
     POSTING_ROW_FIELDS,
     POSTING_ROW_SCHEMA,
     encode_posting,
-    posting_to_row,
 )
 from lucene_solr_spark.index.docid import assign_doc_ids
 
@@ -175,6 +174,7 @@ class SegmentIndex:
 
     def __post_init__(self):
         self._live: list[int] | None = None
+        self._postings_df: DataFrame | None = None
 
     def live_segments(self) -> list[int]:
         if self._live is None:
@@ -186,11 +186,17 @@ class SegmentIndex:
     def refresh(self) -> None:
         """Drop the cached segment list (SearcherManager.maybeRefresh)."""
         self._live = None
+        self._postings_df = None
 
     @property
     def postings(self) -> DataFrame:
-        df = self.spark.read.parquet(f"{self.path}/postings")
-        return df.where(F.col("seg_id").isin(self.live_segments()))
+        # the scan handle is reusable across queries (lazy plan); caching
+        # it avoids re-listing the partition directories per query
+        if self._postings_df is None:
+            df = self.spark.read.parquet(f"{self.path}/postings")
+            self._postings_df = df.where(
+                F.col("seg_id").isin(self.live_segments()))
+        return self._postings_df
 
     @property
     def docs(self) -> DataFrame:
@@ -374,6 +380,9 @@ def _encode_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             "pos_enc": (_bulk_pos_enc(pos_col[s_idx], tfs[s_idx],
                                       np.arange(n))
                         if has_pos else [b""] * n),
+            "grp_id": np.zeros(n, dtype=np.int32),
+            "grp_prev_doc": np.zeros(n, dtype=np.int64),
+            "grp_last_doc": docids[s_idx],
         }))
 
     # --- tail-only postings (2 <= df < 128), one shared vint pass ------
@@ -420,24 +429,28 @@ def _encode_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             "tail_offset": np.zeros(n, dtype=np.int32),
             "pos_enc": (_bulk_pos_enc(pos_col[gath], g_tf, g_starts)
                         if has_pos else [b""] * n),
+            "grp_id": np.zeros(n, dtype=np.int32),
+            "grp_prev_doc": np.zeros(n, dtype=np.int64),
+            "grp_last_doc": g_doc[g_starts + g_dfs - 1],
         }))
 
-    # --- the hot head (df >= 128): full block codec --------------------
+    # --- the hot head (df >= 128): full block codec, sharded into
+    # group rows of <= GROUP_BLOCKS blocks (split_posting_to_rows) ----
     big = dfs >= BLOCK_SIZE
     if big.any():
-        from lucene_solr_spark.index.codec import encode_positions
+        from lucene_solr_spark.index.codec import split_posting_to_rows
 
         out = []
         for s, e in zip(starts[big], ends[big]):
             ep = encode_posting(docids[s:e], tfs[s:e], norms[s:e])
+            flat = None
             if has_pos:
                 flat = np.concatenate(
                     [np.asarray(x, dtype=np.int64) for x in pos_col[s:e]])
-                ep.pos_enc = encode_positions(flat, tfs[s:e])
-            row = posting_to_row(ep, ttf=int(tfs[s:e].sum()))
-            row["seg_id"] = seg_id
-            row["term"] = terms[s]
-            out.append(row)
+            for row in split_posting_to_rows(ep, tfs[s:e], flat):
+                row["seg_id"] = seg_id
+                row["term"] = terms[s]
+                out.append(row)
         frames.append(pd.DataFrame(out))
 
     if not frames:
@@ -608,8 +621,12 @@ def build_segment_index(
     )
 
     def write_postings():
+        # repartition by (seg_id, term) keeps a term's group rows in
+        # one file; sorting by (term, grp_id) makes the row-group term
+        # statistics tight for the task-side point reads
         _part_write(encoded.repartition(par, "seg_id", "term")
-                           .sortWithinPartitions("seg_id", "term"), "postings")
+                           .sortWithinPartitions("seg_id", "term", "grp_id"),
+                    "postings")
 
     # The three sinks are independent given the materialized analyzed
     # frame — submit them as CONCURRENT Spark jobs (the scheduler

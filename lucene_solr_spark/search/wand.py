@@ -59,7 +59,6 @@ from lucene_solr_spark.index.codec import (
     EncodedPosting,
     block_last_docs,
     decode_nth_block,
-    posting_from_row,
 )
 from lucene_solr_spark.index.segments import SegmentIndex
 from lucene_solr_spark.search import ast as A
@@ -114,6 +113,10 @@ def wand_topk(
         # last docid of the term's posting overall:
         if ep.singleton_docid is not None:
             last = ep.singleton_docid
+        elif getattr(ep, "last_doc", -1) >= 0:
+            # group rows carry the exact last doc as metadata — no
+            # payload IO just to learn the posting's end
+            last = int(ep.last_doc)
         else:
             # tail's last doc isn't in skip data; decode lazily only if
             # needed — bound it by scanning the tail once here (cheap:
@@ -265,6 +268,65 @@ def wand_topk(
 # --- Spark orchestration ----------------------------------------------------
 
 
+METADATA_COLS = ("seg_id", "term", "df", "ttf", "singleton_docid",
+                 "skip_last_doc", "skip_doc_off", "skip_tf_off",
+                 "bm_tf", "bm_norm", "tail_offset",
+                 "grp_id", "grp_prev_doc", "grp_last_doc")
+
+
+def _make_group_fetcher(idx_path: str, seg_id: int, readahead: int = 4):
+    """Task-side lazy payload reader for one segment.
+
+    The Spark plan ships METADATA-ONLY posting rows to the kernel task
+    (term, df, skip arrays, block-max arrays — a few hundred bytes per
+    group row); encoded byte streams never transit the shuffle/Arrow
+    boundary. When the kernel decodes a block, the owning GROUP row's
+    payload is read straight from parquet: partition-pruned (one
+    seg_id dir), row-group-pruned (rows are written sorted by
+    (term, grp_id), so min/max statistics skip unrelated row groups)
+    and column-pruned (pos_enc is never touched on WAND shapes).
+    Groups whose blocks the kernel prunes by score bound cost NO IO at
+    all. ``readahead`` groups are fetched per read because the
+    interval sweep requests ascend in docid order — the per-leaf .doc
+    stream readahead of the reference, with the scorer task doing its
+    own IO instead of the planner mailing it the stream."""
+    import pyarrow.parquet as pq
+
+    cache: dict[tuple[str, int], tuple[bytes, bytes]] = {}
+
+    def fetch(term: str, grp: int) -> tuple[bytes, bytes]:
+        key = (term, grp)
+        if key not in cache:
+            t = pq.read_table(
+                f"{idx_path}/postings/seg_id={seg_id}",
+                columns=["term", "grp_id", "docs_enc", "tfs_enc"],
+                filters=[("term", "==", term), ("grp_id", ">=", grp),
+                         ("grp_id", "<", grp + readahead)])
+            for tm, g, d, f in zip(t["term"].to_pylist(),
+                                   t["grp_id"].to_pylist(),
+                                   t["docs_enc"].to_pylist(),
+                                   t["tfs_enc"].to_pylist()):
+                cache[(tm, int(g))] = (d if d is not None else b"",
+                                       f if f is not None else b"")
+        return cache[key]
+
+    return fetch
+
+
+def _grouped_postings(idx_path: str, seg_id: int,
+                      pdf: pd.DataFrame) -> dict[str, "GroupedPosting"]:
+    """Assemble one lazy GroupedPosting per term from its metadata rows."""
+    from lucene_solr_spark.index.codec import GroupedPosting
+
+    fetch = _make_group_fetcher(idx_path, seg_id)
+    rows_by_term: dict[str, list[dict]] = {}
+    for i in range(len(pdf)):
+        row = pdf.iloc[i].to_dict()
+        rows_by_term.setdefault(row["term"], []).append(row)
+    return {t: GroupedPosting(rows, lambda g, t=t: fetch(t, g))
+            for t, rows in rows_by_term.items()}
+
+
 def _load_seg_norms(idx_path: str, seg_id: int) -> tuple[np.ndarray, int]:
     """Task-side sidecar read of a segment's norms blob (the .nvd
     open of TermWeight.scorer): a direct pyarrow read of the
@@ -290,13 +352,22 @@ class WandSearcher:
     decoded postings (same scores, no pruning).
     """
 
-    def __init__(self, si: SegmentIndex, k1: float = 1.2, b: float = 0.75):
+    def __init__(self, si: SegmentIndex, k1: float = 1.2, b: float = 0.75,
+                 preload_stats: bool = False):
+        """``preload_stats``: load the WHOLE (term -> df) dictionary
+        into driver memory on first use — one job total instead of one
+        stats-lookup job per novel query term. This is the in-RAM term
+        dictionary of a serving tier (Lucene's FST stays hot in the
+        JVM the same way); memory is O(vocabulary), so leave it off
+        for exploratory sessions over unbounded vocabularies."""
         self.si = si
         self._k1 = k1
         self._b = b
         self.coll = si.coll_stats()
         self.bm25 = BM25(self.coll["doc_count"], self.coll["sum_ttf"], k1=k1, b=b)
         self._df_cache: dict[str, int] = {}
+        self._preload = preload_stats
+        self._preloaded = False
         self._snapshot = tuple(si.live_segments())
 
     def _check_snapshot(self) -> None:
@@ -308,6 +379,7 @@ class WandSearcher:
         if snap != self._snapshot:
             self._snapshot = snap
             self._df_cache.clear()
+            self._preloaded = False
             self.coll = self.si.coll_stats()
             self.bm25 = BM25(self.coll["doc_count"], self.coll["sum_ttf"],
                              k1=self._k1, b=self._b)
@@ -367,6 +439,13 @@ class WandSearcher:
         return None
 
     def _global_df(self, terms: list[str]) -> dict[str, int]:
+        if self._preload and not self._preloaded:
+            rows = (self.si.postings.groupBy("term")
+                    .agg(F.sum("df").alias("df")).collect())
+            self._df_cache = {r["term"]: int(r["df"]) for r in rows}
+            self._preloaded = True
+        if self._preloaded:
+            return {t: self._df_cache.get(t, 0) for t in terms}
         missing = [t for t in set(terms) if t not in self._df_cache]
         if missing:
             rows = (self.si.postings.where(F.col("term").isin(missing))
@@ -431,26 +510,24 @@ class WandSearcher:
         idx_path = self.si.path
 
         def per_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            norms, doc_base = _load_seg_norms(idx_path, int(key[0]))
-            postings: dict[str, EncodedPosting] = {}
+            from lucene_solr_spark.index.codec import decode_posting
+
+            sid = int(key[0])
+            norms, doc_base = _load_seg_norms(idx_path, sid)
+            eps = _grouped_postings(idx_path, sid, pdf)
+            postings = {t: gp for t, gp in eps.items() if t in pos_set}
             exclude = None
-            neg_parts = []
-            for i in range(len(pdf)):
-                row = pdf.iloc[i]
-                t = row["term"]
-                ep = posting_from_row(row)
-                if t in pos_set:
-                    postings[t] = ep
-                if t in neg_set:
-                    from lucene_solr_spark.index.codec import decode_posting
-                    neg_parts.append(decode_posting(ep)[0])
+            neg_parts = [decode_posting(eps[t])[0]
+                         for t in neg_set if t in eps]
             if neg_parts:
                 exclude = np.unique(np.concatenate(neg_parts))
             d, s = wand_topk(postings, weights, norms, doc_base, bm25,
                              k=k_, msm=msm_, exclude=exclude)
             return pd.DataFrame({"docid": d, "score": s})
 
-        rows = self.si.postings.where(F.col("term").isin(present + neg_present))
+        rows = (self.si.postings
+                .where(F.col("term").isin(present + neg_present))
+                .select(*METADATA_COLS))
         per_seg = rows.groupBy("seg_id").applyInPandas(
             per_segment, schema="docid long, score float")
         top = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
@@ -496,11 +573,9 @@ class WandSearcher:
         idx_path = self.si.path
 
         def per_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            norms, doc_base = _load_seg_norms(idx_path, int(key[0]))
-            eps: dict[str, EncodedPosting] = {}
-            for i in range(len(pdf)):
-                row = pdf.iloc[i]
-                eps[row["term"]] = posting_from_row(row)
+            sid = int(key[0])
+            norms, doc_base = _load_seg_norms(idx_path, sid)
+            eps = _grouped_postings(idx_path, sid, pdf)
             from lucene_solr_spark.index.codec import decode_posting
 
             out_q, out_d, out_s = [], [], []
@@ -525,8 +600,9 @@ class WandSearcher:
                 "score": np.concatenate(out_s),
             })
 
-        rows = self.si.postings.where(
-            F.col("term").isin([t for t in all_terms if dfs[t] > 0]))
+        rows = (self.si.postings
+                .where(F.col("term").isin([t for t in all_terms if dfs[t] > 0]))
+                .select(*METADATA_COLS))
         per_seg = rows.groupBy("seg_id").applyInPandas(
             per_segment, schema="qid string, docid long, score float")
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))

@@ -123,3 +123,74 @@ def test_vint_vectorized_matches_scalar(vals):
         slow, pos = read_vints(buf, 0, len(arr))
         np.testing.assert_array_equal(slow, arr)
         assert pos == len(buf)
+
+
+def test_split_posting_roundtrip_and_lazy_groups():
+    """Group sharding: split_posting_to_rows slices decode standalone,
+    GroupedPosting reassembles them bit-equal, and a pruned WAND run
+    fetches only the groups it decodes."""
+    import numpy as np
+
+    from lucene_solr_spark.functions.bm25 import BM25
+    from lucene_solr_spark.index.codec import (
+        BLOCK_SIZE,
+        GROUP_BLOCKS,
+        GroupedPosting,
+        decode_posting,
+        encode_posting,
+        split_posting_to_rows,
+    )
+    from lucene_solr_spark.search.wand import wand_topk
+
+    rng = np.random.default_rng(7)
+    n = GROUP_BLOCKS * BLOCK_SIZE * 2 + 777   # 3 groups, tail in last
+    docs = np.cumsum(rng.integers(1, 5, size=n))
+    tfs = rng.integers(1, 9, size=n)
+    norms_b = rng.integers(1, 255, size=n)
+    pos_flat = np.concatenate(
+        [np.sort(rng.choice(10_000, size=t, replace=False)) for t in tfs])
+    ep = encode_posting(docs, tfs, norms_b)
+    rows = split_posting_to_rows(ep, tfs, pos_flat)
+    assert len(rows) == 3
+    assert [r["grp_id"] for r in rows] == [0, 1, 2]
+    assert rows[-1]["grp_last_doc"] == int(docs[-1])
+    assert sum(r["df"] for r in rows) == n
+    assert sum(r["ttf"] for r in rows) == int(tfs.sum())
+
+    # each row decodes standalone
+    from lucene_solr_spark.index.codec import decode_positions, posting_from_row
+    got_d, got_t, got_p = [], [], []
+    for r in rows:
+        ep_g = posting_from_row(r)
+        d, t = decode_posting(ep_g)
+        got_d.append(d)
+        got_t.append(t)
+        got_p.extend(decode_positions(ep_g.pos_enc, t))
+    assert np.array_equal(np.concatenate(got_d), docs)
+    assert np.array_equal(np.concatenate(got_t), tfs)
+    assert np.array_equal(np.concatenate(got_p), pos_flat)
+
+    # lazy reassembly: bit-equal kernel results, group-pruned IO
+    fetched: list[int] = []
+
+    def fetch(g: int):
+        fetched.append(g)
+        return rows[g]["docs_enc"], rows[g]["tfs_enc"]
+
+    meta_rows = [{k: v for k, v in r.items()
+                  if k not in ("docs_enc", "tfs_enc", "pos_enc")}
+                 for r in rows]
+    gp = GroupedPosting(meta_rows, fetch)
+    gd, gt = decode_posting(gp)
+    assert np.array_equal(gd, docs) and np.array_equal(gt, tfs)
+
+    dense_norms = np.zeros(int(docs[-1]) + 1, dtype=np.uint8)
+    dense_norms[docs] = norms_b
+    bm = BM25(n, int(tfs.sum() * 4))
+    w = {"t": bm.term_weight(n // 3)}
+    d1, s1 = wand_topk({"t": ep}, w, dense_norms, 0, bm, k=10)
+    fetched.clear()
+    gp2 = GroupedPosting(meta_rows, fetch)
+    d2, s2 = wand_topk({"t": gp2}, w, dense_norms, 0, bm, k=10)
+    assert np.array_equal(d1, d2)
+    assert np.array_equal(s1.view(np.int32), s2.view(np.int32))

@@ -269,3 +269,45 @@ def test_meta_commit_generations(spark, pages_tiny, tmp_path_factory):
     commit_segments_meta(live, path)
     assert meta_generations(spark, path)[-1] == 3
     assert read_segments_meta(spark, path).count() == n_live
+
+
+def test_hot_term_group_sharding_end_to_end(spark, tmp_path_factory):
+    """A term with df > GROUP_BLOCKS*BLOCK_SIZE in one segment is
+    written as multiple group rows; search duels the flat engine
+    bit-equal and CheckIndex stays clean."""
+    import numpy as np
+
+    from lucene_solr_spark.index.checkindex import check_index
+    from lucene_solr_spark.index.codec import BLOCK_SIZE, GROUP_BLOCKS
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.wand import WandSearcher
+    from pyspark.sql import functions as F
+
+    n = GROUP_BLOCKS * BLOCK_SIZE + 900       # 8192 + 900 docs
+    pages = spark.range(n).select(
+        F.format_string("https://h/%06d", F.col("id")).alias("url"),
+        F.concat(F.lit("hot common"),
+                 F.when(F.col("id") % 3 == 0, F.lit(" trio")).otherwise(F.lit("")),
+                 F.format_string(" w%03d", F.pmod(F.col("id"), F.lit(211))),
+                 ).alias("text"))
+    path = str(tmp_path_factory.mktemp("grpshard") / "idx")
+    si = build_segment_index(pages, path, seg_size=1 << 14, salt_span=SALT)
+
+    hot_rows = (si.postings.where(F.col("term") == "hot")
+                .select("grp_id", "df", "grp_prev_doc", "grp_last_doc")
+                .orderBy("grp_id").collect())
+    assert [int(r["grp_id"]) for r in hot_rows] == [0, 1]
+    assert sum(int(r["df"]) for r in hot_rows) == n
+    assert int(hot_rows[1]["grp_prev_doc"]) == int(hot_rows[0]["grp_last_doc"])
+    assert int(hot_rows[1]["grp_last_doc"]) == n - 1
+
+    assert check_index(si)["clean"]
+
+    flat = Searcher(si.as_flat_tables(), mode="lucene")
+    ws = WandSearcher(si)
+    for q in ("hot", "hot AND trio", "hot OR w003", "trio NOT w005"):
+        a = [(r["docid"], np.float32(r["score"]))
+             for r in ws.search(q, k=10).orderBy("rank").collect()]
+        b = [(r["docid"], np.float32(r["score"]))
+             for r in flat.search(q, k=10).orderBy("rank").collect()]
+        assert a == b, q

@@ -780,21 +780,29 @@ FROM documents GROUP BY md5(text)
 
 
 def _dedup_jaccard(spark, sf):
+    # explicit hot-shingle cap (capped-Jaccard semantics; mirrored in
+    # the oracle's qualifying filter) — bounds the shared-shingle
+    # self-join at any corpus scale
     docs = _load(spark, sf, "documents")
-    return D.jaccard_pairs(docs, n=3, threshold=0.10).select(
+    return D.jaccard_pairs(docs, n=3, threshold=0.10,
+                           max_shingle_df=1_000).select(
         "id_a", "id_b", F.col("inter").cast("long").alias("inter"),
         F.col("size_a").cast("long").alias("size_a"),
         F.col("size_b").cast("long").alias("size_b"))
 
 
 _register("dedup_jaccard", _dedup_jaccard, """
-WITH sh AS (
+WITH sh0 AS (
   SELECT DISTINCT doc_id AS id, sh AS shingle FROM (
     SELECT doc_id,
            unnest([array_to_string(arr[i+1:i+3], ' ')
                    for i in range(greatest(len(arr) - 2, 0))]) AS sh
     FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
   )
+),
+sh AS (
+  SELECT id, shingle FROM sh0
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
 ),
 sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
 inter AS (

@@ -374,11 +374,29 @@ def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
         for i, p in enumerate(planes))
 
 
+_IVF_CENTROIDS = SIM._hyperplanes(_EMB_DIM, 4, seed=7)
+
+
+def _ann_index(spark, sf) -> str:
+    """Build (once per sf) the persisted bucket/cell ANN layout —
+    probes are partition-pruned reads, not corpus re-hashing."""
+    import glob as _glob
+
+    key = os.path.basename(sf.rstrip("/"))
+    path = f"/tmp/driver_annidx_v2_{key}"
+    if not _glob.glob(f"{path}/lsh/_SUCCESS"):
+        emb = _load(spark, sf, "embeddings")
+        SIM.build_ann_index(emb, path, dim=_EMB_DIM, n_planes=8, seed=42,
+                            centroids=_IVF_CENTROIDS)
+    return path
+
+
 def _ann_lsh(spark, sf):
     emb = _load(spark, sf, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    out = SIM.lsh_topk(emb, list(qvec), dim=_EMB_DIM, k=10, n_planes=8,
-                       seed=42, probe_hamming=1)
+    out = SIM.lsh_topk_indexed(spark, _ann_index(spark, sf), list(qvec),
+                               dim=_EMB_DIM, k=10, n_planes=8, seed=42,
+                               probe_hamming=1)
     return out.select("vec_id", "cos_q", F.col("rank").cast("long").alias("rank"))
 
 
@@ -412,13 +430,11 @@ FROM scored QUALIFY rank <= 10
 """)
 
 
-_IVF_CENTROIDS = SIM._hyperplanes(_EMB_DIM, 4, seed=7)
-
-
 def _ann_ivf(spark, sf):
     emb = _load(spark, sf, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    out = SIM.ivf_topk(emb, list(qvec), _IVF_CENTROIDS, k=10, nprobe=2)
+    out = SIM.ivf_topk_indexed(spark, _ann_index(spark, sf), list(qvec),
+                               _IVF_CENTROIDS, k=10, nprobe=2)
     return out.select("vec_id", "cos_q", F.col("rank").cast("long").alias("rank"))
 
 

@@ -78,15 +78,25 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3, threshold: float = 0.8,
-                  max_shingle_df: int | None = None) -> DataFrame:
+                  max_shingle_df: int | None = 10_000) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
     Candidate generation via the shared-shingle inverted join (only
     pairs sharing >= 1 surviving shingle are compared); intersection
     and union are exact integer counts so the result is
     engine-independent. Returns (id_a, id_b, inter, size_a, size_b).
+
+    ``max_shingle_df`` bounds the self-join blowup: a shingle shared
+    by d docs contributes d*(d-1)/2 candidate pairs, so ONE viral
+    shingle (boilerplate, license header) can make the join quadratic
+    in corpus size. Shingles above the cap are dropped from BOTH the
+    intersection and the set sizes (capped-Jaccard semantics — the
+    standard stop-shingle treatment); pass None to disable. The
+    shingle explosion is deliberately NOT cached: it's a pure-codegen
+    expansion that is cheaper to recompute per use than to pin at
+    webtext scale.
     """
-    sh = word_shingles(df, text_col, id_col, n).cache()
+    sh = word_shingles(df, text_col, id_col, n)
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(
             F.col("df") > max_shingle_df).select("shingle")

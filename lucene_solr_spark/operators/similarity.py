@@ -146,6 +146,89 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float],
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def build_ann_index(embeddings: DataFrame, path: str, dim: int,
+                    n_planes: int = 8, seed: int = 42,
+                    centroids: list[list[float]] | None = None,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Materialize the ANN layout ONCE at ingest: vectors written
+    partitioned by their LSH ``bucket`` (and, when centroids are
+    given, by their IVF ``cell``). A probe then reads only its probe
+    partitions — partition pruning in the scan, independent of corpus
+    size — instead of re-computing bucket bits over the whole corpus
+    per query (the round-1 scale hazard). This is the inverted-file
+    structure of FAISS-style IVF expressed as a parquet partition key.
+    """
+    slim = embeddings.select(id_col, vec_col)
+    b = lsh_bucket(slim, dim, n_planes, seed, vec_col)
+    b.write.partitionBy("bucket").mode("overwrite").parquet(f"{path}/lsh")
+    if centroids is not None:
+        c = ivf_assign(slim, centroids, vec_col)
+        c.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/ivf")
+
+
+def _scored_topk(cand: DataFrame, query_vec: list[float], k: int,
+                 id_col: str, vec_col: str) -> DataFrame:
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col),
+        F.floor(cosine(F.col(vec_col), qlit) * 1_000_000).cast("long").alias("cos_q"),
+    )
+    top = scored.orderBy(F.desc("cos_q"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("cos_q"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def lsh_query_buckets(query_vec: list[float], dim: int, n_planes: int = 8,
+                      seed: int = 42, probe_hamming: int = 1) -> list[int]:
+    """Multi-probe bucket set for a query vector (same planes/seed as
+    the index build)."""
+    import numpy as np
+
+    planes = np.array(_hyperplanes(dim, n_planes, seed))
+    qb = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(p, np.array(query_vec))) > 0:
+            qb |= 1 << i
+    if probe_hamming >= 1:
+        return [qb] + [qb ^ (1 << i) for i in range(n_planes)]
+    return [qb]
+
+
+def lsh_topk_indexed(spark, path: str, query_vec: list[float], dim: int,
+                     k: int = 10, n_planes: int = 8, seed: int = 42,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     probe_hamming: int = 1) -> DataFrame:
+    """LSH ANN over the PERSISTED bucket layout: the probe is a
+    partition-pruned read of the probe buckets (PartitionFilters in
+    the scan — verified in tests), then exact cosine on candidates.
+    Identical results to lsh_topk for the same (planes, seed)."""
+    probe = lsh_query_buckets(query_vec, dim, n_planes, seed, probe_hamming)
+    cand = spark.read.parquet(f"{path}/lsh").where(F.col("bucket").isin(probe))
+    return _scored_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_probe_cells(query_vec: list[float], centroids: list[list[float]],
+                    nprobe: int = 2) -> list[int]:
+    import numpy as np
+
+    c = np.array(centroids, dtype=np.float64)
+    qv = np.array(query_vec, dtype=np.float64)
+    cos_q = (c @ qv) / (np.linalg.norm(c, axis=1) * np.linalg.norm(qv))
+    return [int(i) for i in np.lexsort((np.arange(len(c)), -cos_q))[:nprobe]]
+
+
+def ivf_topk_indexed(spark, path: str, query_vec: list[float],
+                     centroids: list[list[float]], k: int = 10,
+                     nprobe: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN over the PERSISTED cell layout: reads only the nprobe
+    closest cells' partitions (partition pruning), then exact cosine.
+    Identical results to ivf_topk for the same centroid list."""
+    probe = ivf_probe_cells(query_vec, centroids, nprobe)
+    cand = spark.read.parquet(f"{path}/ivf").where(F.col("cell").isin(probe))
+    return _scored_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_topk(embeddings: DataFrame, query_vec: list[float], dim: int,
              k: int = 10, n_planes: int = 8, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -1033,6 +1033,9 @@ DRIVER_PRIORITY = [
     "ft_phrase_sloppy", "common_terms", "boosting_query", "gather_nodes",
     "events_sessionize", "agg_cube", "term_vectors", "percolate",
     "group_expand", "blended_term",
+    # new in round 2: edismax-lite syntax, span algebra, LM-Dirichlet
+    "ft_field_term", "ft_boosted", "ft_edismax",
+    "span_or", "span_not", "ft_lmd",
 ]
 
 

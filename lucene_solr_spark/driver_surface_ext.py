@@ -1139,3 +1139,162 @@ agg AS (
 )
 {_topk_sql("SELECT * FROM agg", 10)}
 """)
+
+
+# ---- edismax-lite request syntax (field:term, ^boost, +/- markers) --------
+
+def _ft_field_term(spark, sf):
+    """Field-qualified term syntax (`text:merge AND hash`) through the
+    extended parser (ExtendedDismaxQParser's most-used request form)."""
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    return s.search_quantized("text:merge AND hash", k=10)
+
+
+_register("ft_field_term", _ft_field_term, f"""
+WITH {FT_BASE}, {_ft_scored(['merge', 'hash'])},
+agg AS (
+  SELECT doc_id, CAST(floor(sum(s) * 1000000) AS BIGINT) AS score_q
+  FROM scored GROUP BY doc_id HAVING count(*) = 2
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
+def _ft_boosted(spark, sf):
+    """Per-clause boost syntax (`merge^2 OR scan`): the boosted clause
+    contributes boost * BM25 to the disjunction sum."""
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    return s.search_quantized("merge^2 OR scan", k=10)
+
+
+_register("ft_boosted", _ft_boosted, f"""
+WITH {FT_BASE}, {_ft_scored(['merge', 'scan'])},
+agg AS (
+  SELECT doc_id,
+         CAST(floor(sum(CASE WHEN term = 'merge' THEN s * 2.0 ELSE s END)
+                    * 1000000) AS BIGINT) AS score_q
+  FROM scored GROUP BY doc_id
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
+def _ft_edismax(spark, sf):
+    """The +required / optional / -prohibited clause-list form
+    (`scan +merge -slow`): MUST merge scored, scan adds when present
+    (ReqOptSumScorer), slow excluded at iterator level."""
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    return s.search_quantized("scan +merge -slow", k=10)
+
+
+_register("ft_edismax", _ft_edismax, f"""
+WITH {FT_BASE}, {_ft_scored(['merge', 'scan'])},
+req AS (SELECT doc_id, s FROM scored WHERE term = 'merge'),
+opt AS (SELECT doc_id, s FROM scored WHERE term = 'scan'),
+agg AS (
+  SELECT r.doc_id,
+         CAST(floor((r.s + coalesce(o.s, 0)) * 1000000) AS BIGINT) AS score_q
+  FROM req r LEFT JOIN opt o USING (doc_id)
+  WHERE r.doc_id NOT IN (SELECT doc_id FROM postings WHERE term = 'slow')
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
+# ---- span algebra completion: SpanOr / SpanNot -----------------------------
+
+def _span_or(spark, sf):
+    from lucene_solr_spark.operators.spans import span_or_count
+
+    idx = _docs_index(spark, sf)
+    return span_or_count(idx, ["scan", "slow"]).select(
+        F.col("docid").alias("doc_id"),
+        F.col("n_spans").cast("long").alias("n_spans"))
+
+
+_register("span_or", _span_or, f"""
+WITH {FT_BASE}
+SELECT doc_id, count(DISTINCT pos)::BIGINT AS n_spans
+FROM tokf WHERE term IN ('scan','slow')
+GROUP BY doc_id
+""")
+
+
+def _span_not(spark, sf):
+    from lucene_solr_spark.operators.spans import span_not_pairs
+
+    idx = _docs_index(spark, sf)
+    return span_not_pairs(idx, "hash", "join", pre=1, post=1).select(
+        F.col("docid").alias("doc_id"),
+        F.col("kept").cast("long").alias("kept"))
+
+
+_register("span_not", _span_not, f"""
+WITH {FT_BASE},
+inc AS (SELECT doc_id, pos FROM tokf WHERE term='hash'),
+exc AS (SELECT doc_id, pos FROM tokf WHERE term='join'),
+kept AS (
+  SELECT i.doc_id, count(*)::BIGINT AS kept
+  FROM inc i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM exc e
+    WHERE e.doc_id = i.doc_id AND e.pos BETWEEN i.pos - 1 AND i.pos + 1)
+  GROUP BY i.doc_id
+)
+SELECT doc_id, kept FROM kept
+""")
+
+
+# ---- §2.10 LM-Dirichlet similarity -----------------------------------------
+
+_LMD_MU = 2000.0
+
+
+def _ft_lmd(spark, sf):
+    """LMDirichletSimilarity (search/similarities/
+    LMDirichletSimilarity.java:66-71 + LMSimilarity.java
+    DefaultCollectionModel): per-term score = max(0, ln(1 + tf/(mu*p))
+    + ln(mu/(dl+mu))) with p = (ttf+1)/(numFieldTokens+1), mu=2000;
+    SHOULD clauses sum. sql-mode (float64, exact doclen), quantized."""
+    idx = _docs_index(spark, sf)
+    terms = ["scan", "slow"]
+    p = idx.postings.where(F.col("term").isin(terms)).select(
+        "term", "docid", "tf")
+    ts = idx.term_stats.where(F.col("term").isin(terms)).select("term", "ttf")
+    d = idx.docs.select("docid", "doclen")
+    j = p.join(F.broadcast(ts), "term").join(d, "docid")
+    n_tok = float(idx.coll_stats["sum_ttf"])
+    pc = (F.col("ttf").cast("double") + F.lit(1.0)) / F.lit(n_tok + 1.0)
+    s = F.greatest(
+        F.lit(0.0),
+        F.log(F.lit(1.0) + F.col("tf").cast("double") / (F.lit(_LMD_MU) * pc))
+        + F.log(F.lit(_LMD_MU) / (F.col("doclen").cast("double") + F.lit(_LMD_MU))))
+    agg = (j.select("docid", s.alias("s"))
+           .groupBy("docid")
+           .agg(F.floor(F.sum("s") * Q).cast("long").alias("score_q")))
+    top = agg.orderBy(F.desc("score_q"), F.asc("docid")).limit(10)
+    w = Window.orderBy(F.desc("score_q"), F.asc("docid"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.col("docid").alias("doc_id"), "score_q", "rank")
+
+
+_register("ft_lmd", _ft_lmd, f"""
+WITH {FT_BASE},
+ttfs AS (SELECT term, sum(tf)::DOUBLE AS ttf FROM postings GROUP BY term),
+sc AS (
+  SELECT p.doc_id,
+         greatest(0.0,
+           ln(1.0 + p.tf::DOUBLE / ({_LMD_MU} * ((ts.ttf + 1.0) / (cs.sttf + 1.0))))
+           + ln({_LMD_MU} / (dl.doclen::DOUBLE + {_LMD_MU}))) AS s
+  FROM postings p
+  JOIN ttfs ts USING (term)
+  JOIN doclen dl USING (doc_id)
+  CROSS JOIN cstats cs
+  WHERE p.term IN ('scan','slow')
+),
+agg AS (
+  SELECT doc_id, CAST(floor(sum(s) * 1000000) AS BIGINT) AS score_q
+  FROM sc GROUP BY doc_id
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")

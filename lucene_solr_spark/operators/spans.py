@@ -37,3 +37,35 @@ def span_near_pairs(index: IndexTables, first: str, second: str,
         lambda acc, x: acc + F.size(F.filter(F.col("p2"), lambda y: cond(x, y))),
     )
     return j.select("docid", pairs.alias("pairs")).where(F.col("pairs") > 0)
+
+
+def span_or_count(index: IndexTables, terms: list[str]) -> DataFrame:
+    """SpanOrQuery (spans/SpanOrQuery.java): the union of the clauses'
+    spans. For term spans the matches per doc are the union of the
+    terms' position sets; returns (docid, n_spans) — one scan, explode
+    + distinct, no UDF."""
+    p = (index.postings.where(F.col("term").isin(list(terms)))
+         .select("docid", F.explode("positions").alias("pos"))
+         .distinct())
+    return p.groupBy("docid").agg(F.count(F.lit(1)).alias("n_spans"))
+
+
+def span_not_pairs(index: IndexTables, include: str, exclude: str,
+                   pre: int = 0, post: int = 0) -> DataFrame:
+    """SpanNotQuery (spans/SpanNotQuery.java): spans of ``include``
+    with NO ``exclude`` span inside [start - pre, end + post]. For
+    term spans: include positions x such that no exclude position lies
+    in [x - pre, x + post]. Docs without any exclude posting keep all
+    their spans (left join + empty-array coalesce). Returns
+    (docid, kept)."""
+    a = index.postings.where(F.col("term") == include).select(
+        "docid", F.col("positions").alias("p1"))
+    b = index.postings.where(F.col("term") == exclude).select(
+        "docid", F.col("positions").alias("p2"))
+    j = a.join(b, "docid", "left")
+    p2 = F.coalesce(F.col("p2"), F.array().cast("array<int>"))
+    kept = F.size(F.filter(
+        F.col("p1"),
+        lambda x: F.size(F.filter(
+            p2, lambda y: (y >= x - F.lit(pre)) & (y <= x + F.lit(post)))) == 0))
+    return j.select("docid", kept.alias("kept")).where(F.col("kept") > 0)

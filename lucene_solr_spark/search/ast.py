@@ -275,13 +275,29 @@ class TermInSetQ(MultiTermQ):
 
 
 # --- mini-language parser ------------------------------------------------
+#
+# The benchmark mini-language (query-terms.txt style) extended with the
+# most-used ExtendedDismaxQParser request syntax
+# (solr/core/src/java/org/apache/solr/search/ExtendedDismaxQParser.java):
+#   field:term            field-qualified term (single indexed field
+#                         'text' in this engine; unknown fields raise,
+#                         like an undefined Solr schema field)
+#   term^2.5              per-clause boost (BoostQuery)
+#   "a b"~2               sloppy phrase (slop suffix)
+#   +term / -term         required / prohibited markers in an implicit
+#                         clause list: `web +spider -crawl` scores web
+#                         optionally, requires spider, excludes crawl
+#                         (MUST/SHOULD -> ReqOptSumScorer shape)
+#   a b c                 implicit OR (edismax default q.op=OR)
 
-_TOKEN_RE = re.compile(r'\(|\)|"[^"]*"|AND|OR|NOT|[^\s()]+')
+_TOKEN_RE = re.compile(r'\(|\)|"[^"]*"(?:~\d+)?(?:\^[\d.]+)?|AND|OR|NOT|[^\s()]+')
+
+INDEXED_FIELDS = ("text",)
 
 
 def parse_query(s: str) -> Query:
-    """Parse the benchmark query language (query-terms.txt style):
-    ``a AND b``, ``(a AND b) OR c``, ``"exact phrase"``, ``a NOT b``.
+    """Parse ``a AND b``, ``(a AND b) OR c``, ``"exact phrase"``,
+    ``a NOT b``, plus the edismax-lite extensions documented above.
     AND binds tighter than OR; NOT is infix (a NOT b = +a -b).
     """
     tokens = _TOKEN_RE.findall(s)
@@ -300,39 +316,88 @@ def parse_query(s: str) -> Query:
         pos += 1
         return t
 
-    def parse_atom() -> Query:
+    def leaf(tok: str) -> Query:
+        boost = 1.0
+        m = re.search(r"\^([\d.]+)$", tok)
+        if m:
+            boost = float(m.group(1))
+            tok = tok[: m.start()]
+        if tok.startswith('"'):
+            slop = 0
+            m = re.search(r'~(\d+)$', tok)
+            if m:
+                slop = int(m.group(1))
+                tok = tok[: m.start()]
+            words = tok.strip('"').split()
+            if len(words) == 1 and slop == 0:
+                return TermQ(words[0].lower(), boost=boost)
+            return PhraseQ(tuple(w.lower() for w in words), slop=slop,
+                           boost=boost)
+        if ":" in tok:
+            field, _, term = tok.partition(":")
+            if field.lower() not in INDEXED_FIELDS:
+                raise ValueError(f"unknown field {field!r} in {s!r}")
+            tok = term
+        if not tok:
+            raise ValueError(f"empty term in {s!r}")
+        return TermQ(tok.lower(), boost=boost)
+
+    def parse_atom() -> tuple[str, Query]:
         t = peek()
+        marker = ""
+        if t in ("+", "-"):
+            marker = eat()
+            t = peek()
+        elif t and len(t) > 1 and t[0] in "+-" and not t[1].isdigit():
+            marker = t[0]
+            tokens[pos] = t[1:]
+            t = tokens[pos]
         if t == "(":
             eat("(")
             q = parse_or()
             eat(")")
-            return q
-        t = eat()
-        if t.startswith('"'):
-            words = t.strip('"').split()
-            if len(words) == 1:
-                return TermQ(words[0].lower())
-            return PhraseQ(tuple(w.lower() for w in words))
-        return TermQ(t.lower())
+            return marker, q
+        return marker, leaf(eat())
 
-    def parse_and() -> Query:
-        clauses = [parse_atom()]
+    def parse_and() -> tuple[str, Query]:
+        marker, first = parse_atom()
+        clauses = [first]
         while peek() in ("AND", "NOT"):
             op = eat()
-            rhs = parse_atom()
+            _, rhs = parse_atom()   # markers are moot under explicit ops
             if op == "AND":
                 clauses.append(rhs)
             else:
                 left = clauses[0] if len(clauses) == 1 else AndQ(tuple(clauses))
                 clauses = [NotQ(left, rhs)]
-        return clauses[0] if len(clauses) == 1 else AndQ(tuple(clauses))
+        return marker, (clauses[0] if len(clauses) == 1 else AndQ(tuple(clauses)))
 
     def parse_or() -> Query:
-        clauses = [parse_and()]
-        while peek() == "OR":
-            eat("OR")
-            clauses.append(parse_and())
-        return clauses[0] if len(clauses) == 1 else OrQ(tuple(clauses))
+        parts = [parse_and()]
+        while peek() is not None and peek() != ")":
+            if peek() == "OR":
+                eat("OR")
+            parts.append(parse_and())
+        if len(parts) == 1 and parts[0][0] == "":
+            return parts[0][1]
+        must = [q for m, q in parts if m == "+"]
+        nots = [q for m, q in parts if m == "-"]
+        should = [q for m, q in parts if m == ""]
+        if not must and not nots:
+            return OrQ(tuple(should))
+        if must:
+            base = must[0] if len(must) == 1 else AndQ(tuple(must))
+            if should:
+                opt = should[0] if len(should) == 1 else OrQ(tuple(should))
+                base = ReqOptQ(base, opt)
+        elif should:
+            base = should[0] if len(should) == 1 else OrQ(tuple(should))
+        else:
+            base = MatchAllQ()   # pure-negative query (Solr's rewrite)
+        if nots:
+            neg = nots[0] if len(nots) == 1 else OrQ(tuple(nots))
+            base = NotQ(base, neg)
+        return base
 
     q = parse_or()
     if pos != len(tokens):

@@ -180,3 +180,20 @@ def test_random_query_duel_vs_oracle(tiny_index, tiny_oracle):
                for r in s.search(q, k=10).orderBy("rank").collect()]
         exp = [(d, np.float32(v)) for d, v in tiny_oracle.top_k(q, k=10)]
         assert got == exp, f"query #{i}: {q.key()}"
+
+
+def test_parser_edismax_lite():
+    """Extended request syntax: field:term, ^boost, "phrase"~slop,
+    +required/-prohibited markers, implicit OR."""
+    from lucene_solr_spark.search import ast as A
+
+    assert A.parse_query("text:merge") == A.TermQ("merge")
+    assert A.parse_query("merge^2") == A.TermQ("merge", boost=2.0)
+    assert A.parse_query('"hash join"~2') == A.PhraseQ(("hash", "join"), slop=2)
+    q = A.parse_query("scan +merge -slow")
+    assert q == A.NotQ(A.ReqOptQ(A.TermQ("merge"), A.TermQ("scan")),
+                       A.TermQ("slow"))
+    assert A.parse_query("a b") == A.OrQ((A.TermQ("a"), A.TermQ("b")))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        A.parse_query("nosuchfield:x")

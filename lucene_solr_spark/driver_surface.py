@@ -1027,7 +1027,7 @@ DRIVER_PRIORITY = [
     "synonym", "req_opt", "suggest_prefix", "spellcheck", "more_like_this",
     "highlight", "export_sorted", "diversified_topk", "rerank",
     "blockjoin_parent", "blockjoin_child", "point_range",
-    "stats_percentile", "cardinality", "cardinality_hll",
+    "stats_percentile", "cardinality", "ft_multiphrase",
     "ann_lsh", "ann_ivf", "mm_decode", "mm_frames",
     "function_query", "knn_classify", "ft_tfidf", "span_first",
     "ft_phrase_sloppy", "common_terms", "boosting_query", "gather_nodes",

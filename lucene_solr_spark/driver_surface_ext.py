@@ -805,26 +805,102 @@ GROUP BY doc_id HAVING min(pos) < 5
 # ---- sloppy phrase + segment-store phrase ---------------------------------
 
 def _ft_phrase_sloppy(spark, sf):
-    """Sloppy phrase (slop=2) — pair-count freq semantics (see
-    Searcher._eval_sloppy_phrase), quantized sql-mode scoring."""
+    """Sloppy phrase (slop=2) with Lucene's EXACT distance-weighted
+    freq: the greedy PhraseQueue traversal of SloppyPhraseScorer
+    .phraseFreq, each match worth sloppyFreq(d)=1/(d+1). The oracle
+    simulates the same state machine via a recursive CTE (fuzz-tested
+    against the kernel: tests/test_index_and_search.py)."""
     s = Searcher(_docs_index(spark, sf), mode="sql")
     m = s.matches(A.PhraseQ(("hash", "join"), slop=2))
     return _quantize_topk(m, 10)
 
 
-_register("ft_phrase_sloppy", _ft_phrase_sloppy, f"""
-WITH {FT_BASE},
-ph AS (
-  SELECT p1.doc_id, count(*)::BIGINT AS pfreq
-  FROM (SELECT doc_id, pos FROM tokf WHERE term='hash') p1
-  JOIN (SELECT doc_id, pos FROM tokf WHERE term='join') p2
-    ON p1.doc_id = p2.doc_id AND abs(p2.pos - (p1.pos + 1)) <= 2
-  GROUP BY p1.doc_id
+# Recursive-CTE simulation of SloppyPhraseScorer.phraseFreq for two
+# terms: state = (current index into each rebased position list, the
+# active minimum pp, the current minimal window ml, max position e,
+# accumulated freq); one recursion step = one advancePP().
+_SLOPPY_FREQ_CTE = """
+pa AS (SELECT doc_id, list(pos ORDER BY pos) AS arr
+       FROM tokf WHERE term='{t1}' GROUP BY doc_id),
+pb AS (SELECT doc_id, list(pos - 1 ORDER BY pos) AS arr
+       FROM tokf WHERE term='{t2}' GROUP BY doc_id),
+st AS (
+  SELECT a.doc_id, a.arr AS la, b.arr AS lb,
+         1 AS ia, 1 AS ib,
+         CASE WHEN a.arr[1] <= b.arr[1] THEN 0 ELSE 1 END AS act,
+         greatest(a.arr[1], b.arr[1]) - least(a.arr[1], b.arr[1]) AS ml,
+         greatest(a.arr[1], b.arr[1]) AS e,
+         0.0::DOUBLE AS freq, FALSE AS done
+  FROM pa a JOIN pb b USING (doc_id)
+  UNION ALL
+  SELECT doc_id, la, lb,
+         CASE WHEN act = 0 AND NOT nexh THEN ia + 1 ELSE ia END,
+         CASE WHEN act = 1 AND NOT nexh THEN ib + 1 ELSE ib END,
+         CASE WHEN nexh THEN act
+              WHEN npos > opos THEN 1 - act ELSE act END,
+         CASE WHEN nexh THEN ml
+              WHEN npos > opos THEN ne - opos
+              ELSE least(ml, ne - npos) END,
+         ne,
+         CASE WHEN (nexh OR npos > opos) AND ml <= {slop}
+              THEN freq + 1.0 / (ml + 1) ELSE freq END,
+         nexh
+  FROM (
+    SELECT *,
+           CASE WHEN act = 0 THEN ia + 1 > len(la)
+                ELSE ib + 1 > len(lb) END AS nexh,
+           CASE WHEN act = 0 THEN la[ia + 1] ELSE lb[ib + 1] END AS npos,
+           CASE WHEN act = 0 THEN lb[ib] ELSE la[ia] END AS opos,
+           greatest(e, CASE WHEN act = 0 THEN coalesce(la[ia + 1], e)
+                            ELSE coalesce(lb[ib + 1], e) END) AS ne
+    FROM st WHERE NOT done
+  )
 ),
+ph AS (SELECT doc_id, freq AS pfreq FROM st WHERE done AND freq > 0)
+"""
+
+
+_register("ft_phrase_sloppy", _ft_phrase_sloppy, f"""
+WITH RECURSIVE {FT_BASE},
+{_SLOPPY_FREQ_CTE.format(t1='hash', t2='join', slop=2)},
 idfs AS (
   SELECT (SELECT ln(1+(cs.n - ts.df + 0.5)/(ts.df + 0.5)) FROM tstats ts, cstats cs WHERE ts.term='hash')
        + (SELECT ln(1+(cs.n - ts.df + 0.5)/(ts.df + 0.5)) FROM tstats ts, cstats cs WHERE ts.term='join')
        AS idf_sum
+),
+agg AS (
+  SELECT ph.doc_id,
+         CAST(floor((i.idf_sum * 2.2) * ph.pfreq
+              / (ph.pfreq + 1.2 * (0.25 + 0.75 * dl.doclen / (cs.sttf / cs.n)))
+              * 1000000) AS BIGINT) AS score_q
+  FROM ph JOIN doclen dl USING (doc_id) CROSS JOIN cstats cs CROSS JOIN idfs i
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
+def _ft_multiphrase(spark, sf):
+    """MultiPhraseQuery (search/MultiPhraseQuery.java): slot 0 accepts
+    hash OR merge, slot 1 requires join — OR-per-position union
+    postings, exact-phrase intersection, idf summed over ALL terms."""
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    m = s.matches(A.MultiPhraseQ((("hash", "merge"), ("join",))))
+    return _quantize_topk(m, 10)
+
+
+_register("ft_multiphrase", _ft_multiphrase, f"""
+WITH {FT_BASE},
+s0 AS (SELECT DISTINCT doc_id, pos FROM tokf WHERE term IN ('hash','merge')),
+s1 AS (SELECT doc_id, pos FROM tokf WHERE term='join'),
+ph AS (
+  SELECT s0.doc_id, count(*)::DOUBLE AS pfreq
+  FROM s0 JOIN s1 ON s0.doc_id = s1.doc_id AND s1.pos = s0.pos + 1
+  GROUP BY s0.doc_id
+),
+idfs AS (
+  SELECT sum(ln(1+(cs.n - ts.df + 0.5)/(ts.df + 0.5))) AS idf_sum
+  FROM tstats ts CROSS JOIN cstats cs
+  WHERE ts.term IN ('hash','join','merge')
 ),
 agg AS (
   SELECT ph.doc_id,

@@ -58,6 +58,20 @@ class PhraseQ(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQ(Query):
+    """MultiPhraseQuery (search/MultiPhraseQuery.java): a phrase whose
+    slots each accept ANY of a set of terms (OR-per-position) — the
+    query produced by analysis-time synonym expansion. slop follows
+    PhraseQuery semantics."""
+    slots: tuple[tuple[str, ...], ...]
+    slop: int = 0
+    boost: float = 1.0
+
+    def key(self) -> str:
+        return "mp:" + " ".join("|".join(sorted(s)) for s in self.slots)
+
+
+@dataclass(frozen=True)
 class AndQ(Query):
     """BooleanQuery with all-MUST clauses (ConjunctionDISI leapfrog →
     inner joins on docid; scores sum)."""

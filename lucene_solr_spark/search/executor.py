@@ -54,11 +54,56 @@ B = 0.75
 SCORE_QUANTUM = 1_000_000  # sql-mode cross-engine score quantization
 
 
+def _sloppy_phrase_freq(rebased: list, slop: int) -> float:
+    """The greedy PhraseQueue traversal of SloppyPhraseScorer.phraseFreq
+    (SloppyPhraseScorer.java:96-133) over ALREADY-REBASED per-slot
+    position arrays (position - query offset). Tie order on equal
+    rebased positions follows PhraseQueue.lessThan: (position, offset,
+    ord). Returns sum of 1/(matchLength+1) over scored matches."""
+    import heapq
+
+    n = len(rebased)
+    idx = [0] * n
+    if any(len(r) == 0 for r in rebased):
+        return 0.0
+    heap = [(int(rebased[i][0]), i, i) for i in range(n)]
+    heapq.heapify(heap)
+    end = max(int(r[0]) for r in rebased)
+    freq = 0.0
+    pos, off, ord_ = heapq.heappop(heap)
+    match_length = end - pos
+    next_ = heap[0][0] if heap else pos
+    while True:
+        # advancePP(pp)
+        idx[ord_] += 1
+        if idx[ord_] >= len(rebased[ord_]):
+            break  # exhausted -> final match check below
+        pos = int(rebased[ord_][idx[ord_]])
+        if pos > end:
+            end = pos
+        if pos > next_:
+            if match_length <= slop:
+                freq += 1.0 / (match_length + 1)
+            heapq.heappush(heap, (pos, off, ord_))
+            pos, off, ord_ = heapq.heappop(heap)
+            next_ = heap[0][0] if heap else pos
+            match_length = end - pos
+        else:
+            ml2 = end - pos
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        freq += 1.0 / (match_length + 1)
+    return freq
+
+
 def _collect_terms(q: A.Query) -> set[str]:
     if isinstance(q, A.TermQ):
         return {q.term}
     if isinstance(q, A.PhraseQ):
         return set(q.terms)
+    if isinstance(q, A.MultiPhraseQ):
+        return {t for slot in q.slots for t in slot}
     if isinstance(q, (A.AndQ, A.OrQ, A.DisMaxQ)):
         return set().union(*(_collect_terms(c) for c in q.clauses))
     if isinstance(q, A.NotQ):
@@ -227,6 +272,8 @@ class Searcher:
             return pos.join(neg, "docid", "left_anti")
         if isinstance(q, A.PhraseQ):
             return self._eval_phrase(q)
+        if isinstance(q, A.MultiPhraseQ):
+            return self._eval_multi_phrase(q)
         if isinstance(q, A.DisMaxQ):
             return self._eval_dismax(q, scored)
         if isinstance(q, A.SynonymQ):
@@ -512,35 +559,95 @@ class Searcher:
         return j.select("docid", pscore(F.col("pfreq"), F.col("norm_byte")).alias("score"))
 
     def _eval_sloppy_phrase(self, q: A.PhraseQ) -> DataFrame:
-        """Two-term sloppy phrase (SloppyPhraseScorer's shape with a
-        simplified, engine-defined freq: the number of position pairs
-        with |p2 - (p1+1)| <= slop. The reference weights matches by
-        1/(distance+1) — SloppyPhraseScorer.java:588 via
-        Similarity.SimScorer — which we deliberately replace with a
-        pair count so the semantics stay SQL-expressible/oracle-
-        checkable; scoring then follows the exact-phrase path: summed
-        idf, freq = pair count)."""
-        if len(q.terms) != 2:
-            raise NotImplementedError("sloppy phrase supports 2 terms")
-        t1, t2 = q.terms
-        dfs = self._df_for({t1, t2})
-        if dfs[t1] == 0 or dfs[t2] == 0:
+        """Lucene-exact sloppy phrase: the greedy PhraseQueue traversal
+        of SloppyPhraseScorer.phraseFreq (SloppyPhraseScorer.java:
+        96-133) — repeatedly advance the least rebased PhrasePosition,
+        scoring a match of length d as sloppyFreq(d) = 1/(d+1)
+        (BM25Similarity.java:77) whenever the current minimal window
+        closes with d <= slop. freq accumulates in float64 (a sub-ulp
+        deviation from the reference's running float32 sum, absorbed
+        by quantization). Repeat-term phrases (the rptGroups machinery
+        of SloppyPhraseScorer.java:286+) are out of scope."""
+        if len(set(q.terms)) != len(q.terms):
+            raise NotImplementedError(
+                "sloppy phrases with repeated terms (rptGroups) not supported")
+        terms = list(q.terms)
+        dfs = self._df_for(set(terms))
+        if any(dfs[t] == 0 for t in terms):
             return self._empty_scored().select("docid", "score")
-        a = self.index.postings.where(F.col("term") == t1).select(
-            "docid", F.col("positions").alias("p1"))
-        b = self.index.postings.where(F.col("term") == t2).select(
-            "docid", F.col("positions").alias("p2"))
-        j = a.join(b, "docid")
+        frames = []
+        for i, t in enumerate(terms):
+            frames.append(
+                self.index.postings.where(F.col("term") == t)
+                .select("docid", F.col("positions").alias(f"_p{i}")))
+        joined = reduce(lambda a, b: a.join(b, "docid"), frames)
+        arrs = F.array(*[F.col(f"_p{i}") for i in range(len(terms))])
         slop = int(q.slop)
-        pairs = F.aggregate(
-            F.col("p1"), F.lit(0),
-            lambda acc, x: acc + F.size(F.filter(
-                F.col("p2"),
-                lambda y: (F.abs(y - (x + F.lit(1))) <= F.lit(slop)))),
-        )
-        with_freq = j.select("docid", pairs.alias("pfreq")).where(
-            F.col("pfreq") > 0)
-        return self._score_phrase_freq(with_freq, [t1, t2], dfs, q.boost)
+
+        @pandas_udf("double")
+        def sloppy_freq(parr: pd.Series) -> pd.Series:
+            out = np.zeros(len(parr), dtype=np.float64)
+            for row_i, plists in enumerate(parr):
+                rebased = [np.asarray(pl, dtype=np.int64) - off
+                           for off, pl in enumerate(plists)]
+                out[row_i] = _sloppy_phrase_freq(rebased, slop)
+            return pd.Series(out)
+
+        with_freq = joined.select(
+            "docid", sloppy_freq(arrs).alias("pfreq")).where(F.col("pfreq") > 0)
+        return self._score_phrase_freq(with_freq, terms, dfs, q.boost)
+
+    def _eval_multi_phrase(self, q: A.MultiPhraseQ) -> DataFrame:
+        """MultiPhraseQuery (search/MultiPhraseQuery.java): each phrase
+        slot holds a SET of terms (OR-per-position, the UnionPostings
+        of MultiPhraseQuery's scorer). Per slot the position set is the
+        union of the slot terms' positions; matching and freq then
+        follow the exact-phrase intersection (slop=0) or the greedy
+        sloppy traversal (slop>0). idf sums over ALL the query's terms
+        (idfExplain over the full TermStatistics array)."""
+        all_terms = sorted({t for slot in q.slots for t in slot})
+        dfs = self._df_for(set(all_terms))
+        slot_frames = []
+        for i, slot in enumerate(q.slots):
+            if all(dfs[t] == 0 for t in slot):
+                return self._empty_scored().select("docid", "score")
+            u = (self.index.postings.where(F.col("term").isin(list(slot)))
+                 .select("docid", F.explode("positions").alias("pos"))
+                 .distinct()
+                 .groupBy("docid")
+                 .agg(F.sort_array(F.collect_list("pos")).alias(f"_p{i}")))
+            slot_frames.append(u)
+        joined = reduce(lambda a, b: a.join(b, "docid"), slot_frames)
+        arrs = F.array(*[F.col(f"_p{i}") for i in range(len(q.slots))])
+        slop = int(q.slop)
+
+        if slop == 0:
+            @pandas_udf("double")
+            def mp_freq(parr: pd.Series) -> pd.Series:
+                out = np.zeros(len(parr), dtype=np.float64)
+                for row_i, plists in enumerate(parr):
+                    base = np.asarray(plists[0], dtype=np.int64)
+                    for off, pl in enumerate(plists[1:], start=1):
+                        base = np.intersect1d(
+                            base, np.asarray(pl, dtype=np.int64) - off,
+                            assume_unique=True)
+                        if base.size == 0:
+                            break
+                    out[row_i] = float(base.size)
+                return pd.Series(out)
+        else:
+            @pandas_udf("double")
+            def mp_freq(parr: pd.Series) -> pd.Series:
+                out = np.zeros(len(parr), dtype=np.float64)
+                for row_i, plists in enumerate(parr):
+                    rebased = [np.asarray(pl, dtype=np.int64) - off
+                               for off, pl in enumerate(plists)]
+                    out[row_i] = _sloppy_phrase_freq(rebased, slop)
+                return pd.Series(out)
+
+        with_freq = joined.select(
+            "docid", mp_freq(arrs).alias("pfreq")).where(F.col("pfreq") > 0)
+        return self._score_phrase_freq(with_freq, all_terms, dfs, q.boost)
 
     def _score_phrase_freq(self, with_freq: DataFrame, terms: list[str],
                            dfs: dict[str, int], boost: float) -> DataFrame:
@@ -568,9 +675,10 @@ class Searcher:
 
         @pandas_udf("float")
         def pscore(tf: pd.Series, norm: pd.Series) -> pd.Series:
+            # pfreq may be fractional (sloppyFreq sums 1/(d+1))
             return pd.Series(bm25.score(
                 np.full(len(tf), weight, dtype=np.float32),
-                tf.to_numpy(dtype=np.int64),
+                tf.to_numpy(dtype=np.float64),
                 norm.to_numpy(dtype=np.int64).astype(np.uint8)))
 
         return j2.select("docid", pscore(F.col("pfreq"), F.col("norm_byte")).alias("score"))

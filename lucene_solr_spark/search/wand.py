@@ -481,7 +481,8 @@ class WandSearcher:
                     kids = (node.inner,)
                 return any(scan(c, pred) for c in kids)
 
-            needs_pos = scan(q, lambda n: isinstance(n, (A.PhraseQ, A.SpanNearQ)))
+            needs_pos = scan(q, lambda n: isinstance(
+                n, (A.PhraseQ, A.MultiPhraseQ, A.SpanNearQ)))
             # term-restricted decode is only valid when the term set is
             # closed (multi-term queries expand against the dictionary)
             expands = scan(q, lambda n: isinstance(

@@ -197,3 +197,59 @@ def test_parser_edismax_lite():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         A.parse_query("nosuchfield:x")
+
+
+def test_sloppy_phrase_freq_kernel():
+    """Hand-checked cases of the greedy SloppyPhraseScorer traversal,
+    including the Javadoc example (SloppyPhraseScorer.java:79-95):
+    query "a b"~2 over doc "x a b a y" scores two matches, d=0 and
+    d=2 -> freq = 1 + 1/3."""
+    import numpy as np
+
+    from lucene_solr_spark.search.executor import _sloppy_phrase_freq
+
+    def freq(a_pos, b_pos, slop):
+        return _sloppy_phrase_freq(
+            [np.asarray(a_pos), np.asarray(b_pos) - 1], slop)
+
+    # "x a b a y": a at 1,3; b at 2
+    assert freq([1, 3], [2], 2) == 1.0 + 1.0 / 3.0
+    assert freq([1, 3], [2], 0) == 1.0           # only the exact match
+    assert freq([0], [1], 0) == 1.0              # adjacent pair, d=0
+    assert freq([0], [5], 3) == 0.0              # d=4 > slop
+    assert freq([0], [5], 4) == 1.0 / 5.0
+    # three-term: "a b c" exact in sequence scores d=0
+    from lucene_solr_spark.search.executor import _sloppy_phrase_freq as spf
+    import numpy as _np
+    rebased = [_np.array([4]), _np.array([5]) - 1, _np.array([6]) - 2]
+    assert spf(rebased, 0) == 1.0
+
+
+def test_sloppy_phrase_repeated_terms_raises(spark, tiny_index):
+    import pytest as _pytest
+
+    from lucene_solr_spark.search import ast as A
+    from lucene_solr_spark.search.executor import Searcher
+
+    s = Searcher(tiny_index, mode="sql")
+    with _pytest.raises(NotImplementedError):
+        s.matches(A.PhraseQ(("t000001", "t000002", "t000001"), slop=1))
+
+
+def test_multiphrase_matches_union_of_phrases(spark, tiny_index):
+    """MultiPhraseQ((a|b), c) must match exactly the docs of
+    phrase(a,c) UNION phrase(b,c) with freq = sum when slots don't
+    overlap in docs (sanity on the tiny corpus)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.search import ast as A
+    from lucene_solr_spark.search.executor import Searcher
+
+    s = Searcher(tiny_index, mode="sql")
+    mp = s.matches(A.MultiPhraseQ((("t000001", "t000002"), ("t000003",))))
+    p1 = s.matches(A.PhraseQ(("t000001", "t000003")))
+    p2 = s.matches(A.PhraseQ(("t000002", "t000003")))
+    got = {r["docid"] for r in mp.select("docid").collect()}
+    want = ({r["docid"] for r in p1.select("docid").collect()}
+            | {r["docid"] for r in p2.select("docid").collect()})
+    assert got == want

@@ -121,6 +121,31 @@ def _analyze_ascii_lower(text: str) -> list[tuple[str, int]]:
     return out
 
 
+def analyze_offsets(text: str) -> list[tuple[str, int, int, int]]:
+    """Full chain with CHARACTER OFFSETS: [(term, position, start,
+    end)] — start/end index into the ORIGINAL text (offsets are set by
+    the tokenizer before any filter, OffsetAttribute semantics), with
+    the same stop/overlength position-hole behavior as analyze()."""
+    out: list[tuple[str, int, int, int]] = []
+    if text.isascii():
+        lowered = text.lower()   # 1:1 on ASCII — offsets unchanged
+        for pos, m in enumerate(_ASCII_WORD_RE.finditer(lowered)):
+            tok = m.group()
+            if len(tok) > MAX_TOKEN_LENGTH or tok in ENGLISH_STOP_WORDS:
+                continue
+            out.append((tok, pos, m.start(), m.end()))
+        return out
+    for pos, m in enumerate(_WORD_RE.finditer(text)):
+        tok = m.group()
+        if len(tok) > MAX_TOKEN_LENGTH:
+            continue
+        tok = _java_lower(tok)
+        if tok in ENGLISH_STOP_WORDS:
+            continue
+        out.append((tok, pos, m.start(), m.end()))
+    return out
+
+
 def analyze_series(texts: pd.Series) -> pd.Series:
     """Vectorized batch analysis: Series[str] -> Series[list[dict]].
 
@@ -162,6 +187,35 @@ def terms_only_udf(texts: pd.Series) -> pd.Series:
     """Terms without positions (cheaper when positions aren't needed)."""
     toks = analyze_series(texts)
     return toks.map(lambda lst: [d["term"] for d in lst])
+
+
+def invert_batch_offsets(texts: pd.Series):
+    """analyze + invert with char offsets: per text returns
+    (doclen, terms, tfs, poslists, startlists, endlists) — the
+    occurrence order within a term is position order, so the offset
+    arrays align 1:1 with the position arrays (the .pay/.pos pairing
+    of Lucene50PostingsFormat.java:266-315)."""
+    texts = texts.fillna("")
+    n = len(texts)
+    doclens = np.empty(n, dtype=np.int32)
+    terms_out = np.empty(n, dtype=object)
+    tfs_out = np.empty(n, dtype=object)
+    pos_out = np.empty(n, dtype=object)
+    st_out = np.empty(n, dtype=object)
+    en_out = np.empty(n, dtype=object)
+    for i, s in enumerate(texts):
+        toks = analyze_offsets(s)
+        doclens[i] = len(toks)
+        d: dict[str, list[tuple[int, int, int]]] = {}
+        for t, p, st, en in toks:
+            d.setdefault(t, []).append((p, st, en))
+        terms = sorted(d)
+        terms_out[i] = terms
+        tfs_out[i] = [len(d[t]) for t in terms]
+        pos_out[i] = [[x[0] for x in d[t]] for t in terms]
+        st_out[i] = [[x[1] for x in d[t]] for t in terms]
+        en_out[i] = [[x[2] for x in d[t]] for t in terms]
+    return doclens, terms_out, tfs_out, pos_out, st_out, en_out
 
 
 def invert_batch(texts: pd.Series, with_positions: bool = True):

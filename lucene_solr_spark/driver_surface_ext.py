@@ -174,16 +174,49 @@ FROM sc QUALIFY rank <= 10
 """)
 
 
+_OFF_INDEX_CACHE: dict[str, object] = {}
+
+
+def _docs_index_offsets(spark, sf):
+    """Offsets-enabled flat index over documents (cached per sf) — the
+    .pay-analogue postings used by offset-based highlighting."""
+    if sf not in _OFF_INDEX_CACHE:
+        from lucene_solr_spark.index.builder import build_index
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        idx = build_index(docs, key_col="doc_id", text_col="text",
+                          precomputed_docid="doc_id",
+                          with_offsets=True).cache()
+        idx.docs.count()
+        _OFF_INDEX_CACHE[sf] = idx
+    return _OFF_INDEX_CACHE[sf]
+
+
 def _highlight(spark, sf):
+    """Offset-based highlighting: the snippet window comes from the
+    indexed offsets stream (first token occurrence), token-accurate —
+    the unified highlighter's OffsetSource.POSTINGS strategy."""
+    idx = _docs_index_offsets(spark, sf)
     docs = _load(spark, sf, "documents")
-    return SX.highlight(docs, "merge", radius=12).select(
-        "doc_id", F.col("off").cast("long").alias("off"), "snippet")
+    return SX.highlight_offsets(idx, docs, "merge", radius=12).select(
+        "doc_id", "off", "snippet")
 
 
-_register("highlight", _highlight, """
-SELECT doc_id, strpos(text, 'merge')::BIGINT AS off,
-       substr(text, greatest(1, strpos(text, 'merge') - 12), 29) AS snippet
-FROM documents WHERE strpos(text, 'merge') > 0
+_register("highlight", _highlight, f"""
+WITH {FT_BASE},
+firstk AS (SELECT doc_id, min(pos) AS k FROM tok WHERE term='merge'
+           GROUP BY doc_id),
+offs AS (
+  SELECT d.doc_id, d.text,
+         CASE WHEN f.k = 0 THEN 0
+              ELSE len(array_to_string(string_split(d.text, ' ')[1:f.k], ' ')) + 1
+         END AS st
+  FROM documents d JOIN firstk f USING (doc_id)
+)
+SELECT doc_id, (st + 1)::BIGINT AS off,
+       substr(text, greatest(1, st + 1 - 12),
+              (st + 5 + 12) - greatest(1, st + 1 - 12) + 1) AS snippet
+FROM offs
 """)
 
 

@@ -74,20 +74,31 @@ class IndexTables:
 
 def analyzed_frame(pages: DataFrame, key_col: str = "url",
                    text_col: str = "text",
-                   with_positions: bool = True) -> DataFrame:
+                   with_positions: bool = True,
+                   with_offsets: bool = False) -> DataFrame:
     """One fused analyze+invert pass over the corpus: per document,
-    (docid, url, doclen, norm_byte, terms[], tfs[][, poslists[][]]).
+    (docid, url, doclen, norm_byte, terms[], tfs[]
+    [, poslists[][]][, starts[][], ends[][]]).
 
     This is the single expensive scan of a build; everything else
     (docs table, postings, stats) projects or explodes it. Caller
     should persist() it when deriving more than one output.
+    ``with_offsets`` implies positions (the .pos/.pay pairing).
     """
-    from lucene_solr_spark.analysis.standard import invert_batch
+    from lucene_solr_spark.analysis.standard import invert_batch, invert_batch_offsets
 
     def run(batches):
         for pdf in batches:
             urls = pdf[key_col].astype(str).to_numpy()  # key may be numeric
-            if with_positions:
+            if with_offsets:
+                dl, terms, tfs, pos, sts, ens = invert_batch_offsets(pdf[text_col])
+                out = pd.DataFrame({
+                    "docid": pdf["docid"].to_numpy(),
+                    "url": urls,
+                    "doclen": dl, "terms": terms, "tfs": tfs,
+                    "positions": pos, "starts": sts, "ends": ens,
+                })
+            elif with_positions:
                 dl, terms, tfs, pos = invert_batch(pdf[text_col], True)
                 out = pd.DataFrame({
                     "docid": pdf["docid"].to_numpy(),
@@ -110,7 +121,9 @@ def analyzed_frame(pages: DataFrame, key_col: str = "url",
 
     schema = ("docid long, url string, doclen int, terms array<string>, "
               "tfs array<int>, "
-              + ("positions array<array<int>>, " if with_positions else "")
+              + ("positions array<array<int>>, " if with_positions or with_offsets else "")
+              + ("starts array<array<int>>, ends array<array<int>>, "
+                 if with_offsets else "")
               + "norm_byte int")
     return pages.mapInPandas(run, schema=schema)
 
@@ -120,31 +133,36 @@ def build_index(
     key_col: str = "url",
     text_col: str = "text",
     precomputed_docid: str | None = None,
+    with_offsets: bool = False,
 ) -> IndexTables:
     """Build the full flat index from a pages/documents DataFrame.
 
     ``precomputed_docid``: use an existing unique integer column as the
     docid (e.g. documents.doc_id) instead of assigning by key order.
+    ``with_offsets``: postings additionally carry per-occurrence char
+    offset arrays (starts/ends — the .pay stream analogue), enabling
+    offset-based highlighting without re-scanning stored text.
     """
     if precomputed_docid:
         base = pages.withColumn("docid", F.col(precomputed_docid).cast("long"))
     else:
         base = assign_doc_ids(pages, key=key_col)
 
-    af = analyzed_frame(base, key_col=key_col, text_col=text_col).persist()
+    af = analyzed_frame(base, key_col=key_col, text_col=text_col,
+                        with_offsets=with_offsets).persist()
 
     docs = af.select("docid", "url", "doclen", "norm_byte")
 
-    z = af.select(
-        "docid",
-        F.explode(F.arrays_zip(
-            F.col("terms").alias("term"),
-            F.col("tfs").alias("tf"),
-            F.col("positions").alias("positions"))).alias("z"),
-    )
-    postings = z.select(
-        F.col("z.term").alias("term"), "docid",
-        F.col("z.tf").alias("tf"), F.col("z.positions").alias("positions"))
+    zip_cols = [F.col("terms").alias("term"), F.col("tfs").alias("tf"),
+                F.col("positions").alias("positions")]
+    if with_offsets:
+        zip_cols += [F.col("starts").alias("starts"), F.col("ends").alias("ends")]
+    z = af.select("docid", F.explode(F.arrays_zip(*zip_cols)).alias("z"))
+    sel = [F.col("z.term").alias("term"), "docid",
+           F.col("z.tf").alias("tf"), F.col("z.positions").alias("positions")]
+    if with_offsets:
+        sel += [F.col("z.starts").alias("starts"), F.col("z.ends").alias("ends")]
+    postings = z.select(*sel)
 
     term_stats = postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),

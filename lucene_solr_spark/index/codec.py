@@ -169,6 +169,7 @@ class EncodedPosting:
     blockmax_norm: np.ndarray            # per block (incl. tail block)
     tail_offset: int = -1                # byte offset of the vint tail in docs_enc
     pos_enc: bytes = b""                 # .pos analogue (empty = not stored)
+    offs_enc: bytes = b""                # .pay offsets analogue (empty = not stored)
     base_doc: int = 0                    # docid base for the first delta (group
                                          # rows: last docid of the previous group)
 
@@ -336,6 +337,46 @@ def encode_positions(positions_flat: np.ndarray, tfs: np.ndarray) -> bytes:
     return write_vints(deltas)
 
 
+def encode_offsets(starts_flat: np.ndarray, ends_flat: np.ndarray,
+                   tfs: np.ndarray) -> bytes:
+    """The .pay-stream analogue (Lucene50PostingsFormat.java:266-315,
+    offsets part, simplified to one vint stream): per occurrence
+    [start_delta, length] with start deltas resetting per doc (first
+    start absolute), concatenated across the posting's docs in docid
+    order. Occurrence order within a doc is position order, pairing
+    1:1 with the .pos stream."""
+    st = np.asarray(starts_flat, dtype=np.int64)
+    if len(st) == 0:
+        return b""
+    en = np.asarray(ends_flat, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    doc_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    deltas = st.copy()
+    deltas[1:] -= st[:-1]
+    deltas[doc_starts] = st[doc_starts]
+    vals = np.empty(2 * len(st), dtype=np.int64)
+    vals[0::2] = deltas
+    vals[1::2] = en - st
+    return write_vints(vals)
+
+
+def decode_offsets(offs_enc: bytes,
+                   tfs: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Inverse of encode_offsets -> per doc (starts, ends) arrays."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    vals = read_vints_arr(offs_enc)
+    deltas = vals[0::2]
+    lens = vals[1::2]
+    out = []
+    off = 0
+    for t in tfs:
+        t = int(t)
+        starts = np.cumsum(deltas[off:off + t])
+        out.append((starts, starts + lens[off:off + t]))
+        off += t
+    return out
+
+
 def decode_positions(pos_enc: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     """Inverse of encode_positions -> one position array per doc."""
     tfs = np.asarray(tfs, dtype=np.int64)
@@ -381,7 +422,7 @@ def block_last_docs(ep, last_docid: int) -> np.ndarray:
 POSTING_ROW_FIELDS = (
     "df", "ttf", "singleton_docid", "docs_enc", "tfs_enc",
     "skip_last_doc", "skip_doc_off", "skip_tf_off",
-    "bm_tf", "bm_norm", "tail_offset", "pos_enc",
+    "bm_tf", "bm_norm", "tail_offset", "pos_enc", "offs_enc",
     "grp_id", "grp_prev_doc", "grp_last_doc",
 )
 
@@ -389,7 +430,7 @@ POSTING_ROW_SCHEMA = (
     "df int, ttf long, singleton_docid long, docs_enc binary, "
     "tfs_enc binary, skip_last_doc array<long>, skip_doc_off array<int>, "
     "skip_tf_off array<int>, bm_tf array<int>, bm_norm array<int>, "
-    "tail_offset int, pos_enc binary, "
+    "tail_offset int, pos_enc binary, offs_enc binary, "
     "grp_id int, grp_prev_doc long, grp_last_doc long"
 )
 
@@ -423,6 +464,7 @@ def posting_to_row(ep: EncodedPosting, ttf: int) -> dict:
         "bm_norm": ep.blockmax_norm.tolist(),
         "tail_offset": int(ep.tail_offset),
         "pos_enc": ep.pos_enc,
+        "offs_enc": ep.offs_enc,
         "grp_id": 0,
         "grp_prev_doc": int(ep.base_doc),
         "grp_last_doc": last,
@@ -453,19 +495,23 @@ def posting_from_row(row) -> EncodedPosting:
         blockmax_norm=np.asarray(g("bm_norm"), dtype=np.int64),
         tail_offset=int(g("tail_offset")),
         pos_enc=bytes(g("pos_enc")) if _get_opt(row, "pos_enc") is not None else b"",
+        offs_enc=bytes(g("offs_enc")) if _get_opt(row, "offs_enc") is not None else b"",
         base_doc=int(prev) if prev is not None and not (
             isinstance(prev, float) and np.isnan(prev)) else 0,
     )
 
 
 def split_posting_to_rows(ep: EncodedPosting, tfs_raw: np.ndarray,
-                          positions_flat: np.ndarray | None = None) -> list[dict]:
+                          positions_flat: np.ndarray | None = None,
+                          starts_flat: np.ndarray | None = None,
+                          ends_flat: np.ndarray | None = None) -> list[dict]:
     """Shard one encoded posting into standalone-decodable group rows
     of <= GROUP_BLOCKS full blocks each (the tail rides with the final
     group). ``tfs_raw`` (per-doc tf, docid order) supplies exact
     per-group ttf; ``positions_flat`` (concatenated per-doc positions)
-    re-encodes each group's .pos slice independently so any group row
-    decodes without its siblings.
+    and ``starts_flat``/``ends_flat`` (char offsets) re-encode each
+    group's .pos/.pay slice independently so any group row decodes
+    without its siblings.
     """
     tfs_raw = np.asarray(tfs_raw, dtype=np.int64)
     n = ep.ndocs
@@ -473,6 +519,8 @@ def split_posting_to_rows(ep: EncodedPosting, tfs_raw: np.ndarray,
     if ep.singleton_docid is not None or nfull <= GROUP_BLOCKS:
         if positions_flat is not None and len(positions_flat):
             ep.pos_enc = encode_positions(positions_flat, tfs_raw)
+        if starts_flat is not None and len(starts_flat):
+            ep.offs_enc = encode_offsets(starts_flat, ends_flat, tfs_raw)
         row = posting_to_row(ep, ttf=int(tfs_raw.sum()))
         if row["grp_last_doc"] == -1 and n > 0:
             # cheap exact last doc: cumulative deltas already known to
@@ -482,9 +530,10 @@ def split_posting_to_rows(ep: EncodedPosting, tfs_raw: np.ndarray,
         return [row]
 
     pos_starts = None
-    if positions_flat is not None and len(positions_flat):
+    if (positions_flat is not None and len(positions_flat)) or (
+            starts_flat is not None and len(starts_flat)):
         pcum = np.concatenate(([0], np.cumsum(tfs_raw)))
-        pos_starts = pcum  # position index where doc i starts
+        pos_starts = pcum  # occurrence index where doc i starts
 
     rows: list[dict] = []
     doc_end_of_enc = ep.tail_offset if ep.has_tail else len(ep.docs_enc)
@@ -521,9 +570,13 @@ def split_posting_to_rows(ep: EncodedPosting, tfs_raw: np.ndarray,
         else:
             last_doc = int(ep.skip_last_doc[b1 - 1])
         pos_enc = b""
+        offs_enc = b""
         if pos_starts is not None:
-            pslice = positions_flat[pos_starts[lo_doc_i]:pos_starts[hi_doc_i]]
-            pos_enc = encode_positions(pslice, g_tfs)
+            sl = slice(pos_starts[lo_doc_i], pos_starts[hi_doc_i])
+            if positions_flat is not None and len(positions_flat):
+                pos_enc = encode_positions(positions_flat[sl], g_tfs)
+            if starts_flat is not None and len(starts_flat):
+                offs_enc = encode_offsets(starts_flat[sl], ends_flat[sl], g_tfs)
         rows.append({
             "df": int(hi_doc_i - lo_doc_i),
             "ttf": int(g_tfs.sum()),
@@ -537,6 +590,7 @@ def split_posting_to_rows(ep: EncodedPosting, tfs_raw: np.ndarray,
             "bm_norm": ep.blockmax_norm[bm_sl].tolist(),
             "tail_offset": (int(ep.tail_offset) - d_lo) if with_tail else -1,
             "pos_enc": pos_enc,
+            "offs_enc": offs_enc,
             "grp_id": g,
             "grp_prev_doc": prev_doc,
             "grp_last_doc": last_doc,
@@ -593,6 +647,7 @@ class GroupedPosting:
             docs_enc, tfs_enc = self._fetch(int(r["grp_id"]))
             r["docs_enc"], r["tfs_enc"] = docs_enc, tfs_enc
             r["pos_enc"] = b""
+            r["offs_enc"] = b""
             self._eps[g] = posting_from_row(r)
         return self._eps[g]
 

@@ -190,7 +190,7 @@ def execute_merge(si: SegmentIndex, spec: MergeSpec) -> int:
                 # standalone thanks to their grp_prev_doc base)
                 parts = sorted(parts, key=lambda p: (ordm[int(p["seg_id"])],
                                                      int(p["grp_id"])))
-                d_parts, t_parts, n_parts, p_parts = [], [], [], []
+                d_parts, t_parts, n_parts, p_parts, o_parts = [], [], [], [], []
                 for p in parts:
                     sid = int(p["seg_id"])
                     ep_in = posting_from_row(p)
@@ -205,11 +205,13 @@ def execute_merge(si: SegmentIndex, spec: MergeSpec) -> int:
                         # after a flat re-absolutize (decode deltas ->
                         # positions), mirroring SegmentMerger's copy
                         p_parts.append(ep_in.pos_enc)
+                    if ep_in.offs_enc:
+                        o_parts.append(ep_in.offs_enc)
                 docs = np.concatenate(d_parts)   # already sorted: doc_base order
                 tfs = np.concatenate(t_parts)
                 norms = np.concatenate(n_parts)
                 ep = encode_posting(docs, tfs, norms)
-                flat_pos = None
+                flat_pos = flat_st = flat_en = None
                 if p_parts and len(p_parts) == len(parts):
                     from lucene_solr_spark.index.codec import decode_positions
                     flats = []
@@ -217,7 +219,17 @@ def execute_merge(si: SegmentIndex, spec: MergeSpec) -> int:
                         for arr in decode_positions(p, t):
                             flats.append(arr)
                     flat_pos = np.concatenate(flats)
-                for r in split_posting_to_rows(ep, tfs, flat_pos):
+                if o_parts and len(o_parts) == len(parts):
+                    from lucene_solr_spark.index.codec import decode_offsets
+                    sts, ens = [], []
+                    for o, t in zip(o_parts, t_parts):
+                        for st_a, en_a in decode_offsets(o, t):
+                            sts.append(st_a)
+                            ens.append(en_a)
+                    flat_st = np.concatenate(sts)
+                    flat_en = np.concatenate(ens)
+                for r in split_posting_to_rows(ep, tfs, flat_pos,
+                                               flat_st, flat_en):
                     r["term"] = term
                     out.append(r)
             if out:

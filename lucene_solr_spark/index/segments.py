@@ -229,11 +229,13 @@ class SegmentIndex:
         return {"doc_count": int(row["n"]), "sum_ttf": int(row["s"])}
 
     def as_flat_tables(self, with_positions: bool = False,
-                       terms: list[str] | None = None) -> IndexTables:
+                       terms: list[str] | None = None,
+                       with_offsets: bool = False) -> IndexTables:
         """Adapter: view the segment index through the flat-index API
         (decodes postings on the fly) — used by dueling tests and as
         the phrase/span fallback path (positions decode from the .pos
-        stream when the index stores them).
+        stream, char offsets from the .pay-analogue offs_enc stream,
+        when the index stores them).
 
         ``terms``: restrict the decode to these terms — a plain Column
         filter that DOES reach the parquet scan (predicate pushdown
@@ -243,9 +245,13 @@ class SegmentIndex:
         from lucene_solr_spark.index.codec import posting_from_row
 
         def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from lucene_solr_spark.index.codec import decode_positions, decode_posting
+            from lucene_solr_spark.index.codec import (
+                decode_offsets,
+                decode_positions,
+                decode_posting,
+            )
             for pdf in batches:
-                terms, docids, tfs, plists = [], [], [], []
+                terms, docids, tfs, plists, olists = [], [], [], [], []
                 for i in range(len(pdf)):
                     row = pdf.iloc[i]
                     ep = posting_from_row(row)
@@ -259,6 +265,12 @@ class SegmentIndex:
                                 "positions requested but index was built "
                                 "with store_positions=False")
                         plists.extend(decode_positions(ep.pos_enc, t))
+                    if with_offsets:
+                        if not ep.offs_enc:
+                            raise ValueError(
+                                "offsets requested but index was built "
+                                "with store_offsets=False")
+                        olists.extend(decode_offsets(ep.offs_enc, t))
                 if terms:
                     out = {
                         "term": terms,
@@ -267,11 +279,16 @@ class SegmentIndex:
                     }
                     if with_positions:
                         out["positions"] = [p.astype(np.int32) for p in plists]
+                    if with_offsets:
+                        out["starts"] = [o[0].astype(np.int32) for o in olists]
+                        out["ends"] = [o[1].astype(np.int32) for o in olists]
                     yield pd.DataFrame(out)
 
         schema = "term string, docid long, tf int"
         if with_positions:
             schema += ", positions array<int>"
+        if with_offsets:
+            schema += ", starts array<int>, ends array<int>"
         src = self.postings
         if terms is not None:
             src = src.where(F.col("term").isin(list(terms)))
@@ -323,6 +340,36 @@ def _bulk_pos_enc(pos_col: np.ndarray, row_tfs: np.ndarray,
     return [buf[s:e] for s, e in zip(b_starts, b_ends)]
 
 
+def _bulk_offs_enc(st_col: np.ndarray, en_col: np.ndarray,
+                   row_tfs: np.ndarray,
+                   posting_row_starts: np.ndarray) -> list[bytes]:
+    """Encode ALL postings' .pay offset streams in one vectorized vint
+    pass (mirrors _bulk_pos_enc): per occurrence [start_delta, length]
+    with start deltas resetting at doc boundaries."""
+    from lucene_solr_spark.index.codec import vint_encode_arr
+
+    if len(st_col) == 0:
+        return []
+    st = np.concatenate([np.asarray(x, dtype=np.int64) for x in st_col])
+    en = np.concatenate([np.asarray(x, dtype=np.int64) for x in en_col])
+    doc_starts = np.concatenate(([0], np.cumsum(row_tfs)[:-1]))
+    deltas = st.copy()
+    deltas[1:] -= st[:-1]
+    deltas[doc_starts] = st[doc_starts]
+    vals = np.empty(2 * len(st), dtype=np.int64)
+    vals[0::2] = deltas
+    vals[1::2] = en - st
+    enc, nb = vint_encode_arr(vals)
+    pcum = np.cumsum(row_tfs)
+    p_vstart = np.concatenate(([0], pcum[:-1]))[posting_row_starts]
+    occ_counts = np.diff(np.concatenate((p_vstart, [int(row_tfs.sum())])))
+    b_of_val = np.concatenate(([0], np.cumsum(nb)))
+    b_starts = b_of_val[2 * p_vstart]
+    b_ends = b_of_val[2 * (p_vstart + occ_counts)]
+    buf = enc.tobytes()
+    return [buf[s:e] for s, e in zip(b_starts, b_ends)]
+
+
 def _encode_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped-map encoder: all (docid, tf, norm[, positions]) rows of
     one (segment, term-hash-bucket) -> one encoded posting row per term.
@@ -346,9 +393,12 @@ def _encode_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     norms = pdf["norm_byte"].to_numpy(dtype=np.int64)
     has_pos = "positions" in pdf.columns
+    has_offs = "starts" in pdf.columns
     order = np.lexsort((docids, terms))
     terms, docids, tfs, norms = terms[order], docids[order], tfs[order], norms[order]
     pos_col = pdf["positions"].to_numpy()[order] if has_pos else None
+    st_col = pdf["starts"].to_numpy()[order] if has_offs else None
+    en_col = pdf["ends"].to_numpy()[order] if has_offs else None
     cuts = np.nonzero(terms[1:] != terms[:-1])[0] + 1
     starts = np.concatenate(([0], cuts))
     ends = np.concatenate((cuts, [len(terms)]))
@@ -380,6 +430,9 @@ def _encode_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             "pos_enc": (_bulk_pos_enc(pos_col[s_idx], tfs[s_idx],
                                       np.arange(n))
                         if has_pos else [b""] * n),
+            "offs_enc": (_bulk_offs_enc(st_col[s_idx], en_col[s_idx],
+                                        tfs[s_idx], np.arange(n))
+                         if has_offs else [b""] * n),
             "grp_id": np.zeros(n, dtype=np.int32),
             "grp_prev_doc": np.zeros(n, dtype=np.int64),
             "grp_last_doc": docids[s_idx],
@@ -429,6 +482,9 @@ def _encode_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             "tail_offset": np.zeros(n, dtype=np.int32),
             "pos_enc": (_bulk_pos_enc(pos_col[gath], g_tf, g_starts)
                         if has_pos else [b""] * n),
+            "offs_enc": (_bulk_offs_enc(st_col[gath], en_col[gath],
+                                        g_tf, g_starts)
+                         if has_offs else [b""] * n),
             "grp_id": np.zeros(n, dtype=np.int32),
             "grp_prev_doc": np.zeros(n, dtype=np.int64),
             "grp_last_doc": g_doc[g_starts + g_dfs - 1],
@@ -443,11 +499,17 @@ def _encode_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for s, e in zip(starts[big], ends[big]):
             ep = encode_posting(docids[s:e], tfs[s:e], norms[s:e])
-            flat = None
+            flat = flat_st = flat_en = None
             if has_pos:
                 flat = np.concatenate(
                     [np.asarray(x, dtype=np.int64) for x in pos_col[s:e]])
-            for row in split_posting_to_rows(ep, tfs[s:e], flat):
+            if has_offs:
+                flat_st = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in st_col[s:e]])
+                flat_en = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in en_col[s:e]])
+            for row in split_posting_to_rows(ep, tfs[s:e], flat,
+                                             flat_st, flat_en):
                 row["seg_id"] = seg_id
                 row["term"] = terms[s]
                 out.append(row)
@@ -476,6 +538,7 @@ def build_segment_index(
     seg_id_offset: int = 0,
     lineage: str = "",
     store_positions: bool = True,
+    store_offsets: bool = False,
 ) -> SegmentIndex:
     """Build (or resume building) a segment-structured index at ``path``.
 
@@ -529,7 +592,8 @@ def build_segment_index(
 
     # --- one fused analyze+invert scan; everything derives from it ------
     af = (analyzed_frame(base, key_col=key_col, text_col=text_col,
-                         with_positions=store_positions)
+                         with_positions=store_positions,
+                         with_offsets=store_offsets)
           .withColumn("seg_id", F.lit(seg_id_offset)
                       + ((F.col("docid") - F.lit(docid_offset))
                          / F.lit(seg_size)).cast("int"))
@@ -588,16 +652,22 @@ def build_segment_index(
     # one row per (doc, distinct term), already tf-combined in the
     # analysis pass — no token-granularity shuffle anywhere.
     zip_cols = [F.col("terms").alias("term"), F.col("tfs").alias("tf")]
-    if store_positions:
+    if store_positions or store_offsets:
         zip_cols.append(F.col("positions").alias("positions"))
+    if store_offsets:
+        zip_cols.append(F.col("starts").alias("starts"))
+        zip_cols.append(F.col("ends").alias("ends"))
     z = af.select(
         "seg_id", "docid", "norm_byte",
         F.explode(F.arrays_zip(*zip_cols)).alias("z"),
     )
     sel = ["seg_id", "docid", "norm_byte",
            F.col("z.term").alias("term"), F.col("z.tf").alias("tf")]
-    if store_positions:
+    if store_positions or store_offsets:
         sel.append(F.col("z.positions").alias("positions"))
+    if store_offsets:
+        sel.append(F.col("z.starts").alias("starts"))
+        sel.append(F.col("z.ends").alias("ends"))
     with_norm = z.select(*sel)
 
     # Zipf-skew handling ("salting", north rule): terms are hash-routed
@@ -612,8 +682,11 @@ def build_segment_index(
     salt_buckets = max(2 * par, 32)
     bucket = F.pmod(F.xxhash64("term"), F.lit(salt_buckets)).alias("salt_bucket")
     enc_cols = ["seg_id", "term", "docid", "tf", "norm_byte"]
-    if store_positions:
+    if store_positions or store_offsets:
         enc_cols.append("positions")
+    if store_offsets:
+        enc_cols.append("starts")
+        enc_cols.append("ends")
     encoded = (
         with_norm.select(*enc_cols, bucket)
         .groupBy("seg_id", "salt_bucket")

@@ -82,3 +82,30 @@ def highlight(docs_text: DataFrame, term: str, radius: int = 20,
     # 1-based substring with dynamic start needs expr-compatible args;
     # F.substring accepts Columns in Spark 4.
     return out
+
+
+def highlight_offsets(index: IndexTables, docs_text: DataFrame, term: str,
+                      radius: int = 20, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Offset-based highlighting (the unified highlighter's
+    OffsetSource.POSTINGS strategy, lucene/highlighter/.../uhighlight/
+    FieldOffsetStrategy.java): char offsets of the first TOKEN
+    occurrence come from the index's offsets stream (the .pay
+    analogue, Lucene50PostingsFormat.java:266-315) — the stored text
+    is only sliced, never re-scanned or re-analyzed. Requires an index
+    built with offsets (build_index(with_offsets=True) or
+    store_offsets=True). Token-accurate, unlike the locate() fallback:
+    a doc containing only 'merged' does not highlight for 'merge'.
+    Returns (doc_id, off [1-based start], snippet)."""
+    occ = (index.postings.where(F.col("term") == term)
+           .select("docid",
+                   F.col("starts")[0].alias("st"),
+                   F.col("ends")[0].alias("en")))
+    j = occ.join(docs_text.select(F.col(id_col).alias("docid"),
+                                  F.col(text_col).alias("_text")), "docid")
+    snip_start = F.greatest(F.lit(1), F.col("st") + 1 - F.lit(radius))
+    snip_len = (F.col("en") + F.lit(radius)) - snip_start + F.lit(1)
+    return j.select(
+        F.col("docid").alias(id_col),
+        (F.col("st") + 1).cast("long").alias("off"),
+        F.substring(F.col("_text"), snip_start, snip_len).alias("snippet"))

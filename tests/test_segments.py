@@ -311,3 +311,48 @@ def test_hot_term_group_sharding_end_to_end(spark, tmp_path_factory):
         b = [(r["docid"], np.float32(r["score"]))
              for r in flat.search(q, k=10).orderBy("rank").collect()]
         assert a == b, q
+
+
+def test_offsets_roundtrip_and_merge(spark, pages_tiny, tmp_path_factory):
+    """The offsets stream (.pay analogue): segment-store offsets decode
+    to exactly the flat builder's offsets, and survive a merge."""
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.index.merge import TieredMergePolicy, maybe_merge
+
+    path = str(tmp_path_factory.mktemp("offs") / "idx")
+    si = build_segment_index(pages_tiny, path, seg_size=64, salt_span=32,
+                             store_offsets=True)
+    flat_ref = build_index(pages_tiny, with_offsets=True)
+    a = si.as_flat_tables(with_offsets=True).postings.select(
+        "term", "docid", "starts", "ends")
+    b = flat_ref.postings.select("term", "docid", "starts", "ends")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+    maybe_merge(si, TieredMergePolicy(segs_per_tier=1.0, max_merge_at_once=3,
+                                      floor_bytes=1))
+    c = si.as_flat_tables(with_offsets=True).postings.select(
+        "term", "docid", "starts", "ends")
+    assert c.exceptAll(b).count() == 0
+    assert b.exceptAll(c).count() == 0
+    assert check_index(si)["clean"]
+
+
+def test_offsets_slice_matches_text(spark, pages_tiny):
+    """Offsets are true char spans: text[start:end] == the token (the
+    corpus is ASCII so lowering is 1:1)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.index.builder import build_index
+
+    idx = build_index(pages_tiny, with_offsets=True)
+    texts = {r["url"]: r["text"] for r in pages_tiny.collect()}
+    urls = {r["docid"]: r["url"] for r in idx.docs.collect()}
+    rows = (idx.postings.where(F.col("term").isin(["t000001", "t000002"]))
+            .select("term", "docid", "starts", "ends").collect())
+    assert rows
+    for r in rows:
+        text = texts[urls[r["docid"]]]
+        for st, en in zip(r["starts"], r["ends"]):
+            assert text[st:en].lower() == r["term"]

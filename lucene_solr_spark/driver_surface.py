@@ -1028,7 +1028,7 @@ DRIVER_PRIORITY = [
     "highlight", "export_sorted", "diversified_topk", "rerank",
     "blockjoin_parent", "blockjoin_child", "point_range",
     "stats_percentile", "cardinality", "ft_multiphrase",
-    "ann_lsh", "ann_ivf", "mm_decode", "mm_frames",
+    "ann_lsh", "ann_ivf", "mm_decode", "shortest_path",
     "function_query", "knn_classify", "ft_tfidf", "span_first",
     "ft_phrase_sloppy", "common_terms", "boosting_query", "gather_nodes",
     "events_sessionize", "agg_cube", "term_vectors", "percolate",

@@ -1407,3 +1407,104 @@ agg AS (
 )
 {_topk_sql("SELECT * FROM agg", 10)}
 """)
+
+
+# ---- graph: shortest-path BFS (ShortestPathStream) -------------------------
+
+def _shortest_path(spark, sf):
+    """ShortestPathStream analogue: parts are connected when they
+    co-occur in an order's lineitems; BFS from part 1, reporting the
+    node count per distance level (a deterministic reduction of the
+    traversal frontier)."""
+    from lucene_solr_spark.operators.graph import shortest_path_levels
+
+    li = _load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (a.join(b, "k").where(F.col("src") != F.col("dst"))
+             .select("src", "dst").distinct())
+    levels = shortest_path_levels(edges, src=1, max_hops=2)
+    return (levels.groupBy("dist")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .select(F.col("dist").cast("long").alias("dist"), "n_nodes"))
+
+
+_register("shortest_path", _shortest_path, """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+bfs(node, dist) AS (
+  SELECT 1::BIGINT, 0
+  UNION
+  SELECT e.dst, bfs.dist + 1
+  FROM bfs JOIN e ON e.src = bfs.node
+  WHERE bfs.dist < 2
+),
+md AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
+SELECT dist::BIGINT AS dist, count(*)::BIGINT AS n_nodes
+FROM md GROUP BY dist
+""")
+
+
+def _span_containing(spark, sf):
+    """SpanContainingQuery: ordered near-spans (hash .. join, slop 3)
+    that enclose an occurrence of 'index'."""
+    from lucene_solr_spark.operators.spans import span_containing
+
+    idx = _docs_index(spark, sf)
+    return span_containing(idx, "hash", "join", 3, "index").select(
+        F.col("docid").alias("doc_id"),
+        F.col("n_spans").cast("long").alias("n_spans"))
+
+
+_register("span_containing", _span_containing, f"""
+WITH {FT_BASE},
+p1 AS (SELECT doc_id, pos FROM tokf WHERE term='hash'),
+p2 AS (SELECT doc_id, pos FROM tokf WHERE term='join'),
+pl AS (SELECT doc_id, pos FROM tokf WHERE term='index'),
+spans AS (
+  SELECT p1.doc_id, p1.pos AS s,
+         min(p2.pos) AS e
+  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+    AND p2.pos > p1.pos AND p2.pos <= p1.pos + 4
+  GROUP BY p1.doc_id, p1.pos
+)
+SELECT s.doc_id, count(*)::BIGINT AS n_spans
+FROM spans s
+WHERE EXISTS (SELECT 1 FROM pl WHERE pl.doc_id = s.doc_id
+              AND pl.pos BETWEEN s.s AND s.e)
+GROUP BY s.doc_id
+""")
+
+
+def _span_within(spark, sf):
+    """SpanWithinQuery: occurrences of 'index' enclosed by an ordered
+    (hash .. join, slop 3) near-span."""
+    from lucene_solr_spark.operators.spans import span_containing
+
+    idx = _docs_index(spark, sf)
+    return span_containing(idx, "hash", "join", 3, "index",
+                           within=True).select(
+        F.col("docid").alias("doc_id"),
+        F.col("n_spans").cast("long").alias("n_spans"))
+
+
+_register("span_within", _span_within, f"""
+WITH {FT_BASE},
+p1 AS (SELECT doc_id, pos FROM tokf WHERE term='hash'),
+p2 AS (SELECT doc_id, pos FROM tokf WHERE term='join'),
+pl AS (SELECT doc_id, pos FROM tokf WHERE term='index'),
+spans AS (
+  SELECT p1.doc_id, p1.pos AS s, min(p2.pos) AS e
+  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+    AND p2.pos > p1.pos AND p2.pos <= p1.pos + 4
+  GROUP BY p1.doc_id, p1.pos
+)
+SELECT pl.doc_id, count(*)::BIGINT AS n_spans
+FROM pl
+WHERE EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = pl.doc_id
+              AND pl.pos BETWEEN s.s AND s.e)
+GROUP BY pl.doc_id
+""")

@@ -50,6 +50,43 @@ def span_or_count(index: IndexTables, terms: list[str]) -> DataFrame:
     return p.groupBy("docid").agg(F.count(F.lit(1)).alias("n_spans"))
 
 
+def span_containing(index: IndexTables, big_first: str, big_second: str,
+                    big_slop: int, little: str,
+                    within: bool = False) -> DataFrame:
+    """SpanContainingQuery / SpanWithinQuery (spans/
+    SpanContainingQuery.java, SpanWithinQuery.java): ``big`` spans are
+    the ordered near-pairs (big_first .. big_second within big_slop);
+    ``little`` is a term span. containing: count of big spans
+    [p1, p2] that enclose a little position (p1 <= pos <= p2);
+    within=True flips it to the little positions enclosed by some big
+    span. Pure Catalyst array algebra. Returns (docid, n_spans)."""
+    a = index.postings.where(F.col("term") == big_first).select(
+        "docid", F.col("positions").alias("p1"))
+    b = index.postings.where(F.col("term") == big_second).select(
+        "docid", F.col("positions").alias("p2"))
+    c = index.postings.where(F.col("term") == little).select(
+        "docid", F.col("positions").alias("pl"))
+    j = a.join(b, "docid").join(c, "docid")
+    # big spans: for each x in p1, the FIRST y in p2 with
+    # x < y <= x + slop + 1 (the minimal ordered near-span at x)
+    span_end = lambda x: F.array_min(F.filter(  # noqa: E731
+        F.col("p2"), lambda y: (y > x) & (y <= x + F.lit(big_slop + 1))))
+    if within:
+        n = F.size(F.filter(
+            F.col("pl"),
+            lambda z: F.exists(
+                F.col("p1"),
+                lambda x: span_end(x).isNotNull()
+                & (x <= z) & (z <= span_end(x)))))
+    else:
+        n = F.size(F.filter(
+            F.col("p1"),
+            lambda x: span_end(x).isNotNull()
+            & F.exists(F.col("pl"),
+                       lambda z: (x <= z) & (z <= span_end(x)))))
+    return j.select("docid", n.alias("n_spans")).where(F.col("n_spans") > 0)
+
+
 def span_not_pairs(index: IndexTables, include: str, exclude: str,
                    pre: int = 0, post: int = 0) -> DataFrame:
     """SpanNotQuery (spans/SpanNotQuery.java): spans of ``include``

@@ -274,6 +274,24 @@ METADATA_COLS = ("seg_id", "term", "df", "ttf", "singleton_docid",
                  "grp_id", "grp_prev_doc", "grp_last_doc")
 
 
+def _prefetch_payloads(idx_path: str, seg_id: int, terms: list[str],
+                       cache: dict) -> None:
+    """Seed the fetch cache with ALL group payloads of ``terms`` in one
+    columnar read (used for single-group terms, whose whole payload is
+    one small cell — per-term point reads would cost more IO round
+    trips than the bytes saved by laziness)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{idx_path}/postings/seg_id={seg_id}",
+        columns=["term", "grp_id", "docs_enc", "tfs_enc"],
+        filters=[("term", "in", list(terms))])
+    for tm, g, d, f in zip(t["term"].to_pylist(), t["grp_id"].to_pylist(),
+                           t["docs_enc"].to_pylist(), t["tfs_enc"].to_pylist()):
+        cache[(tm, int(g))] = (d if d is not None else b"",
+                               f if f is not None else b"")
+
+
 def _make_group_fetcher(idx_path: str, seg_id: int, readahead: int = 4):
     """Task-side lazy payload reader for one segment.
 
@@ -293,6 +311,7 @@ def _make_group_fetcher(idx_path: str, seg_id: int, readahead: int = 4):
     import pyarrow.parquet as pq
 
     cache: dict[tuple[str, int], tuple[bytes, bytes]] = {}
+    fetch_cache = cache  # exposed for bulk seeding (fetch.cache)
 
     def fetch(term: str, grp: int) -> tuple[bytes, bytes]:
         key = (term, grp)
@@ -310,12 +329,25 @@ def _make_group_fetcher(idx_path: str, seg_id: int, readahead: int = 4):
                                        f if f is not None else b"")
         return cache[key]
 
+    fetch.cache = fetch_cache
     return fetch
+
+
+def _is_singleton(row: dict) -> bool:
+    sd = row["singleton_docid"]
+    return sd is not None and not (isinstance(sd, float) and np.isnan(sd))
 
 
 def _grouped_postings(idx_path: str, seg_id: int,
                       pdf: pd.DataFrame) -> dict[str, "GroupedPosting"]:
-    """Assemble one lazy GroupedPosting per term from its metadata rows."""
+    """Assemble one lazy GroupedPosting per term from its metadata rows.
+
+    Payload strategy: SINGLE-group terms (everything but the zipf
+    head) are bulk-seeded in one columnar read — their whole payload
+    is one small cell, so one IO round trip for all of them beats a
+    point read each. MULTI-group (hot) terms stay lazy per group: the
+    kernel's score-bound pruning decides which groups' bytes are read
+    at all."""
     from lucene_solr_spark.index.codec import GroupedPosting
 
     fetch = _make_group_fetcher(idx_path, seg_id)
@@ -323,6 +355,10 @@ def _grouped_postings(idx_path: str, seg_id: int,
     for i in range(len(pdf)):
         row = pdf.iloc[i].to_dict()
         rows_by_term.setdefault(row["term"], []).append(row)
+    bulk = [t for t, rows in rows_by_term.items()
+            if len(rows) == 1 and not _is_singleton(rows[0])]
+    if bulk:
+        _prefetch_payloads(idx_path, seg_id, bulk, fetch.cache)
     return {t: GroupedPosting(rows, lambda g, t=t: fetch(t, g))
             for t, rows in rows_by_term.items()}
 

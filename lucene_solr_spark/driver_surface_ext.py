@@ -1508,3 +1508,35 @@ WHERE EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = pl.doc_id
               AND pl.pos BETWEEN s.s AND s.e)
 GROUP BY pl.doc_id
 """)
+
+
+def _dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup pairs (LSH-bucketed candidate join +
+    exact cosine verify) — the embedding leg of the dedup family."""
+    from lucene_solr_spark.operators.dedup import embedding_dupes
+
+    emb = _load(spark, sf, "embeddings")
+    return embedding_dupes(emb, dim=_EMB_DIM, threshold=0.55, n_planes=8,
+                           seed=42)
+
+
+_EMB_COS_PAIR = f"""
+           list_sum(list_transform(range(1, {_EMB_DIM}+1),
+                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+"""
+
+_register("dedup_embedding", _dedup_embedding, f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         ({_bucket_sql('embedding', _LSH_PLANES)}) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(floor(({_EMB_COS_PAIR.replace('a.embedding', 'a.embedding').replace('b.embedding', 'b.embedding')}) * 1000000) AS BIGINT) AS cos_q
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_q FROM pairs WHERE cos_q >= 550000
+""")

@@ -228,3 +228,31 @@ def hamming_pairs(sig_df: DataFrame, max_distance: int = 3,
     dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.withColumn("dist", dist).where(
         F.col("dist") <= max_distance).select("id_a", "id_b", "dist")
+
+
+def embedding_dupes(emb: DataFrame, dim: int, threshold: float,
+                    n_planes: int = 8, seed: int = 42,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    Candidate generation: random-hyperplane LSH buckets (the same
+    family the ANN probe uses, similarity.lsh_bucket) — only pairs
+    landing in the SAME bucket are compared, so the join is
+    bucket-local instead of all-pairs (recall knob = n_planes; missed
+    cross-bucket pairs are the documented LSH trade, exactly the
+    MinHash-band treatment of text near-dup). Verification: exact
+    cosine, quantized. Returns (id_a, id_b, cos_q) for pairs with
+    cosine >= threshold.
+    """
+    from lucene_solr_spark.operators.similarity import cosine, lsh_bucket
+
+    b = lsh_bucket(emb.select(id_col, vec_col), dim, n_planes, seed, vec_col)
+    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                 "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                 "bucket")
+    pairs = a.join(c, "bucket").where(F.col("id_a") < F.col("id_b"))
+    cos_q = F.floor(cosine(F.col("va"), F.col("vb")) * 1_000_000).cast("long")
+    return (pairs.select("id_a", "id_b", cos_q.alias("cos_q"))
+            .where(F.col("cos_q") >= int(threshold * 1_000_000)))

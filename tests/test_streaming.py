@@ -228,3 +228,42 @@ def test_wand_stats_refresh_after_append(spark, pages_tiny, tmp_path_factory):
              for r in WandSearcher(SegmentIndex(path=path, spark=spark))
              .search(q, k=10).orderBy("rank").collect()]
     assert got == fresh
+
+
+def test_stateful_sessionize_stream(spark, tmp_path_factory):
+    """applyInPandasWithState custom stateful operator: per-user
+    session state survives across micro-batches; a session closes
+    (and is emitted) when a later batch brings an event past the gap."""
+    from lucene_solr_spark.streaming.stateful import sessionize_stream
+
+    base = tmp_path_factory.mktemp("stateful")
+    src = str(base / "src")
+    out = str(base / "out")
+    ckpt = str(base / "ckpt")
+
+    # batch 1: two close events for u1, one for u2
+    spark.createDataFrame(
+        [("u1", 1000.0), ("u1", 1010.0), ("u2", 1000.0)],
+        "user_id string, epoch double").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    # batch 2 (separate file): u1 event far past the gap -> closes
+    # the first u1 session; u2 stays within its session
+    spark.createDataFrame(
+        [("u1", 9000.0), ("u2", 1500.0)],
+        "user_id string, epoch double").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("user_id string, epoch double")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (sessionize_stream(stream, gap_seconds=3600)
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .format("parquet").option("path", out).start())
+    q.awaitTermination(120)
+
+    rows = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.read.parquet(out).collect()}
+    # exactly one closed session: u1's first (1000..1010, 2 events);
+    # u1's second and u2's only session remain open in state
+    assert rows == {("u1", 1000.0, 1010.0, 2)}

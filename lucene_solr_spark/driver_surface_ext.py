@@ -1516,7 +1516,7 @@ def _dedup_embedding(spark, sf):
     from lucene_solr_spark.operators.dedup import embedding_dupes
 
     emb = _load(spark, sf, "embeddings")
-    return embedding_dupes(emb, dim=_EMB_DIM, threshold=0.55, n_planes=8,
+    return embedding_dupes(emb, dim=_EMB_DIM, threshold=0.30, n_planes=8,
                            seed=42)
 
 
@@ -1538,5 +1538,5 @@ pairs AS (
          CAST(floor(({_EMB_COS_PAIR.replace('a.embedding', 'a.embedding').replace('b.embedding', 'b.embedding')}) * 1000000) AS BIGINT) AS cos_q
   FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, cos_q FROM pairs WHERE cos_q >= 550000
+SELECT id_a, id_b, cos_q FROM pairs WHERE cos_q >= 300000
 """)

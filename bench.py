@@ -156,6 +156,41 @@ def bench_wand_queries(spark, n_docs: int) -> dict[str, float]:
     return times
 
 
+def bench_ann(spark, sf_dir: str) -> dict[str, float]:
+    """ANN probe cost: full-scan LSH vs the persisted-bucket layout
+    (partition-pruned probe — the number that must stay flat as the
+    corpus grows)."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = 64
+    cents = SIM._hyperplanes(dim, 4, seed=7)
+    key = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/bench_annidx_{key}"
+    times: dict[str, float] = {}
+    if not os.path.exists(f"{path}/lsh/_SUCCESS"):
+        _sh.rmtree(path, ignore_errors=True)
+        t0 = time.time()
+        SIM.build_ann_index(emb, path, dim=dim, n_planes=8, seed=42,
+                            centroids=cents)
+        times["ann_build"] = round(time.time() - t0, 3)
+    q = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    for name, fn in (
+        ("ann_lsh_scan", lambda: SIM.lsh_topk(emb, q, dim=dim, k=10)),
+        ("ann_lsh_indexed", lambda: SIM.lsh_topk_indexed(spark, path, q, dim=dim, k=10)),
+        ("ann_ivf_indexed", lambda: SIM.ivf_topk_indexed(spark, path, q, cents, k=10)),
+    ):
+        fn().collect()  # warm
+        t0 = time.time()
+        fn().collect()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -173,7 +208,8 @@ def main() -> None:
     # a phase dies (partial results beat no results)
     for key, fn in (("index_build", lambda: bench_build(spark, n_docs)),
                     ("queries", lambda: bench_queries(spark, sf_dir)),
-                    ("wand_queries", lambda: bench_wand_queries(spark, n_docs))):
+                    ("wand_queries", lambda: bench_wand_queries(spark, n_docs)),
+                    ("ann", lambda: bench_ann(spark, sf_dir))):
         try:
             result[key] = fn()
         except Exception as e:  # noqa: BLE001

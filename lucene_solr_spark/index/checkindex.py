@@ -97,6 +97,23 @@ def _check_posting_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     if len(pl) > 1 and not np.all(np.diff(pl) > 0):
                         errs.append(f"seg={seg} term={term}: pos not increasing")
                         break
+            # offsets stream (when stored): per-doc pair count == tf,
+            # spans well-formed (end >= start, starts non-decreasing)
+            if ep.offs_enc:
+                from lucene_solr_spark.index.codec import decode_offsets
+                try:
+                    olists = decode_offsets(ep.offs_enc, tfs)
+                except Exception as e:
+                    errs.append(f"seg={seg} term={term}: offs decode failed: {e}")
+                    olists = []
+                for (st, en), tf in zip(olists, tfs):
+                    if len(st) != int(tf):
+                        errs.append(f"seg={seg} term={term}: offs count != tf")
+                        break
+                    if np.any(en < st) or (
+                            len(st) > 1 and np.any(np.diff(st) < 0)):
+                        errs.append(f"seg={seg} term={term}: malformed offsets")
+                        break
             seg_df[seg] = seg_df.get(seg, 0) + len(docs)
             seg_ttf[seg] = seg_ttf.get(seg, 0) + int(tfs.sum())
         segs = sorted(seg_df)

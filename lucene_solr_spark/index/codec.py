@@ -149,6 +149,47 @@ def _unpack_block(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
     return vals.astype(np.int64), pos + nbytes
 
 
+# --- impacts (per-block competitive (tf, norm) frontiers) --------------------
+
+IMPACT_CAP = 8
+
+
+def impact_frontier(tfs: np.ndarray, nbs: np.ndarray,
+                    cap: int = IMPACT_CAP) -> tuple[list[int], list[int]]:
+    """The pareto frontier of a block's (tf, norm_byte) pairs — the
+    Lucene 8 "impacts" idea (this snapshot predates it; added per the
+    block-max design note): BM25 is increasing in BOTH tf and norm
+    byte, so the block's true max score under any query weight is
+    attained on the skyline of non-dominated pairs. A frontier gives a
+    TIGHTER per-block bound than the single (max_tf, max_norm) pair
+    whenever high-tf docs are long and short docs are low-tf.
+
+    Returned sorted by tf descending / norm ascending. Capped at
+    ``cap`` pairs by merging consecutive frontier runs into their
+    dominating (max tf, max norm) pair — coarsening is always SAFE
+    (bounds can only grow).
+    """
+    tfs = np.asarray(tfs, dtype=np.int64)
+    nbs = np.asarray(nbs, dtype=np.int64)
+    order = np.lexsort((-nbs, -tfs))  # tf desc, then nb desc
+    keep_tf: list[int] = []
+    keep_nb: list[int] = []
+    best_nb = -1
+    for i in order:
+        nb = int(nbs[i])
+        if nb > best_nb:
+            keep_tf.append(int(tfs[i]))
+            keep_nb.append(nb)
+            best_nb = nb
+    if len(keep_tf) > cap:
+        # merge runs: along the frontier tf decreases and nb increases,
+        # so a run's dominating pair = (first tf, last nb)
+        idx = np.linspace(0, len(keep_tf), cap + 1).astype(int)
+        keep_tf = [keep_tf[idx[i]] for i in range(cap)]
+        keep_nb = [keep_nb[idx[i + 1] - 1] for i in range(cap)]
+    return keep_tf, keep_nb
+
+
 # --- posting encode/decode ----------------------------------------------------
 
 @dataclass
@@ -172,6 +213,8 @@ class EncodedPosting:
     offs_enc: bytes = b""                # .pay offsets analogue (empty = not stored)
     base_doc: int = 0                    # docid base for the first delta (group
                                          # rows: last docid of the previous group)
+    impacts_tf: list | None = None       # per FULL block: pareto-frontier tfs
+    impacts_norm: list | None = None     # per FULL block: frontier norm bytes
 
     # -- block geometry helpers (used by the WAND executor) --------------
 
@@ -217,6 +260,7 @@ def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray,
     skip_last, skip_doff, skip_toff = [], [], []
     bm_tf, bm_norm = [], []
 
+    imp_tf, imp_nb = [], []
     for b in range(full):
         lo, hi = b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE
         skip_doff.append(len(docs_out))
@@ -226,6 +270,9 @@ def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray,
         skip_last.append(int(doc_ids[hi - 1]))
         bm_tf.append(int(tfs[lo:hi].max()))
         bm_norm.append(int(norm_bytes[lo:hi].max()))
+        ft, fn = impact_frontier(tfs[lo:hi], norm_bytes[lo:hi])
+        imp_tf.append(ft)
+        imp_nb.append(fn)
 
     # tail: interleaved varints (delta<<1 | freq==1; freq when != 1)
     tail_lo = full * BLOCK_SIZE
@@ -244,6 +291,8 @@ def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray,
         blockmax_tf=np.array(bm_tf, np.int64),
         blockmax_norm=np.array(bm_norm, np.int64),
         tail_offset=tail_offset,
+        impacts_tf=imp_tf,
+        impacts_norm=imp_nb,
     )
 
 
@@ -423,6 +472,7 @@ POSTING_ROW_FIELDS = (
     "df", "ttf", "singleton_docid", "docs_enc", "tfs_enc",
     "skip_last_doc", "skip_doc_off", "skip_tf_off",
     "bm_tf", "bm_norm", "tail_offset", "pos_enc", "offs_enc",
+    "imp_tf", "imp_norm",
     "grp_id", "grp_prev_doc", "grp_last_doc",
 )
 
@@ -431,6 +481,7 @@ POSTING_ROW_SCHEMA = (
     "tfs_enc binary, skip_last_doc array<long>, skip_doc_off array<int>, "
     "skip_tf_off array<int>, bm_tf array<int>, bm_norm array<int>, "
     "tail_offset int, pos_enc binary, offs_enc binary, "
+    "imp_tf array<array<int>>, imp_norm array<array<int>>, "
     "grp_id int, grp_prev_doc long, grp_last_doc long"
 )
 
@@ -465,6 +516,8 @@ def posting_to_row(ep: EncodedPosting, ttf: int) -> dict:
         "tail_offset": int(ep.tail_offset),
         "pos_enc": ep.pos_enc,
         "offs_enc": ep.offs_enc,
+        "imp_tf": ep.impacts_tf if ep.impacts_tf is not None else [],
+        "imp_norm": ep.impacts_norm if ep.impacts_norm is not None else [],
         "grp_id": 0,
         "grp_prev_doc": int(ep.base_doc),
         "grp_last_doc": last,
@@ -496,6 +549,10 @@ def posting_from_row(row) -> EncodedPosting:
         tail_offset=int(g("tail_offset")),
         pos_enc=bytes(g("pos_enc")) if _get_opt(row, "pos_enc") is not None else b"",
         offs_enc=bytes(g("offs_enc")) if _get_opt(row, "offs_enc") is not None else b"",
+        impacts_tf=([list(x) for x in g("imp_tf")]
+                    if _get_opt(row, "imp_tf") is not None else None),
+        impacts_norm=([list(x) for x in g("imp_norm")]
+                      if _get_opt(row, "imp_norm") is not None else None),
         base_doc=int(prev) if prev is not None and not (
             isinstance(prev, float) and np.isnan(prev)) else 0,
     )
@@ -591,6 +648,10 @@ def split_posting_to_rows(ep: EncodedPosting, tfs_raw: np.ndarray,
             "tail_offset": (int(ep.tail_offset) - d_lo) if with_tail else -1,
             "pos_enc": pos_enc,
             "offs_enc": offs_enc,
+            "imp_tf": (ep.impacts_tf[b0:b1]
+                       if ep.impacts_tf is not None else []),
+            "imp_norm": (ep.impacts_norm[b0:b1]
+                         if ep.impacts_norm is not None else []),
             "grp_id": g,
             "grp_prev_doc": prev_doc,
             "grp_last_doc": last_doc,
@@ -628,6 +689,14 @@ class GroupedPosting:
         self.blockmax_norm = np.concatenate(
             [np.asarray(r["bm_norm"], dtype=np.int64) for r in rows])
         self.last_doc = int(rows[-1]["grp_last_doc"])
+        imp = [r.get("imp_tf") for r in rows]
+        if all(x is not None for x in imp):
+            self.impacts_tf = [list(blk) for r in rows for blk in r["imp_tf"]]
+            self.impacts_norm = [list(blk) for r in rows
+                                 for blk in r["imp_norm"]]
+        else:
+            self.impacts_tf = None
+            self.impacts_norm = None
         # full-block count of each group (tail block never counted)
         self._grp_nfull = [len(r["skip_last_doc"]) for r in rows]
         self._grp_first_block = np.concatenate(

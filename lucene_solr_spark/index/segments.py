@@ -433,6 +433,8 @@ def _encode_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             "offs_enc": (_bulk_offs_enc(st_col[s_idx], en_col[s_idx],
                                         tfs[s_idx], np.arange(n))
                          if has_offs else [b""] * n),
+            "imp_tf": [[]] * n,
+            "imp_norm": [[]] * n,
             "grp_id": np.zeros(n, dtype=np.int32),
             "grp_prev_doc": np.zeros(n, dtype=np.int64),
             "grp_last_doc": docids[s_idx],
@@ -485,6 +487,8 @@ def _encode_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             "offs_enc": (_bulk_offs_enc(st_col[gath], en_col[gath],
                                         g_tf, g_starts)
                          if has_offs else [b""] * n),
+            "imp_tf": [[]] * n,
+            "imp_norm": [[]] * n,
             "grp_id": np.zeros(n, dtype=np.int32),
             "grp_prev_doc": np.zeros(n, dtype=np.int64),
             "grp_last_doc": g_doc[g_starts + g_dfs - 1],

@@ -73,6 +73,37 @@ class WandStats:
     intervals_scored: int = 0
 
 
+def _block_bounds(bm25: BM25, w, ep) -> np.ndarray:
+    """Per logical block score upper bounds. Baseline: the single
+    (max_tf, max_norm) pair. When the posting carries impact frontiers
+    (impacts_tf/impacts_norm per FULL block — codec.impact_frontier),
+    full blocks tighten to max over the pareto pairs: the true
+    in-block maximum is attained on the skyline, so this bound is
+    exact-per-block instead of the corner overestimate (high-tf docs
+    that are long no longer inflate the bound). Tail/singleton blocks
+    keep the baseline pair."""
+    base = bm25.block_max_bound(
+        w,
+        np.asarray(ep.blockmax_tf, dtype=np.int64),
+        np.asarray(ep.blockmax_norm, dtype=np.int64)).astype(np.float32)
+    imp_tf = getattr(ep, "impacts_tf", None)
+    if imp_tf:
+        counts = np.fromiter((len(x) for x in imp_tf), dtype=np.int64,
+                             count=len(imp_tf))
+        if counts.sum() and (counts > 0).all():
+            flat_tf = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in imp_tf])
+            flat_nb = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in ep.impacts_norm])
+            s = bm25.score(np.full(len(flat_tf), np.float32(w), np.float32),
+                           flat_tf, flat_nb)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            tight = np.maximum.reduceat(s, starts)
+            n = len(counts)
+            base[:n] = np.minimum(base[:n], tight)
+    return base
+
+
 def wand_topk(
     postings: dict[str, EncodedPosting],
     weights: dict[str, np.float32],
@@ -127,10 +158,7 @@ def wand_topk(
             else:
                 last = int(ep.skip_last_doc[-1])
         last_docs.append(block_last_docs(ep, last))
-        ubs.append(bm25.block_max_bound(
-            weights[t],
-            np.asarray(ep.blockmax_tf, dtype=np.int64),
-            np.asarray(ep.blockmax_norm, dtype=np.int64)).astype(np.float32))
+        ubs.append(_block_bounds(bm25, weights[t], ep))
 
     # merged interval grid: all block boundaries, sorted unique.
     bounds = np.unique(np.concatenate(last_docs))
@@ -271,6 +299,7 @@ def wand_topk(
 METADATA_COLS = ("seg_id", "term", "df", "ttf", "singleton_docid",
                  "skip_last_doc", "skip_doc_off", "skip_tf_off",
                  "bm_tf", "bm_norm", "tail_offset",
+                 "imp_tf", "imp_norm",
                  "grp_id", "grp_prev_doc", "grp_last_doc")
 
 

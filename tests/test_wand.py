@@ -244,3 +244,64 @@ def test_search_many_rejects_non_wand(seg_index):
     ws = WandSearcher(seg_index)
     with pytest.raises(ValueError):
         ws.search_many({"p": '"t000001 t000002"'})
+
+
+def test_impact_frontier_tightens_bounds_safely():
+    """Impacts: anti-correlated (tf, norm) blocks get a strictly
+    tighter bound than the single (max_tf, max_norm) corner, results
+    stay bit-identical, and pruning can only improve."""
+    import numpy as np
+
+    from lucene_solr_spark.functions.bm25 import BM25, length_norm_byte
+    from lucene_solr_spark.index.codec import encode_posting, impact_frontier
+    from lucene_solr_spark.search.wand import WandStats, _block_bounds, wand_topk
+
+    rng = np.random.default_rng(5)
+    n = 128 * 6 + 40
+    docs = np.arange(1, n + 1, dtype=np.int64) * 3
+    # anti-correlated: high tf -> long doc (low norm byte)
+    tfs = rng.integers(1, 40, size=n)
+    doclens = 20 + tfs * 50 + rng.integers(0, 10, size=n)
+    nbs = length_norm_byte(doclens.astype(np.int64)).astype(np.int64)
+    ep = encode_posting(docs, tfs, nbs)
+    assert ep.impacts_tf is not None and len(ep.impacts_tf) == 6
+
+    bm = BM25(10_000, 1_000_000)
+    w = bm.term_weight(500)
+    single = bm.block_max_bound(w, np.asarray(ep.blockmax_tf),
+                                np.asarray(ep.blockmax_norm)).astype(np.float32)
+    tight = _block_bounds(bm, w, ep)
+    assert (tight <= single).all()
+    assert (tight[:6] < single[:6]).any(), "no tightening on anti-correlated data"
+
+    # safety: bound >= every actual doc score in the block
+    dense = np.zeros(int(docs[-1]) + 1, dtype=np.uint8)
+    dense[docs] = nbs.astype(np.uint8)
+    scores = bm.score(np.full(n, w, np.float32), tfs, nbs)
+    for b in range(6):
+        assert float(tight[b]) >= float(scores[b * 128:(b + 1) * 128].max())
+
+    # identical results, no worse pruning vs impacts stripped
+    st_imp, st_plain = WandStats(), WandStats()
+    d1, s1 = wand_topk({"t": ep}, {"t": w}, dense, 0, bm, k=10, stats=st_imp)
+    ep.impacts_tf = None
+    ep.impacts_norm = None
+    d2, s2 = wand_topk({"t": ep}, {"t": w}, dense, 0, bm, k=10, stats=st_plain)
+    assert np.array_equal(d1, d2)
+    assert np.array_equal(s1.view(np.int32), s2.view(np.int32))
+    assert st_imp.blocks_decoded <= st_plain.blocks_decoded
+
+
+def test_impact_frontier_cap_is_safe():
+    import numpy as np
+
+    from lucene_solr_spark.index.codec import impact_frontier
+
+    rng = np.random.default_rng(9)
+    tfs = rng.integers(1, 1000, size=128)
+    nbs = rng.integers(1, 255, size=128)
+    ftf, fnb = impact_frontier(tfs, nbs, cap=4)
+    assert len(ftf) <= 4
+    # every (tf, nb) pair is dominated by some frontier pair
+    for t, b in zip(tfs, nbs):
+        assert any(t <= ft and b <= fb for ft, fb in zip(ftf, fnb)), (t, b)

@@ -1540,3 +1540,45 @@ pairs AS (
 )
 SELECT id_a, id_b, cos_q FROM pairs WHERE cos_q >= 300000
 """)
+
+
+def _nb_classify(spark, sf):
+    """SimpleNaiveBayesClassifier (lucene/classification/): train on
+    doc_id %% 5 != 0, predict lang for the held-out fifth."""
+    from lucene_solr_spark.operators.classify import naive_bayes_classify
+
+    docs = _load(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    return naive_bayes_classify(train, test)
+
+
+_register("nb_classify", _nb_classify, """
+WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+tok_tr AS (SELECT lang AS cls, unnest(string_split(text, ' ')) AS t FROM tr),
+vocab AS (SELECT count(DISTINCT t)::DOUBLE AS v FROM tok_tr),
+ntr AS (SELECT count(*)::DOUBLE AS n FROM tr),
+priors AS (SELECT cls, count(*)::DOUBLE AS n_docs
+           FROM (SELECT lang AS cls FROM tr) GROUP BY cls),
+ntok AS (SELECT cls, count(*)::DOUBLE AS n_tok FROM tok_tr GROUP BY cls),
+tc AS (SELECT cls, t, count(*)::DOUBLE AS c FROM tok_tr GROUP BY cls, t),
+te_tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM te),
+crossed AS (
+  SELECT tt.doc_id, p.cls, p.n_docs, nk.n_tok,
+         ln((coalesce(tc.c, 0) + 1.0) / (nk.n_tok + vb.v)) AS ll
+  FROM te_tok tt
+  CROSS JOIN priors p
+  JOIN ntok nk ON nk.cls = p.cls
+  CROSS JOIN vocab vb
+  LEFT JOIN tc ON tc.cls = p.cls AND tc.t = tt.t
+),
+scored AS (
+  SELECT doc_id, cls,
+         ln(any_value(n_docs) / (SELECT n FROM ntr)) + sum(ll) AS score
+  FROM crossed GROUP BY doc_id, cls
+)
+SELECT doc_id, cls AS pred FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, cls) = 1
+""")

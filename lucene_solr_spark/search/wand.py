@@ -208,7 +208,8 @@ def wand_topk(
     # bounded collector state
     top_docs = np.empty(0, np.int64)
     top_scores = np.empty(0, np.float32)
-    theta = np.float32(theta0) if np.isfinite(theta0) else np.float32(-np.inf)
+    seeded = bool(np.isfinite(theta0))
+    theta = np.float32(theta0) if seeded else np.float32(-np.inf)
 
     excl = exclude if exclude is not None and len(exclude) else None
 
@@ -224,7 +225,15 @@ def wand_topk(
         hi = int(bounds[i])
         lo = int(bounds[i - 1]) if i > 0 else -1
         full = len(top_scores) >= k
-        if full and ub32[i] <= theta:
+        if full:
+            if ub32[i] <= theta:
+                continue
+        elif seeded and ub32[i] < theta:
+            # cross-segment seeded threshold: prune STRICTLY-below
+            # bounds even before the local heap fills — a doc scoring
+            # below another segment's kth result cannot reach the
+            # global top-k; ties (score == theta0) are kept so the
+            # global docid tie-break stays exact.
             continue
 
         # exact scoring of the interval
@@ -520,7 +529,14 @@ class WandSearcher:
                 self._df_cache[t] = got.get(t, 0)
         return {t: self._df_cache[t] for t in terms}
 
-    def search(self, q: A.Query | str, k: int = 10) -> DataFrame:
+    def search(self, q: A.Query | str, k: int = 10,
+               seed_theta: bool = False) -> DataFrame:
+        """``seed_theta``: spend one extra (tiny) Spark job running the
+        lowest-doc_base segment first and seed every other segment's
+        kernel with its kth score — at large segment counts this
+        prunes most blocks fleet-wide before any local heap fills.
+        Off by default: in local/interactive mode the extra job
+        round-trip outweighs the pruning."""
         self._check_snapshot()
         if isinstance(q, str):
             q = A.parse_query(q)
@@ -575,30 +591,72 @@ class WandSearcher:
         pos_set = set(present)
         idx_path = self.si.path
 
-        def per_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            from lucene_solr_spark.index.codec import decode_posting
+        def make_per_segment(theta0: float):
+            def per_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+                from lucene_solr_spark.index.codec import decode_posting
 
-            sid = int(key[0])
-            norms, doc_base = _load_seg_norms(idx_path, sid)
-            eps = _grouped_postings(idx_path, sid, pdf)
-            postings = {t: gp for t, gp in eps.items() if t in pos_set}
-            exclude = None
-            neg_parts = [decode_posting(eps[t])[0]
-                         for t in neg_set if t in eps]
-            if neg_parts:
-                exclude = np.unique(np.concatenate(neg_parts))
-            d, s = wand_topk(postings, weights, norms, doc_base, bm25,
-                             k=k_, msm=msm_, exclude=exclude)
-            return pd.DataFrame({"docid": d, "score": s})
+                sid = int(key[0])
+                norms, doc_base = _load_seg_norms(idx_path, sid)
+                eps = _grouped_postings(idx_path, sid, pdf)
+                postings = {t: gp for t, gp in eps.items() if t in pos_set}
+                exclude = None
+                neg_parts = [decode_posting(eps[t])[0]
+                             for t in neg_set if t in eps]
+                if neg_parts:
+                    exclude = np.unique(np.concatenate(neg_parts))
+                d, s = wand_topk(postings, weights, norms, doc_base, bm25,
+                                 k=k_, msm=msm_, exclude=exclude,
+                                 theta0=theta0)
+                return pd.DataFrame({"docid": d, "score": s})
+            return per_segment
 
         rows = (self.si.postings
                 .where(F.col("term").isin(present + neg_present))
                 .select(*METADATA_COLS))
-        per_seg = rows.groupBy("seg_id").applyInPandas(
-            per_segment, schema="docid long, score float")
+        if seed_theta and len(self.si.live_segments()) > 1:
+            # Cross-segment threshold seeding (the distributed
+            # TopScoreDocCollector's setMinCompetitiveScore round):
+            # run the kernel on the LOWEST-DOC_BASE segment first; its
+            # kth score is a valid floor for the global threshold, so
+            # every other segment's kernel starts with a competitive
+            # theta and skips strictly-below blocks before its own
+            # heap fills. Results stay bit-identical: ties at the
+            # seed are kept, and equal-score docs in later segments
+            # lose the docid tie-break anyway (their docids are
+            # larger than the seed segment's).
+            seed_seg = self._lowest_docbase_segment()
+            seed_hits = (rows.where(F.col("seg_id") == seed_seg)
+                         .groupBy("seg_id")
+                         .applyInPandas(make_per_segment(float("-inf")),
+                                        schema="docid long, score float")
+                         .collect())
+            theta0 = float("-inf")
+            if len(seed_hits) >= k:
+                theta0 = float(sorted(
+                    (r["score"] for r in seed_hits), reverse=True)[k - 1])
+            rest = (rows.where(F.col("seg_id") != seed_seg)
+                    .groupBy("seg_id")
+                    .applyInPandas(make_per_segment(theta0),
+                                   schema="docid long, score float"))
+            seed_df = self.si.spark.createDataFrame(
+                [(int(r["docid"]), float(r["score"])) for r in seed_hits],
+                "docid long, score float")
+            per_seg = rest.unionByName(seed_df)
+        else:
+            per_seg = rows.groupBy("seg_id").applyInPandas(
+                make_per_segment(float("-inf")),
+                schema="docid long, score float")
         top = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("docid"))
         return top.withColumn("rank", F.row_number().over(w))
+
+    def _lowest_docbase_segment(self) -> int:
+        snap = tuple(self.si.live_segments())
+        if getattr(self, "_seed_seg_snap", None) != snap:
+            row = self.si.meta.orderBy("doc_base").select("seg_id").first()
+            self._seed_seg = int(row["seg_id"])
+            self._seed_seg_snap = snap
+        return self._seed_seg
 
     def search_many(self, queries: dict[str, A.Query | str],
                     k: int = 10) -> DataFrame:

@@ -305,3 +305,40 @@ def test_impact_frontier_cap_is_safe():
     # every (tf, nb) pair is dominated by some frontier pair
     for t, b in zip(tfs, nbs):
         assert any(t <= ft and b <= fb for ft, fb in zip(ftf, fnb)), (t, b)
+
+
+@pytest.mark.parametrize("q", ["t000000", "t000001 AND t000002",
+                               "t000000 OR t000111 OR t004999",
+                               "t000001 NOT t000002"])
+def test_seeded_theta_duels_unseeded(seg_index, q):
+    """Cross-segment threshold seeding must not change results — the
+    seed segment owns the lowest docids, so equal-score docs in later
+    segments lose the tie-break whether or not they are pruned."""
+    ws = WandSearcher(seg_index)
+    a = _rows(ws.search(q, k=10))
+    b = _rows(ws.search(q, k=10, seed_theta=True))
+    assert a == b, q
+
+
+def test_kernel_theta0_prunes_before_full():
+    """A seeded threshold prunes strictly-below blocks even before the
+    local heap fills, without changing the surviving results."""
+    rng = np.random.default_rng(21)
+    n_docs = 80_000
+    doclens = rng.integers(20, 400, size=n_docs)
+    norms = length_norm_byte(doclens)
+    bm25 = BM25(n_docs, int(doclens.sum()))
+    docs = np.sort(rng.choice(n_docs, 40_000, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 4, size=len(docs)).astype(np.int64)
+    postings = {"t": encode_posting(docs, tfs, norms[docs].astype(np.int64))}
+    weights = {"t": bm25.term_weight(len(docs))}
+
+    st0 = WandStats()
+    d0, s0 = wand_topk(postings, weights, norms, 0, bm25, k=10, stats=st0)
+    theta0 = float(s0[-1])  # a valid floor (as if from another segment)
+    st1 = WandStats()
+    d1, s1 = wand_topk(postings, weights, norms, 0, bm25, k=10,
+                       theta0=theta0, stats=st1)
+    assert np.array_equal(d0, d1)
+    assert np.array_equal(s0.view(np.int32), s1.view(np.int32))
+    assert st1.blocks_decoded < st0.blocks_decoded

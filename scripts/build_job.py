@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-positions", action="store_true",
                     help="index DOCS_AND_FREQS only (skip the .pos stream)")
+    ap.add_argument("--offsets", action="store_true",
+                    help="also store char offsets (the .pay analogue; "
+                         "enables offset-based highlighting)")
     ap.add_argument("--fresh", action="store_true",
                     help="delete any existing output first")
     args = ap.parse_args()
@@ -53,7 +56,8 @@ def main() -> None:
     si = build_segment_index(
         pages, args.output, key_col=args.key_col, text_col=args.text_col,
         seg_size=args.seg_size, salt_span=args.salt_span, resume=args.resume,
-        store_positions=not args.no_positions)
+        store_positions=not args.no_positions,
+        store_offsets=args.offsets)
     dt = time.time() - t0
     stats = si.coll_stats()
     print(json.dumps({

@@ -1582,3 +1582,33 @@ SELECT doc_id, cls AS pred FROM scored
 QUALIFY row_number() OVER (PARTITION BY doc_id
                            ORDER BY score DESC, cls) = 1
 """)
+
+
+def _ft_boost_function(spark, sf):
+    """FunctionScoreQuery / Solr boost= (lucene/queries/function/
+    FunctionScoreQuery.java): relevance multiplied by a ValueSource —
+    BM25(merge) * recip(n_chars, 1/1000, 1, 1), the classic
+    shorter-docs-first boost. sql-mode, quantized."""
+    idx = _docs_index(spark, sf)
+    s = Searcher(idx, mode="sql")
+    docs = _load(spark, sf, "documents")
+    m = s.matches(A.TermQ("merge")).join(
+        docs.select(F.col("doc_id").alias("docid"), "n_chars"), "docid")
+    boosted = m.select(
+        "docid",
+        (F.col("score") * (F.lit(1.0)
+                           / (F.lit(0.001) * F.col("n_chars") + F.lit(1.0))))
+        .alias("score"))
+    return _quantize_topk(boosted, 10)
+
+
+_register("ft_boost_function", _ft_boost_function, f"""
+WITH {FT_BASE}, {_ft_scored(['merge'])},
+agg AS (
+  SELECT sc.doc_id,
+         CAST(floor(sc.s * (1.0 / (0.001 * d.n_chars + 1.0)) * 1000000)
+              AS BIGINT) AS score_q
+  FROM scored sc JOIN documents d USING (doc_id)
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")

@@ -54,42 +54,106 @@ B = 0.75
 SCORE_QUANTUM = 1_000_000  # sql-mode cross-engine score quantization
 
 
-def _sloppy_phrase_freq(rebased: list, slop: int) -> float:
+def _sloppy_phrase_freq(rebased: list, slop: int,
+                        groups: list[list[int]] | None = None) -> float:
     """The greedy PhraseQueue traversal of SloppyPhraseScorer.phraseFreq
     (SloppyPhraseScorer.java:96-133) over ALREADY-REBASED per-slot
     position arrays (position - query offset). Tie order on equal
     rebased positions follows PhraseQueue.lessThan: (position, offset,
-    ord). Returns sum of 1/(matchLength+1) over scored matches."""
+    ord). ``groups``: repeat groups — slot indices (offset-sorted) of
+    slots sharing one term ("a b a"): handled per the reference's
+    rptGroups machinery (initialization staggers each group member by
+    its group index, SloppyPhraseScorer.java:286-305; a post-advance
+    collision — two same-term slots on one actual token — advances the
+    lesser pp until clear, advanceRpts at :148-185). Returns sum of
+    1/(matchLength+1) over scored matches."""
     import heapq
 
     n = len(rebased)
     idx = [0] * n
     if any(len(r) == 0 for r in rebased):
         return 0.0
-    heap = [(int(rebased[i][0]), i, i) for i in range(n)]
+    pos = [int(r[0]) for r in rebased]
+    offs = list(range(n))  # slot offset == slot index for phrase slots
+    group_of: dict[int, list[int]] = {}
+    if groups:
+        for g in groups:
+            for si in g:
+                group_of[si] = g
+        # advanceRepeatGroups (no multi-term repeats): member j of a
+        # group starts at the term's (j+1)-th position — no collisions
+        # at initialization
+        for g in groups:
+            for j, si in enumerate(g):
+                if j == 0:
+                    continue
+                idx[si] += j
+                if idx[si] >= len(rebased[si]):
+                    return 0.0
+                pos[si] = int(rebased[si][idx[si]])
+    end = max(pos)
+
+    def advance(i: int) -> bool:
+        idx[i] += 1
+        if idx[i] >= len(rebased[i]):
+            return False
+        nonlocal end
+        pos[i] = int(rebased[i][idx[i]])
+        if pos[i] > end:
+            end = pos[i]
+        return True
+
+    def collide(i: int) -> int:
+        tp = pos[i] + offs[i]
+        for j in group_of.get(i, ()):
+            if j != i and pos[j] + offs[j] == tp:
+                return j
+        return -1
+
+    def advance_rpts(i: int) -> bool:
+        """Resolve post-advance repeater collisions by advancing the
+        lesser of the colliding pair; False when pps exhaust."""
+        if i not in group_of:
+            return True
+        cur = i
+        while True:
+            k = collide(cur)
+            if k < 0:
+                return True
+            lower = cur if (pos[cur], offs[cur]) < (pos[k], offs[k]) else k
+            if not advance(lower):
+                return False
+            cur = lower
+
+    heap = [(pos[i], offs[i], i) for i in range(n)]
     heapq.heapify(heap)
-    end = max(int(r[0]) for r in rebased)
     freq = 0.0
-    pos, off, ord_ = heapq.heappop(heap)
-    match_length = end - pos
-    next_ = heap[0][0] if heap else pos
+    _, _, ord_ = heapq.heappop(heap)
+    match_length = end - pos[ord_]
+    next_ = heap[0][0] if heap else pos[ord_]
     while True:
-        # advancePP(pp)
-        idx[ord_] += 1
-        if idx[ord_] >= len(rebased[ord_]):
+        # advancePP(pp) [+ advanceRpts when the phrase has repeats]
+        if not advance(ord_):
             break  # exhausted -> final match check below
-        pos = int(rebased[ord_][idx[ord_]])
-        if pos > end:
-            end = pos
-        if pos > next_:
+        if group_of and not advance_rpts(ord_):
+            break  # pps exhausted during collision resolution
+        if group_of:
+            # collision resolution may have advanced queued pps: bring
+            # the queue in line with their new positions (the partial
+            # re-queue of advanceRpts, done as a rebuild); ``next``
+            # deliberately stays stale, as in the reference
+            heap = [(pos[i], offs[i], i) for i in range(n) if i != ord_]
+            heapq.heapify(heap)
+        p = pos[ord_]
+        if p > next_:
             if match_length <= slop:
                 freq += 1.0 / (match_length + 1)
-            heapq.heappush(heap, (pos, off, ord_))
-            pos, off, ord_ = heapq.heappop(heap)
-            next_ = heap[0][0] if heap else pos
-            match_length = end - pos
+            heapq.heappush(heap, (p, offs[ord_], ord_))
+            _, _, ord_ = heapq.heappop(heap)
+            next_ = heap[0][0] if heap else pos[ord_]
+            match_length = end - pos[ord_]
         else:
-            ml2 = end - pos
+            ml2 = end - p
             if ml2 < match_length:
                 match_length = ml2
     if match_length <= slop:
@@ -564,25 +628,32 @@ class Searcher:
         96-133) — repeatedly advance the least rebased PhrasePosition,
         scoring a match of length d as sloppyFreq(d) = 1/(d+1)
         (BM25Similarity.java:77) whenever the current minimal window
-        closes with d <= slop. freq accumulates in float64 (a sub-ulp
+        closes with d <= slop. Repeated terms ("ho my my"~2) follow
+        the reference's rptGroups machinery — staggered group
+        initialization plus collision resolution (see
+        _sloppy_phrase_freq). freq accumulates in float64 (a sub-ulp
         deviation from the reference's running float32 sum, absorbed
-        by quantization). Repeat-term phrases (the rptGroups machinery
-        of SloppyPhraseScorer.java:286+) are out of scope."""
-        if len(set(q.terms)) != len(q.terms):
-            raise NotImplementedError(
-                "sloppy phrases with repeated terms (rptGroups) not supported")
+        by quantization)."""
         terms = list(q.terms)
+        distinct = sorted(set(terms))
         dfs = self._df_for(set(terms))
         if any(dfs[t] == 0 for t in terms):
             return self._empty_scored().select("docid", "score")
+        # one frame per distinct term; slots of a repeated term reuse it
         frames = []
-        for i, t in enumerate(terms):
+        for i, t in enumerate(distinct):
             frames.append(
                 self.index.postings.where(F.col("term") == t)
                 .select("docid", F.col("positions").alias(f"_p{i}")))
         joined = reduce(lambda a, b: a.join(b, "docid"), frames)
-        arrs = F.array(*[F.col(f"_p{i}") for i in range(len(terms))])
+        slot_src = [distinct.index(t) for t in terms]   # slot -> frame
+        arrs = F.array(*[F.col(f"_p{i}") for i in slot_src])
         slop = int(q.slop)
+        groups = [
+            [i for i, t in enumerate(terms) if t == d]
+            for d in distinct
+            if sum(1 for t in terms if t == d) > 1
+        ] or None
 
         @pandas_udf("double")
         def sloppy_freq(parr: pd.Series) -> pd.Series:
@@ -590,11 +661,13 @@ class Searcher:
             for row_i, plists in enumerate(parr):
                 rebased = [np.asarray(pl, dtype=np.int64) - off
                            for off, pl in enumerate(plists)]
-                out[row_i] = _sloppy_phrase_freq(rebased, slop)
+                out[row_i] = _sloppy_phrase_freq(rebased, slop, groups)
             return pd.Series(out)
 
         with_freq = joined.select(
             "docid", sloppy_freq(arrs).alias("pfreq")).where(F.col("pfreq") > 0)
+        # idf sums over the query's TERM ARRAY (repeats counted each
+        # time, idfExplain over TermStatistics[] per occurrence)
         return self._score_phrase_freq(with_freq, terms, dfs, q.boost)
 
     def _eval_multi_phrase(self, q: A.MultiPhraseQ) -> DataFrame:

@@ -225,15 +225,55 @@ def test_sloppy_phrase_freq_kernel():
     assert spf(rebased, 0) == 1.0
 
 
-def test_sloppy_phrase_repeated_terms_raises(spark, tiny_index):
-    import pytest as _pytest
+def test_sloppy_phrase_repeated_terms():
+    """rptGroups machinery, hand-traced golden cases: repeat-group
+    members start staggered, collisions advance the lesser pp."""
+    import numpy as np
+
+    from lucene_solr_spark.search.executor import _sloppy_phrase_freq
+
+    # "a a" over doc "a x a" (a at 0,2): no adjacent pair; the greedy
+    # scores one ml=1 window
+    reb = [np.array([0, 2]), np.array([0, 2]) - 1]
+    assert _sloppy_phrase_freq(reb, 0, groups=[[0, 1]]) == 0.0
+    assert _sloppy_phrase_freq(reb, 1, groups=[[0, 1]]) == 0.5
+
+    # "a b a" over doc "a b a": one exact match
+    reb = [np.array([0, 2]), np.array([1]) - 1, np.array([0, 2]) - 2]
+    assert _sloppy_phrase_freq(reb, 0, groups=[[0, 2]]) == 1.0
+
+    # "a a" over doc "a a a": two exact matches
+    reb = [np.array([0, 1, 2]), np.array([0, 1, 2]) - 1]
+    assert _sloppy_phrase_freq(reb, 2, groups=[[0, 1]]) == 2.0
+
+    # doc without enough repeats: "a a" over "a x y": group init
+    # exhausts -> no match
+    reb = [np.array([0]), np.array([0]) - 1]
+    assert _sloppy_phrase_freq(reb, 5, groups=[[0, 1]]) == 0.0
+
+
+def test_sloppy_phrase_repeated_end_to_end(spark, tiny_index):
+    """Repeated-term sloppy phrase through the executor matches the
+    kernel run on the raw positions arrays."""
+    import numpy as np
+    from pyspark.sql import functions as F
 
     from lucene_solr_spark.search import ast as A
-    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.executor import Searcher, _sloppy_phrase_freq
 
     s = Searcher(tiny_index, mode="sql")
-    with _pytest.raises(NotImplementedError):
-        s.matches(A.PhraseQ(("t000001", "t000002", "t000001"), slop=1))
+    t = "t000001"
+    got = {r["docid"]: None for r in
+           s.matches(A.PhraseQ((t, t), slop=3)).collect()}
+    plists = {r["docid"]: list(r["positions"]) for r in
+              tiny_index.postings.where(F.col("term") == t)
+              .select("docid", "positions").collect()}
+    want = set()
+    for d, pl in plists.items():
+        reb = [np.asarray(pl), np.asarray(pl) - 1]
+        if _sloppy_phrase_freq(reb, 3, groups=[[0, 1]]) > 0:
+            want.add(d)
+    assert set(got) == want
 
 
 def test_multiphrase_matches_union_of_phrases(spark, tiny_index):

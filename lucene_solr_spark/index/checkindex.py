@@ -97,6 +97,22 @@ def _check_posting_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     if len(pl) > 1 and not np.all(np.diff(pl) > 0):
                         errs.append(f"seg={seg} term={term}: pos not increasing")
                         break
+            # impacts: every (tf, norm) in a full block must be
+            # dominated by a frontier pair, else bounds under-estimate
+            # and WAND pruning would drop true hits
+            if ep.impacts_tf:
+                for b in range(min(len(ep.impacts_tf), full)):
+                    ftf = np.asarray(ep.impacts_tf[b], dtype=np.int64)
+                    fnb = np.asarray(ep.impacts_norm[b], dtype=np.int64)
+                    if len(ftf) == 0:
+                        errs.append(f"seg={seg} term={term}: empty impact "
+                                    f"frontier at block {b}")
+                        break
+                    btf = tfs[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE]
+                    if int(ftf.max()) < int(btf.max()):
+                        errs.append(f"seg={seg} term={term}: impact frontier "
+                                    f"misses max tf at block {b}")
+                        break
             # offsets stream (when stored): per-doc pair count == tf,
             # spans well-formed (end >= start, starts non-decreasing)
             if ep.offs_enc:

@@ -1612,3 +1612,21 @@ agg AS (
 )
 {_topk_sql("SELECT * FROM agg", 10)}
 """)
+
+
+def _text_token_bpe(spark, sf):
+    """BPE-ish subword token estimate (vocabulary-free LLM budget
+    counter) alongside the whitespace count."""
+    from lucene_solr_spark.operators.textstats import bpe_token_estimate
+
+    return bpe_token_estimate(_load(spark, sf, "documents"))
+
+
+_register("text_token_bpe", _text_token_bpe, r"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT
+         AS n_tokens_ws,
+       len(regexp_extract_all(text, '[a-z]{1,4}|[A-Z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))::BIGINT
+         AS n_tokens_bpe
+FROM documents
+""")

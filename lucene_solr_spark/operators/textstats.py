@@ -82,3 +82,28 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     words = F.split(F.col(text_col), " ")
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(words)))
     return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))
+
+
+# BPE-ish subword pattern: letter runs cap at 4 chars (the average
+# merged-piece length of common BPE vocabularies), digits tokenize
+# singly, any other non-space char is its own piece — a deterministic
+# estimator of LLM token counts that needs no vocabulary file.
+BPE_PATTERN = r"[a-z]{1,4}|[A-Z]{1,4}|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_estimate(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Tokenizer-free LLM token-count estimate: the number of matches
+    of BPE_PATTERN (letter runs chunked at 4, digits single,
+    punctuation single) — the training-pipeline budget estimator used
+    when the real tokenizer is too expensive to run corpus-wide.
+    Pure Catalyst (regexp_count), one scan. Returns
+    (doc_id, n_tokens_ws, n_tokens_bpe)."""
+    words = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.size(F.filter(words, lambda w: w != "")).cast("long")
+        .alias("n_tokens_ws"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("long")
+        .alias("n_tokens_bpe"),
+    )

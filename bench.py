@@ -99,7 +99,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     idx = _docs_index(spark, sf_dir)
     setup = time.time() - t0
-    s = Searcher(idx, mode="lucene")
+    # serving-mode configuration: the term dictionary loads once
+    s = Searcher(idx, mode="lucene", preload_stats=True)
 
     times: dict[str, float] = {"index_setup": round(setup, 3)}
     for name, q in QSET.items():

@@ -218,7 +218,12 @@ class Searcher:
 
     def __init__(self, index: IndexTables, mode: str = "lucene",
                  k1: float = K1, b: float = B,
-                 query_cache: QueryCache | None = None):
+                 query_cache: QueryCache | None = None,
+                 preload_stats: bool = False):
+        """``preload_stats``: load the whole (term -> df) dictionary in
+        one job on first use (the in-RAM term dictionary of a serving
+        tier) instead of one stats job per novel query term. Memory is
+        O(vocabulary)."""
         assert mode in ("lucene", "sql")
         self.index = index
         self.mode = mode
@@ -227,11 +232,19 @@ class Searcher:
         self.bm25 = BM25(index.coll_stats["doc_count"], index.coll_stats["sum_ttf"],
                          k1=k1, b=b)
         self._stats_cache: dict[str, int] = {}
+        self._preload = preload_stats
+        self._preloaded = False
         self.query_cache = query_cache
 
     # -- statistics (TermStatistics / CollectionStatistics) --------------
 
     def _df_for(self, terms: set[str]) -> dict[str, int]:
+        if self._preload and not self._preloaded:
+            rows = self.index.term_stats.select("term", "df").collect()
+            self._stats_cache = {r["term"]: int(r["df"]) for r in rows}
+            self._preloaded = True
+        if self._preloaded:
+            return {t: self._stats_cache.get(t, 0) for t in terms}
         missing = [t for t in terms if t not in self._stats_cache]
         if missing:
             rows = (

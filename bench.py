@@ -55,6 +55,23 @@ WAND_QSET = {
 }
 
 
+def _min_of(fn, trials: int = 3) -> float:
+    """Min-of-N wall time for one measured action — this VM's
+    run-to-run noise is ~25% (BENCH/BASELINE.md §2), so a single-shot
+    sample cannot distinguish a regression from scheduler jitter; the
+    minimum is the least-contended estimate. The recorded JSON carries
+    the trial count so the artifact is the evidence."""
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+QUERY_TRIALS = int(os.environ.get("BENCH_QUERY_TRIALS", "3"))
+
+
 def _fresh_spark(cores: int):
     from lucene_solr_spark.session import get_spark
 
@@ -102,11 +119,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # serving-mode configuration: the term dictionary loads once
     s = Searcher(idx, mode="lucene", preload_stats=True)
 
-    times: dict[str, float] = {"index_setup": round(setup, 3)}
+    times: dict[str, float] = {"index_setup": round(setup, 3),
+                               "trials": QUERY_TRIALS}
     for name, q in QSET.items():
-        t0 = time.time()
-        s.search(q, k=10).collect()
-        times[name] = round(time.time() - t0, 3)
+        times[name] = _min_of(lambda: s.search(q, k=10).collect(),
+                              QUERY_TRIALS)
 
     # batched: all queries in one job (union of top-k frames) — the
     # realistic Spark serving shape (amortizes job scheduling)
@@ -114,10 +131,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
     from pyspark.sql import functions as F
 
-    t0 = time.time()
-    frames = [s.search(q, k=10).withColumn("q", F.lit(n)) for n, q in QSET.items()]
-    reduce(lambda a, b: a.unionByName(b), frames).collect()
-    times["batched_all"] = round(time.time() - t0, 3)
+    def batched():
+        frames = [s.search(q, k=10).withColumn("q", F.lit(n))
+                  for n, q in QSET.items()]
+        reduce(lambda a, b: a.unionByName(b), frames).collect()
+
+    times["batched_all"] = _min_of(batched, QUERY_TRIALS)
     return times
 
 
@@ -139,21 +158,52 @@ def bench_wand_queries(spark, n_docs: int) -> dict[str, float]:
         __import__("lucene_solr_spark.index.segments",
                    fromlist=["SegmentIndex"]).SegmentIndex(path=out, spark=spark),
         preload_stats=True)
-    times: dict[str, float] = {}
+    times: dict[str, float] = {"trials": QUERY_TRIALS}
     t0 = time.time()
     ws.search("t000001", k=10).collect()  # warm (stats cache, parquet footer)
     times["w_warmup"] = round(time.time() - t0, 3)
     for name, q in WAND_QSET.items():
-        t0 = time.time()
-        ws.search(q, k=10).collect()
-        times[name] = round(time.time() - t0, 3)
+        times[name] = _min_of(lambda: ws.search(q, k=10).collect(),
+                              QUERY_TRIALS)
     # batched serving: all queries in ONE job (search_many) — the
     # realistic q/s figure for a Spark search tier
-    t0 = time.time()
-    ws.search_many(WAND_QSET, k=10).collect()
-    dt = time.time() - t0
-    times["w_batched_all"] = round(dt, 3)
-    times["w_batched_qps"] = round(len(WAND_QSET) / dt, 1)
+    times["w_batched_all"] = _min_of(
+        lambda: ws.search_many(WAND_QSET, k=10).collect(), QUERY_TRIALS)
+    times["w_batched_qps"] = round(len(WAND_QSET) / times["w_batched_all"], 1)
+    return times
+
+
+def bench_wand_large(spark, n_docs: int = 500_000,
+                     seg_size: int = 1 << 16) -> dict[str, float]:
+    """Production-segment-size WAND (BENCH/BASELINE.md §6.1 as a
+    recorded artifact, not prose): the zipf-head term shards into ~8
+    group rows per segment at seg_size 2^16, so this exercises lazy
+    multi-group payload fetch + the skip-based conjunction path on
+    all-hot AND shapes. Disable with BENCH_WAND_LARGE=0."""
+    from lucene_solr_spark.index.codec import POSTING_ROW_FIELDS
+    from lucene_solr_spark.index.segments import SegmentIndex, build_segment_index
+    from lucene_solr_spark.search.wand import WandSearcher
+
+    src = _pages_parquet(spark, n_docs)
+    out = f"/tmp/bench_wandidx_v{len(POSTING_ROW_FIELDS)}_{n_docs}_s{seg_size}"
+    times: dict[str, float] = {"n_docs": n_docs, "seg_size": seg_size,
+                               "trials": QUERY_TRIALS}
+    if not glob.glob(f"{out}/segments_meta*"):
+        t0 = time.time()
+        build_segment_index(spark.read.parquet(src), out, seg_size=seg_size)
+        times["build_sec"] = round(time.time() - t0, 2)
+    ws = WandSearcher(SegmentIndex(path=out, spark=spark), preload_stats=True)
+    ws.search("t000001", k=10).collect()  # warm
+    big_qset = {
+        "wl_term_head": "t000000",
+        "wl_term_mid": "t000400",
+        "wl_term_tail": "t004999",
+        "wl_and3_hot": "t000000 AND t000001 AND t000002",
+        "wl_or3": "t000000 OR t000400 OR t004999",
+    }
+    for name, q in big_qset.items():
+        times[name] = _min_of(lambda: ws.search(q, k=10).collect(),
+                              QUERY_TRIALS)
     return times
 
 
@@ -181,7 +231,7 @@ def bench_ann(spark, sf_dir: str) -> dict[str, float]:
         times["ann_build"] = round(time.time() - t0, 3)
     q = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
     for name, fn in (
-        ("ann_lsh_scan", lambda: SIM.lsh_topk(emb, q, dim=dim, k=10)),
+        ("ann_lsh_scan", lambda: SIM.lsh_topk_scan(emb, q, dim=dim, k=10)),
         ("ann_lsh_indexed", lambda: SIM.lsh_topk_indexed(spark, path, q, dim=dim, k=10)),
         ("ann_ivf_indexed", lambda: SIM.ivf_topk_indexed(spark, path, q, cents, k=10)),
     ):
@@ -207,10 +257,13 @@ def main() -> None:
     spark = _fresh_spark(cpus)
     # every phase guarded: the driver needs the one-line JSON even if
     # a phase dies (partial results beat no results)
-    for key, fn in (("index_build", lambda: bench_build(spark, n_docs)),
-                    ("queries", lambda: bench_queries(spark, sf_dir)),
-                    ("wand_queries", lambda: bench_wand_queries(spark, n_docs)),
-                    ("ann", lambda: bench_ann(spark, sf_dir))):
+    phases = [("index_build", lambda: bench_build(spark, n_docs)),
+              ("queries", lambda: bench_queries(spark, sf_dir)),
+              ("wand_queries", lambda: bench_wand_queries(spark, n_docs)),
+              ("ann", lambda: bench_ann(spark, sf_dir))]
+    if os.environ.get("BENCH_WAND_LARGE", "1") != "0":
+        phases.append(("wand_1m", lambda: bench_wand_large(spark)))
+    for key, fn in phases:
         try:
             result[key] = fn()
         except Exception as e:  # noqa: BLE001

@@ -629,19 +629,35 @@ GROUP BY doc_id
 
 
 def _wand_quantized(spark, sf, q: A.Query, k: int = 10) -> DataFrame:
-    """WAND top-k with the cross-engine quantization contract: fetch a
-    3x over-sample by exact float32 score, then select/rank by
+    """WAND top-k with the cross-engine quantization contract: fetch an
+    over-sample by exact float32 score, then select/rank by
     (score_q desc, docid asc) — identical to the oracle's ordering
-    even when distinct float32 scores collide in one quantum."""
+    even when distinct float32 scores collide in one quantum.
+
+    The over-sample factor is VERIFIED, not assumed: the fetch is
+    sufficient iff the kth quantized score strictly beats the last
+    fetched one (any unfetched doc scores <= the last fetched float32
+    score, hence <= its quantum) — or the fetch exhausted the matches.
+    Otherwise re-fetch with a larger k. The k-row materialization here
+    is driver-side by design (top-k results are tiny)."""
     from lucene_solr_spark.search.wand import WandSearcher
 
-    si = _seg_index(spark, sf)
-    top = WandSearcher(si).search(q, k=3 * k).withColumn(
-        "score_q", F.floor(F.col("score").cast("double") * Q).cast("long"))
-    top = top.orderBy(F.desc("score_q"), F.asc("docid")).limit(k)
-    w = Window.orderBy(F.desc("score_q"), F.asc("docid"))
-    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
-        F.col("docid").alias("doc_id"), "score_q", "rank")
+    ws = WandSearcher(_seg_index(spark, sf))
+    factor = 3
+    while True:
+        hits = (ws.search(q, k=factor * k)
+                .withColumn("score_q",
+                            F.floor(F.col("score").cast("double") * Q)
+                            .cast("long"))
+                .orderBy(F.desc("score_q"), F.asc("docid"))
+                .select("docid", "score_q").collect())
+        if (len(hits) < factor * k or len(hits) <= k
+                or hits[k - 1]["score_q"] > hits[-1]["score_q"]):
+            break
+        factor *= 4  # quantization-band collision spans the window
+    rows = [(int(r["docid"]), int(r["score_q"]), i + 1)
+            for i, r in enumerate(hits[:k])]
+    return spark.createDataFrame(rows, "doc_id long, score_q long, rank long")
 
 
 def _f32_topk_sql(terms: list[str], k: int = 10, having: str = "") -> str:
@@ -1629,4 +1645,117 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[a-z]{1,4}|[A-Z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))::BIGINT
          AS n_tokens_bpe
 FROM documents
+""")
+
+
+# ---- §2.10 DFR + IB similarity families ------------------------------------
+
+def _dfr_tfn_cols(idx, terms):
+    """Shared (doc, term) frame with tfn per NormalizationH2 (c=1):
+    tfn = tf * log2(1 + c * avgdl / dl)
+    (search/similarities/NormalizationH2.java:52-54)."""
+    p = idx.postings.where(F.col("term").isin(terms)).select(
+        "term", "docid", "tf")
+    d = idx.docs.select("docid", "doclen").where(F.col("doclen") > 0)
+    j = p.join(d, "docid")
+    avgdl = idx.coll_stats["sum_ttf"] / idx.coll_stats["doc_count"]
+    tfn = (F.col("tf").cast("double")
+           * F.log2(F.lit(1.0) + F.lit(avgdl) / F.col("doclen").cast("double")))
+    return j, tfn
+
+
+def _sim_topk(spark, agg):
+    top = agg.orderBy(F.desc("score_q"), F.asc("docid")).limit(10)
+    w = Window.orderBy(F.desc("score_q"), F.asc("docid"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.col("docid").alias("doc_id"), "score_q", "rank")
+
+
+def _ft_dfr(spark, sf):
+    """DFR I(n)L2 (search/similarities/DFRSimilarity.java:110-114 with
+    BasicModelIn.java:33-37, AfterEffectL.java:32-34,
+    NormalizationH2.java:52-54, c=1): per-term score =
+    tfn * log2((N+1)/(df+0.5)) / (tfn+1); SHOULD clauses sum.
+    sql-mode float64 with exact doclen, quantized."""
+    idx = _docs_index(spark, sf)
+    terms = ["hash", "join"]
+    j, tfn = _dfr_tfn_cols(idx, terms)
+    # df per term as literals (tiny dictionary lookup, one stats job)
+    ts = {r["term"]: float(r["df"]) for r in
+          idx.term_stats.where(F.col("term").isin(terms))
+          .select("term", "df").collect()}
+    n_docs = float(idx.coll_stats["doc_count"])
+    dfc = F.create_map(*[x for t in terms for x in
+                         (F.lit(t), F.lit(ts.get(t, 0.0)))])[F.col("term")]
+    s = tfn * F.log2((F.lit(n_docs + 1.0)) / (dfc + F.lit(0.5))) / (tfn + F.lit(1.0))
+    agg = (j.select("docid", s.alias("s"))
+           .groupBy("docid")
+           .agg(F.floor(F.sum("s") * Q).cast("long").alias("score_q")))
+    return _sim_topk(spark, agg)
+
+
+_register("ft_dfr", _ft_dfr, f"""
+WITH {FT_BASE},
+sc AS (
+  SELECT p.doc_id,
+         (p.tf::DOUBLE * log2(1.0 + (cs.sttf / cs.n) / dl.doclen::DOUBLE))
+           * log2((cs.n + 1.0) / (ts.df + 0.5))
+           / ((p.tf::DOUBLE * log2(1.0 + (cs.sttf / cs.n) / dl.doclen::DOUBLE)) + 1.0)
+           AS s
+  FROM postings p
+  JOIN tstats ts USING (term)
+  JOIN doclen dl USING (doc_id)
+  CROSS JOIN cstats cs
+  WHERE p.term IN ('hash','join') AND dl.doclen > 0
+),
+agg AS (
+  SELECT doc_id, CAST(floor(sum(s) * 1000000) AS BIGINT) AS score_q
+  FROM sc GROUP BY doc_id
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
+def _ft_ib(spark, sf):
+    """IB LL-D-H2 (search/similarities/IBSimilarity.java:120-127 with
+    DistributionLL.java:30-32, LambdaDF.java:29-31,
+    NormalizationH2.java, c=1): lambda = (df+1)/(N+1); per-term score
+    = -ln(lambda / (tfn + lambda)); SHOULD clauses sum. sql-mode
+    float64 with exact doclen, quantized."""
+    idx = _docs_index(spark, sf)
+    terms = ["scan", "merge"]
+    j, tfn = _dfr_tfn_cols(idx, terms)
+    ts = {r["term"]: float(r["df"]) for r in
+          idx.term_stats.where(F.col("term").isin(terms))
+          .select("term", "df").collect()}
+    n_docs = float(idx.coll_stats["doc_count"])
+    lam = F.create_map(*[x for t in terms for x in
+                         (F.lit(t),
+                          F.lit((ts.get(t, 0.0) + 1.0) / (n_docs + 1.0)))])[
+        F.col("term")]
+    s = -F.log(lam / (tfn + lam))
+    agg = (j.select("docid", s.alias("s"))
+           .groupBy("docid")
+           .agg(F.floor(F.sum("s") * Q).cast("long").alias("score_q")))
+    return _sim_topk(spark, agg)
+
+
+_register("ft_ib", _ft_ib, f"""
+WITH {FT_BASE},
+sc AS (
+  SELECT p.doc_id,
+         -ln(((ts.df + 1.0) / (cs.n + 1.0))
+             / ((p.tf::DOUBLE * log2(1.0 + (cs.sttf / cs.n) / dl.doclen::DOUBLE))
+                + ((ts.df + 1.0) / (cs.n + 1.0)))) AS s
+  FROM postings p
+  JOIN tstats ts USING (term)
+  JOIN doclen dl USING (doc_id)
+  CROSS JOIN cstats cs
+  WHERE p.term IN ('scan','merge') AND dl.doclen > 0
+),
+agg AS (
+  SELECT doc_id, CAST(floor(sum(s) * 1000000) AS BIGINT) AS score_q
+  FROM sc GROUP BY doc_id
+)
+{_topk_sql("SELECT * FROM agg", 10)}
 """)

@@ -143,10 +143,12 @@ def build_index(
     offset arrays (starts/ends — the .pay stream analogue), enabling
     offset-based highlighting without re-scanning stored text.
     """
+    pinned_range = None
     if precomputed_docid:
         base = pages.withColumn("docid", F.col(precomputed_docid).cast("long"))
     else:
         base = assign_doc_ids(pages, key=key_col)
+        pinned_range = getattr(base, "_pinned_range_frame", None)
 
     af = analyzed_frame(base, key_col=key_col, text_col=text_col,
                         with_offsets=with_offsets).persist()
@@ -174,6 +176,13 @@ def build_index(
         F.coalesce(F.sum("doclen"), F.lit(0)).alias("sum_ttf"),
     ).collect()[0]
     coll_stats = {"doc_count": stats_row["doc_count"], "sum_ttf": stats_row["sum_ttf"]}
+
+    # the collect above materialized ``af`` (persisted), so the docid
+    # assigner's pinned range frame can be released — without this,
+    # every flat build leaks one cached DataFrame for the session
+    # lifetime (the build_segment_index path has the same release).
+    if pinned_range is not None:
+        pinned_range.unpersist()
 
     return IndexTables(docs=docs, postings=postings, term_stats=term_stats,
                        coll_stats=coll_stats)

@@ -127,12 +127,42 @@ def read_segments_meta(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
+def _claim_generation(spark, path: str, start_after: int,
+                      max_attempts: int = 64) -> int:
+    """Claim the next manifest generation number via an atomic
+    create-if-absent marker (FileSystem.create(overwrite=False) — the
+    IndexWriter write-lock analogue, store/NativeFSLockFactory.java).
+    Two concurrent committers (NRT append + background merge) both
+    reading generation N can no longer both write v{N+1}: exactly one
+    wins the claim file, the other claims v{N+2} — a whole-manifest
+    lost update becomes two ordered commits."""
+    fs, jvm = _hadoop_fs(spark, path)
+    gen = start_after
+    for _ in range(max_attempts):
+        gen += 1
+        claim = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/.claim_{META_GEN_PREFIX}{gen}")
+        try:
+            out = fs.create(claim, False)  # throws if already claimed
+            out.close()
+            return gen
+        except Exception:
+            continue  # claimed by a concurrent committer; try the next
+    raise RuntimeError(
+        f"could not claim a manifest generation after {max_attempts} tries")
+
+
 def commit_segments_meta(meta: DataFrame, path: str) -> int:
     """Atomically commit a full manifest as the next generation and
-    prune superseded generations; returns the new generation number."""
+    prune superseded generations; returns the new generation number.
+    Generation numbers are claimed atomically (_claim_generation), so
+    concurrent committers serialize instead of overwriting each other;
+    note the LAST claimant still wins the logical manifest — callers
+    performing read-modify-write cycles (merges) should hold a single
+    writer per index, as Lucene's IndexWriter does."""
     spark = meta.sparkSession
     gens = meta_generations(spark, path)
-    new_gen = (gens[-1] if gens else 0) + 1
+    new_gen = _claim_generation(spark, path, gens[-1] if gens else 0)
     # single commit-point file: the manifest is O(segments) tiny rows
     meta.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/{META_GEN_PREFIX}{new_gen}")
@@ -140,6 +170,8 @@ def commit_segments_meta(meta: DataFrame, path: str) -> int:
     for g in gens[:-(META_KEEP_GENERATIONS - 1)] if META_KEEP_GENERATIONS > 1 else gens:
         fs.delete(jvm.org.apache.hadoop.fs.Path(
             f"{path}/{META_GEN_PREFIX}{g}"), True)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{path}/.claim_{META_GEN_PREFIX}{g}"), False)
     # a legacy un-generational manifest is superseded by any commit
     legacy = jvm.org.apache.hadoop.fs.Path(f"{path}/segments_meta")
     if fs.exists(legacy):
@@ -214,6 +246,22 @@ class SegmentIndex:
             raise FileNotFoundError(
                 f"no committed segments_meta generation under {self.path}")
         return m
+
+    def has_docvalues(self) -> bool:
+        fs, jvm = _hadoop_fs(self.spark, self.path)
+        return fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{self.path}/docvalues"))
+
+    @property
+    def docvalues(self) -> DataFrame:
+        """Per-segment (docid -> numeric fields) forward index — the
+        Lucene70DocValuesFormat analogue (codecs/lucene70/
+        Lucene70DocValuesFormat.java:88-117). seg_id-partitioned, so a
+        per-segment consumer's read is partition-pruned. Built via
+        build_segment_index(docvalues_cols=...) or backfilled with
+        write_docvalues()."""
+        df = self.spark.read.parquet(f"{self.path}/docvalues")
+        return df.where(F.col("seg_id").isin(self.live_segments()))
 
     @property
     def term_stats(self) -> DataFrame:
@@ -294,12 +342,20 @@ class SegmentIndex:
             src = src.where(F.col("term").isin(list(terms)))
         flat = src.mapInPandas(explode, schema=schema)
         docs = self.docs
-        return IndexTables(
+        out = IndexTables(
             docs=docs,
             postings=flat,
             term_stats=self.term_stats,
             coll_stats=self.coll_stats(),
         )
+        # Snapshot provenance: a flat Searcher held across an NRT
+        # append/merge + refresh() can re-derive fresh tables (the
+        # flat-engine analogue of WandSearcher._check_snapshot).
+        out._segment_source = self
+        out._flat_args = dict(with_positions=with_positions, terms=terms,
+                              with_offsets=with_offsets)
+        out._segment_snapshot = tuple(self.live_segments())
+        return out
 
 
 # --- build ------------------------------------------------------------------
@@ -543,6 +599,7 @@ def build_segment_index(
     lineage: str = "",
     store_positions: bool = True,
     store_offsets: bool = False,
+    docvalues_cols: list[str] | None = None,
 ) -> SegmentIndex:
     """Build (or resume building) a segment-structured index at ``path``.
 
@@ -565,7 +622,8 @@ def build_segment_index(
     # must not ride through the sort (column pruning by hand here;
     # Catalyst can't prune through the id-assigning mapInPandas).
     cols = list(dict.fromkeys(
-        [key_col, text_col] + ([precomputed_docid] if precomputed_docid else [])))
+        [key_col, text_col] + ([precomputed_docid] if precomputed_docid else [])
+        + list(docvalues_cols or [])))
     slim = pages.select(*cols)
     pinned_range = None
     if precomputed_docid:
@@ -711,10 +769,26 @@ def build_segment_index(
     # the serial job-barrier chain, which at high core counts is the
     # dominant non-scaling cost (a Lucene flush writes .doc/.nvd/
     # stored-fields files concurrently for the same reason).
+    # optional per-segment doc-values sidecar (the Lucene70DocValues
+    # .dvd/.dvm analogue, codecs/lucene70/Lucene70DocValuesFormat.java:
+    # 88-117): a (docid -> numeric field) columnar table per segment,
+    # so function queries and sort-by-field answer from the index
+    # without touching source tables. Values come straight off the
+    # docid-assigned base frame — they never ride the analyzer.
+    def write_docvalues():
+        dv = base.select(
+            "seg_id", "docid",
+            *[F.col(c).cast("double").alias(c) for c in docvalues_cols])
+        _part_write(dv.repartition(par, "seg_id", "docid")
+                      .sortWithinPartitions("seg_id", "docid"), "docvalues")
+
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        futs = [pool.submit(f) for f in (write_docs, write_norms, write_postings)]
+    sinks = [write_docs, write_norms, write_postings]
+    if docvalues_cols:
+        sinks.append(write_docvalues)
+    with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+        futs = [pool.submit(f) for f in sinks]
         for f in futs:
             f.result()
 

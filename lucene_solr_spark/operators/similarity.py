@@ -121,13 +121,14 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     return df.withColumn("cell", best_cell)
 
 
-def ivf_topk(embeddings: DataFrame, query_vec: list[float],
-             centroids: list[list[float]], k: int = 10, nprobe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF ANN top-k: score only vectors in the ``nprobe`` cells whose
-    centroids are closest to the query — the inverted-file scale path
-    (at 100 TB, cells are the partition key, so a probe reads nprobe
-    partitions instead of the corpus)."""
+def ivf_topk_scan(embeddings: DataFrame, query_vec: list[float],
+                  centroids: list[list[float]], k: int = 10, nprobe: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """FULL-SCAN IVF baseline: recomputes every vector's cell
+    assignment per query — O(corpus) per probe. Use ONLY for ad-hoc
+    frames with no persisted layout; the serving path is
+    build_ann_index() once + ivf_topk_indexed() (partition-pruned
+    probe whose cost is independent of corpus size)."""
     import numpy as np
 
     c = np.array(centroids, dtype=np.float64)
@@ -144,6 +145,11 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float],
     top = scored.orderBy(F.desc("cos_q"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("cos_q"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# back-compat aliases for the pre-rename names (the _scan suffix makes
+# the O(corpus) cost explicit; prefer the *_indexed probes)
+ivf_topk = ivf_topk_scan
 
 
 def build_ann_index(embeddings: DataFrame, path: str, dim: int,
@@ -229,13 +235,16 @@ def ivf_topk_indexed(spark, path: str, query_vec: list[float],
     return _scored_topk(cand, query_vec, k, id_col, vec_col)
 
 
-def lsh_topk(embeddings: DataFrame, query_vec: list[float], dim: int,
-             k: int = 10, n_planes: int = 8, seed: int = 42,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             probe_hamming: int = 1) -> DataFrame:
-    """ANN top-k: score only vectors whose bucket is within
-    `probe_hamming` bits of the query's bucket (multi-probe LSH).
-    Recall/cost knob = (n_planes, probe_hamming)."""
+def lsh_topk_scan(embeddings: DataFrame, query_vec: list[float], dim: int,
+                  k: int = 10, n_planes: int = 8, seed: int = 42,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  probe_hamming: int = 1) -> DataFrame:
+    """FULL-SCAN LSH baseline: recomputes every vector's bucket bits
+    per query — O(corpus) per probe. Use ONLY for ad-hoc frames with
+    no persisted layout; the serving path is build_ann_index() once +
+    lsh_topk_indexed() (partition-pruned probe whose cost is
+    independent of corpus size). Recall/cost knob =
+    (n_planes, probe_hamming)."""
     import numpy as np
 
     planes = np.array(_hyperplanes(dim, n_planes, seed))
@@ -254,3 +263,7 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], dim: int,
     top = scored.orderBy(F.desc("cos_q"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("cos_q"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# back-compat alias (see ivf_topk above): prefer lsh_topk_indexed
+lsh_topk = lsh_topk_scan

@@ -235,6 +235,27 @@ class Searcher:
         self._preload = preload_stats
         self._preloaded = False
         self.query_cache = query_cache
+        # IndexTables is an immutable snapshot — UNLESS it came from
+        # SegmentIndex.as_flat_tables, which tags its provenance so a
+        # Searcher held across an NRT append/merge + refresh() serves
+        # fresh statistics (WandSearcher._check_snapshot parity).
+        self._seg_source = getattr(index, "_segment_source", None)
+        self._seg_snapshot = getattr(index, "_segment_snapshot", None)
+
+    def _check_snapshot(self) -> None:
+        if self._seg_source is None:
+            return
+        snap = tuple(self._seg_source.live_segments())
+        if snap == self._seg_snapshot:
+            return
+        self.index = self._seg_source.as_flat_tables(
+            **self.index._flat_args)
+        self._seg_snapshot = snap
+        self.bm25 = BM25(self.index.coll_stats["doc_count"],
+                         self.index.coll_stats["sum_ttf"],
+                         k1=self.k1, b=self.b)
+        self._stats_cache = {}
+        self._preloaded = False
 
     # -- statistics (TermStatistics / CollectionStatistics) --------------
 
@@ -318,6 +339,7 @@ class Searcher:
 
     def matches(self, q: A.Query) -> DataFrame:
         """Evaluate to (docid, score)."""
+        self._check_snapshot()
         q = q.rewrite()
         all_terms = sorted(_collect_terms(q))
         scored = self._scored_terms(all_terms) if all_terms else None

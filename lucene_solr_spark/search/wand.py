@@ -184,57 +184,73 @@ def wand_topk(
     # Cost-ordered lead-driven candidate filter (ConjunctionDISI's
     # "two cheapest lead, others confirm", ConjunctionDISI.java:181-189,
     # generalized by pigeonhole to n-of-m: every match must occur in at
-    # least one of the (m - msm + 1) lowest-df terms). Decode those
-    # cheap postings fully; an interval without one of their docids
-    # cannot contain a match, so the expensive terms' blocks there are
-    # never touched. Only pays when msm >= 2; for pure OR the
-    # block-max bound below is the only (and correct) pruning.
-    lead_has = None
+    # least one of the (m - msm + 1) lowest-df terms). The leads are
+    # decoded LAZILY, inside the sweep, only for intervals that survive
+    # the block-max theta test — the leapfrog discipline of
+    # ConjunctionDISI over Lucene50SkipReader: advance() never
+    # materializes the lead stream, so theta-pruned intervals cost the
+    # leads neither decode CPU nor (via the lazy group fetcher) any
+    # payload IO. Only pays when msm >= 2; for pure OR the block-max
+    # bound below is the only (and correct) pruning.
+    leads: list[int] | None = None
     if msm >= 2:
         by_cost = sorted(range(m), key=lambda ti: eps[ti].ndocs)
         leads = by_cost[: m - msm + 1]
-        parts = []
-        for ti in leads:
-            for j in range(len(last_docs[ti])):
-                key = (ti, j)
-                if key not in decoded:
-                    decoded[key] = decode_nth_block(eps[ti], j)
-                    st.blocks_decoded += 1
-                parts.append(decoded[key][0])
-        lead_docs = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
-        counts = np.searchsorted(lead_docs, bounds, side="right")
-        lead_has = np.diff(np.concatenate(([0], counts))) > 0
 
-    # bounded collector state
+    # bounded collector state. TWO thresholds with different tie
+    # semantics (the distinction matters — conflating them either
+    # weakens pruning or drops seed-tied docs):
+    # - theta: the LOCAL kth score once the heap fills; prunes <=
+    #   (equal scores lose the docid tie-break to earlier-collected
+    #   docs, TopScoreDocCollector's ``score <= pqTop.score`` reject).
+    # - theta_seed: the cross-segment floor; prunes STRICTLY < at all
+    #   times, full or not (a doc scoring below another segment's kth
+    #   can never reach the global top-k; ties at the seed are KEPT so
+    #   the global docid tie-break stays exact). The floor is never
+    #   lowered by a local kth that sits below it.
     top_docs = np.empty(0, np.int64)
     top_scores = np.empty(0, np.float32)
     seeded = bool(np.isfinite(theta0))
-    theta = np.float32(theta0) if seeded else np.float32(-np.inf)
+    theta_seed = np.float32(theta0) if seeded else None
+    theta = np.float32(-np.inf)
 
     excl = exclude if exclude is not None and len(exclude) else None
 
-    # iterate only candidate intervals (msm + lead filters applied
-    # vectorized; dead intervals never enter the Python loop)
-    cand_mask = active >= msm
-    if lead_has is not None:
-        cand_mask &= lead_has
-    cand_idx = np.nonzero(cand_mask)[0]
+    # iterate only candidate intervals (msm filter applied vectorized;
+    # dead intervals never enter the Python loop)
+    cand_idx = np.nonzero(active >= msm)[0]
     ub32 = ub_sum.astype(np.float32)
 
     for i in cand_idx:
         hi = int(bounds[i])
         lo = int(bounds[i - 1]) if i > 0 else -1
         full = len(top_scores) >= k
-        if full:
-            if ub32[i] <= theta:
-                continue
-        elif seeded and ub32[i] < theta:
-            # cross-segment seeded threshold: prune STRICTLY-below
-            # bounds even before the local heap fills — a doc scoring
-            # below another segment's kth result cannot reach the
-            # global top-k; ties (score == theta0) are kept so the
-            # global docid tie-break stays exact.
+        if full and ub32[i] <= theta:
             continue
+        if seeded and ub32[i] < theta_seed:
+            continue
+
+        if leads is not None:
+            # pigeonhole: skip the interval unless at least one lead
+            # term has a docid inside (lo, hi] — decoding only the
+            # leads' ACTIVE blocks (cached across the intervals each
+            # block spans), never the expensive terms'
+            hit = False
+            for ti in leads:
+                j = int(jmat[ti, i])
+                if j >= len(last_docs[ti]):
+                    continue
+                key = (ti, j)
+                if key not in decoded:
+                    decoded[key] = decode_nth_block(eps[ti], j)
+                    st.blocks_decoded += 1
+                docs_j = decoded[key][0]
+                a = np.searchsorted(docs_j, lo, side="right")
+                if a < len(docs_j) and docs_j[a] <= hi:
+                    hit = True
+                    break
+            if not hit:
+                continue
 
         # exact scoring of the interval
         st.intervals_scored += 1
@@ -287,11 +303,14 @@ def wand_topk(
         # collector merge: keep k best by (score desc, docid asc).
         # Earlier-collected docs have smaller docids within equal
         # scores automatically because intervals ascend in docid.
-        if full:
+        if seeded:
+            keep = cand_s >= theta_seed  # strictly-below floor dropped
+            cand_d, cand_s = cand_d[keep], cand_s[keep]
+        if full and len(cand_s):
             keep = cand_s > theta
             cand_d, cand_s = cand_d[keep], cand_s[keep]
-            if len(cand_d) == 0:
-                continue
+        if len(cand_d) == 0:
+            continue
         md = np.concatenate([top_docs, cand_d])
         ms = np.concatenate([top_scores, cand_s])
         order = np.lexsort((md, -ms.astype(np.float64)))[:k]

@@ -267,3 +267,29 @@ def test_stateful_sessionize_stream(spark, tmp_path_factory):
     # exactly one closed session: u1's first (1000..1010, 2 events);
     # u1's second and u2's only session remain open in state
     assert rows == {("u1", 1000.0, 1010.0, 2)}
+
+
+def test_flat_searcher_stats_refresh_after_append(spark, pages_tiny,
+                                                  tmp_path_factory):
+    """Flat-engine parity for the WandSearcher snapshot check: a
+    Searcher over as_flat_tables() must re-derive its tables and
+    statistics when the SegmentIndex is refreshed past an append."""
+    from lucene_solr_spark.search.executor import Searcher
+
+    path = str(tmp_path_factory.mktemp("nrtflat") / "idx")
+    batches = _batches(pages_tiny, 2)
+    append_batch(batches[0], path, batch_id=0, seg_size=SEG, salt_span=SALT)
+    si = SegmentIndex(path=path, spark=spark)
+    s = Searcher(si.as_flat_tables(), mode="lucene")
+    q = "t000001 OR t000002"
+    s.search(q, k=10).collect()  # populates the stats cache
+
+    append_batch(batches[1], path, batch_id=1, seg_size=SEG, salt_span=SALT)
+    si.refresh()
+    got = [(r["docid"], np.float32(r["score"]))
+           for r in s.search(q, k=10).orderBy("rank").collect()]
+    fresh = [(r["docid"], np.float32(r["score"]))
+             for r in Searcher(SegmentIndex(path=path, spark=spark)
+                               .as_flat_tables(), mode="lucene")
+             .search(q, k=10).orderBy("rank").collect()]
+    assert got == fresh

@@ -1009,33 +1009,33 @@ from lucene_solr_spark import driver_surface_ext  # noqa: E402,F401
 # driver-check ordering
 # --------------------------------------------------------------------------
 # The correctness driver verifies the FIRST 50 registered queries per
-# round. Round 1 green-checked the 50 alphabetically-early core queries
-# (CORRECTNESS_r01.json); this round the window leads with the queries
-# that have no driver verdict yet — the flagship segment/WAND path
-# first, then the four whose round-1 hash-fail was the DuckDB HUGEINT
-# oracle typing (now cast), then the rest of the unchecked set and the
-# queries new in this round. Everything else (already driver-green in
-# r01) follows in original registration order.
+# round. Rounds 1+2 green-checked 96 of the 104 then-registered
+# queries; this round the window leads with (a) the 8 round-2 late
+# registrations that never got a driver verdict, (b) the queries new
+# in round 3 (DFR/IB similarities, doc-values function query/sort,
+# path-returning shortest path, multi-term-repeat sloppy multiphrase),
+# (c) the flagship segment/WAND path (regression guard on the scoring
+# kernel), then (d) a cross-category regression sample of r01/r02
+# greens. Everything else follows in registration order.
 
 DRIVER_PRIORITY = [
-    # flagship: segment index + block-max WAND (float32-exact oracles)
+    # (a) round-2 registrations with no driver verdict yet
+    "dedup_embedding", "ft_boost_function", "mm_frames", "nb_classify",
+    "span_containing", "span_within", "text_token_bpe", "cardinality_hll",
+    # (b) new in round 3
+    "ft_dfr", "ft_ib", "seg_function_query", "seg_sort_dv",
+    "shortest_path_paths", "ft_multiphrase_rpt",
+    # (c) flagship: segment index + block-max WAND (float32-exact oracles)
     "seg_bm25_wand", "seg_bm25_and", "seg_bm25_msm", "seg_bm25_not",
     "seg_and_match", "seg_or_match", "seg_phrase",
-    # round-1 hash-fails, oracle sums now cast to ::BIGINT
+    # (d) regression sample across operator families
     "hashjoin_stream", "rollup_stream", "stats_stream", "events_hourly",
-    # unchecked in round 1 (registered after position 50)
     "synonym", "req_opt", "suggest_prefix", "spellcheck", "more_like_this",
     "highlight", "export_sorted", "diversified_topk", "rerank",
-    "blockjoin_parent", "blockjoin_child", "point_range",
-    "stats_percentile", "cardinality", "ft_multiphrase",
-    "ann_lsh", "ann_ivf", "mm_decode", "shortest_path",
-    "function_query", "knn_classify", "ft_tfidf", "span_first",
-    "ft_phrase_sloppy", "common_terms", "boosting_query", "gather_nodes",
-    "events_sessionize", "agg_cube", "term_vectors", "percolate",
-    "group_expand", "blended_term",
-    # new in round 2: edismax-lite syntax, span algebra, LM-Dirichlet
-    "ft_field_term", "ft_boosted", "ft_edismax",
-    "span_or", "span_not", "ft_lmd",
+    "blockjoin_parent", "point_range", "stats_percentile", "cardinality",
+    "ft_multiphrase", "ann_lsh", "ann_ivf", "mm_decode", "shortest_path",
+    "function_query", "knn_classify", "ft_tfidf", "ft_phrase_sloppy",
+    "events_sessionize", "agg_cube", "percolate",
 ]
 
 

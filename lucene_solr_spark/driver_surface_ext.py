@@ -1759,3 +1759,222 @@ agg AS (
 )
 {_topk_sql("SELECT * FROM agg", 10)}
 """)
+
+
+# ---- doc-values sidecar: function queries / sort answered from the index ---
+
+def _seg_docvalues(spark, sf):
+    """The driver segment index's doc-values sidecar, backfilled on
+    first use if the cached index predates the sidecar (the
+    updateDocValues analogue — postings untouched)."""
+    from lucene_solr_spark.index.segments import write_docvalues
+
+    si = _seg_index(spark, sf)
+    if not si.has_docvalues():
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        write_docvalues(si, docs, key_col="doc_id", cols=["n_chars"])
+    return si
+
+
+def _seg_function_query(spark, sf):
+    """Function query answered ENTIRELY from the segment index
+    (doc-values sidecar, Lucene70DocValuesFormat.java:88-117 +
+    queries/function/valuesource/: ln + recip composition as Column
+    expressions) — no source-table scan in the plan (asserted in
+    tests/test_segments.py)."""
+    si = _seg_docvalues(spark, sf)
+    dv = si.docvalues
+    score = (F.log(F.lit(1.0) + F.col("n_chars"))
+             / (F.lit(1.0) + F.lit(0.001) * F.col("docid").cast("double")))
+    out = dv.select(F.col("docid").alias("doc_id"),
+                    F.floor(score * Q).cast("long").alias("score_q"))
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (out.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(15)
+            .withColumn("rank", F.row_number().over(w).cast("long")))
+
+
+_register("seg_function_query", _seg_function_query, """
+WITH sc AS (
+  SELECT doc_id,
+         CAST(floor(ln(1.0 + n_chars) / (1.0 + 0.001 * doc_id) * 1000000)
+              AS BIGINT) AS score_q
+  FROM documents
+)
+SELECT doc_id, score_q,
+       row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank
+FROM sc QUALIFY rank <= 15
+""")
+
+
+def _seg_sort_dv(spark, sf):
+    """Sort-by-field from the doc-values sidecar (TopFieldCollector
+    over a NumericDocValues sort field, search/TopFieldCollector.java)
+    — source tables never scanned."""
+    si = _seg_docvalues(spark, sf)
+    return (si.docvalues
+            .select(F.col("docid").alias("doc_id"),
+                    F.col("n_chars").cast("long").alias("n_chars"))
+            .orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(20))
+
+
+_register("seg_sort_dv", _seg_sort_dv, """
+SELECT doc_id, n_chars::BIGINT AS n_chars
+FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 20
+""")
+
+
+def _shortest_path_paths(spark, sf):
+    """ShortestPathStream with the actual PATH tuples (not just
+    distances): parts co-occurring in an order's lineitems, BFS from
+    part 1, 2 hops; per node the lexicographic-min shortest path,
+    rendered as a fixed-width string so the tie-break is engine-
+    independent."""
+    from lucene_solr_spark.operators.graph import shortest_paths
+
+    li = _load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (a.join(b, "k").where(F.col("src") != F.col("dst"))
+             .select("src", "dst").distinct())
+    sp = shortest_paths(edges, src=1, max_hops=2)
+    out = sp.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("long").alias("dist"),
+        F.array_join(
+            F.transform("path", lambda x: F.lpad(x.cast("string"), 6, "0")),
+            "->").alias("path"))
+    return out.orderBy("node").limit(50)
+
+
+_register("shortest_path_paths", _shortest_path_paths, """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+bfs(node, dist, path) AS (
+  SELECT 1::BIGINT, 0, lpad('1', 6, '0')
+  UNION ALL
+  SELECT e.dst, bfs.dist + 1,
+         bfs.path || '->' || lpad(e.dst::VARCHAR, 6, '0')
+  FROM bfs JOIN e ON e.src = bfs.node
+  WHERE bfs.dist < 2
+),
+md AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node),
+best AS (
+  SELECT b.node, m.dist::BIGINT AS dist, min(b.path) AS path
+  FROM bfs b JOIN md m ON b.node = m.node AND b.dist = m.dist
+  GROUP BY b.node, m.dist
+)
+SELECT node, dist, path FROM best ORDER BY node LIMIT 50
+""")
+
+
+# ---- multi-term repeat groups in sloppy multi-phrases ----------------------
+
+def _ft_multiphrase_rpt(spark, sf):
+    """MultiPhraseQuery with SHARED-TERM slots under slop — the
+    rptGroups multi-term case of SloppyPhraseScorer (gatherRptGroups'
+    hasMultiTermRpts branch + advanceRepeatGroups :296-312): slot 0 =
+    {hash, merge}, slot 1 = {merge, join}, slop 2. Two slots sharing
+    'merge' form one repeat group; a collision (both slots on one
+    actual token) advances the lesser pp until clear, so one token
+    never satisfies two slots. Oracle: recursive-CTE transcription of
+    the same state machine (phases init/advance/resolve; for this
+    2-slot group the colliding lesser is always the offset-1 slot)."""
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    m = s.matches(A.MultiPhraseQ((("hash", "merge"), ("merge", "join")),
+                                 slop=2))
+    return _quantize_topk(m, 10)
+
+
+_MP_RPT_CTE = """
+mpa AS (SELECT doc_id, list(pos ORDER BY pos) AS la
+        FROM tokf WHERE term IN ('hash','merge') GROUP BY doc_id),
+mpb AS (SELECT doc_id, list(pos - 1 ORDER BY pos) AS lb
+        FROM tokf WHERE term IN ('merge','join') GROUP BY doc_id),
+st AS (
+  SELECT a.doc_id, a.la, b.lb,
+         1 AS ia, 1 AS ib, 0 AS act, 0 AS ml, 0 AS e, 0 AS nxt,
+         0.0::DOUBLE AS freq, 'i' AS ph, FALSE AS done
+  FROM mpa a JOIN mpb b USING (doc_id)
+  UNION ALL
+  SELECT doc_id, la, lb,
+    CASE WHEN ph = 'm' AND act = 0 AND NOT exh THEN ia + 1 ELSE ia END,
+    CASE WHEN (ph = 'i' AND coll AND NOT exh)
+           OR (ph = 'm' AND act = 1 AND NOT exh)
+           OR (ph = 'r' AND coll AND NOT exh) THEN ib + 1 ELSE ib END,
+    CASE WHEN (ph = 'i' AND NOT coll)
+           OR (ph = 'r' AND NOT coll AND p > nxt)
+         THEN CASE WHEN la[ia] <= lb[ib] THEN 0 ELSE 1 END
+         ELSE act END,
+    CASE WHEN ph = 'i' AND NOT coll
+           THEN greatest(la[ia], lb[ib]) - least(la[ia], lb[ib])
+         WHEN ph = 'r' AND NOT coll AND p > nxt
+           THEN e - least(la[ia], lb[ib])
+         WHEN ph = 'r' AND NOT coll
+           THEN least(ml, e - p)
+         ELSE ml END,
+    CASE WHEN ph = 'i' AND NOT coll THEN greatest(la[ia], lb[ib])
+         WHEN ph = 'm' AND NOT exh
+           THEN greatest(e, CASE WHEN act = 0 THEN la[ia + 1]
+                                 ELSE lb[ib + 1] END)
+         WHEN ph = 'r' AND coll AND NOT exh THEN greatest(e, lb[ib + 1])
+         ELSE e END,
+    CASE WHEN ph = 'i' AND NOT coll
+           THEN CASE WHEN la[ia] <= lb[ib] THEN lb[ib] ELSE la[ia] END
+         WHEN ph = 'r' AND NOT coll AND p > nxt
+           THEN CASE WHEN la[ia] <= lb[ib] THEN lb[ib] ELSE la[ia] END
+         ELSE nxt END,
+    CASE WHEN exh AND ph <> 'i' AND ml <= {slop}
+           THEN freq + 1.0 / (ml + 1)
+         WHEN ph = 'r' AND NOT coll AND p > nxt AND ml <= {slop}
+           THEN freq + 1.0 / (ml + 1)
+         ELSE freq END,
+    CASE WHEN exh THEN ph
+         WHEN ph = 'i' AND coll THEN 'i'
+         WHEN ph = 'i' THEN 'm'
+         WHEN ph = 'm' THEN 'r'
+         WHEN ph = 'r' AND coll THEN 'r'
+         ELSE 'm' END,
+    exh
+  FROM (
+    SELECT *,
+      CASE WHEN ph = 'i' OR ph = 'r'
+           THEN la[ia] = lb[ib] + 1 ELSE FALSE END AS coll,
+      CASE WHEN ph = 'm'
+             THEN CASE WHEN act = 0 THEN ia + 1 > len(la)
+                       ELSE ib + 1 > len(lb) END
+           WHEN (ph = 'i' OR ph = 'r') AND la[ia] = lb[ib] + 1
+             THEN ib + 1 > len(lb)
+           ELSE FALSE END AS exh,
+      CASE WHEN act = 0 THEN la[ia] ELSE lb[ib] END AS p
+    FROM st WHERE NOT done
+  )
+),
+ph AS (
+  SELECT doc_id, CASE WHEN ph = 'i' THEN 0.0 ELSE freq END AS pfreq
+  FROM st WHERE done
+)
+"""
+
+
+_register("ft_multiphrase_rpt", _ft_multiphrase_rpt, f"""
+WITH RECURSIVE {FT_BASE},
+{_MP_RPT_CTE.format(slop=2)},
+idfs AS (
+  SELECT sum(ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5))) AS idf_sum
+  FROM tstats ts CROSS JOIN cstats cs
+  WHERE ts.term IN ('hash', 'merge', 'join')
+),
+agg AS (
+  SELECT ph.doc_id,
+         CAST(floor((i.idf_sum * 2.2) * ph.pfreq
+              / (ph.pfreq + 1.2 * (0.25 + 0.75 * dl.doclen / (cs.sttf / cs.n)))
+              * 1000000) AS BIGINT) AS score_q
+  FROM ph JOIN doclen dl USING (doc_id) CROSS JOIN cstats cs CROSS JOIN idfs i
+  WHERE ph.pfreq > 0
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")

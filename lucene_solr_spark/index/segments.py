@@ -846,3 +846,28 @@ def completed_segments(spark: SparkSession, path: str) -> set[int]:
     if meta is None:
         return set()
     return {int(r["seg_id"]) for r in meta.select("seg_id").distinct().collect()}
+
+
+def write_docvalues(si: SegmentIndex, source: DataFrame, key_col: str,
+                    cols: list[str]) -> None:
+    """Backfill the per-segment doc-values sidecar onto an EXISTING
+    index (the updateDocValues analogue — Lucene rewrites .dvd
+    sidecars without touching postings, index/IndexWriter.java
+    updateNumericDocValue): join the source's numeric columns onto the
+    index's (seg_id, docid) mapping and write seg_id-partitioned.
+    ``key_col`` must be the column the index's docids were assigned
+    from (url order) or the precomputed docid column itself.
+
+    Scale: one broadcast-or-shuffle join keyed by the docid mapping,
+    one partitioned write — no analyzer pass, postings untouched.
+    """
+    ids = si.docs.select("seg_id", "docid", "url")
+    src = source.select(
+        F.col(key_col).cast("string").alias("url"),
+        *[F.col(c).cast("double").alias(c) for c in cols])
+    dv = ids.join(src, "url").select("seg_id", "docid", *cols)
+    par = si.spark.sparkContext.defaultParallelism
+    (dv.repartition(par, "seg_id", "docid")
+       .sortWithinPartitions("seg_id", "docid")
+       .write.partitionBy("seg_id").mode("overwrite")
+       .parquet(f"{si.path}/docvalues"))

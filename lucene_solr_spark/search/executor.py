@@ -55,18 +55,23 @@ SCORE_QUANTUM = 1_000_000  # sql-mode cross-engine score quantization
 
 
 def _sloppy_phrase_freq(rebased: list, slop: int,
-                        groups: list[list[int]] | None = None) -> float:
+                        groups: list[list[int]] | None = None,
+                        multi_term: bool = False) -> float:
     """The greedy PhraseQueue traversal of SloppyPhraseScorer.phraseFreq
     (SloppyPhraseScorer.java:96-133) over ALREADY-REBASED per-slot
     position arrays (position - query offset). Tie order on equal
     rebased positions follows PhraseQueue.lessThan: (position, offset,
     ord). ``groups``: repeat groups — slot indices (offset-sorted) of
-    slots sharing one term ("a b a"): handled per the reference's
-    rptGroups machinery (initialization staggers each group member by
-    its group index, SloppyPhraseScorer.java:286-305; a post-advance
-    collision — two same-term slots on one actual token — advances the
-    lesser pp until clear, advanceRpts at :148-185). Returns sum of
-    1/(matchLength+1) over scored matches."""
+    slots sharing terms ("a b a"), i.e. the connected components
+    gatherRptGroups computes: handled per the reference's rptGroups
+    machinery (a post-advance collision — two repeat slots on one
+    actual token — advances the lesser pp until clear, advanceRpts at
+    :148-185). ``multi_term``: at least one grouped slot holds
+    MULTIPLE terms (a MultiPhraseQuery with shared-term slots) — then
+    group members' position lists differ and initialization resolves
+    collisions iteratively (advanceRepeatGroups' hasMultiTermRpts
+    branch, :296-312) instead of the single-term stagger (:314-321).
+    Returns sum of 1/(matchLength+1) over scored matches."""
     import heapq
 
     n = len(rebased)
@@ -76,21 +81,60 @@ def _sloppy_phrase_freq(rebased: list, slop: int,
     pos = [int(r[0]) for r in rebased]
     offs = list(range(n))  # slot offset == slot index for phrase slots
     group_of: dict[int, list[int]] = {}
+    rpt_ind: dict[int, int] = {}
     if groups:
         for g in groups:
-            for si in g:
-                group_of[si] = g
-        # advanceRepeatGroups (no multi-term repeats): member j of a
-        # group starts at the term's (j+1)-th position — no collisions
-        # at initialization
-        for g in groups:
             for j, si in enumerate(g):
-                if j == 0:
-                    continue
-                idx[si] += j
-                if idx[si] >= len(rebased[si]):
-                    return 0.0
-                pos[si] = int(rebased[si][idx[si]])
+                group_of[si] = g
+                rpt_ind[si] = j
+
+        def _adv0(i: int) -> bool:
+            # init-time advance (end not tracked yet; computed after)
+            idx[i] += 1
+            if idx[i] >= len(rebased[i]):
+                return False
+            pos[i] = int(rebased[i][idx[i]])
+            return True
+
+        def _collide0(i: int) -> int:
+            tp = pos[i] + offs[i]
+            for j in group_of.get(i, ()):
+                if j != i and pos[j] + offs[j] == tp:
+                    return j
+            return -1
+
+        if multi_term:
+            # advanceRepeatGroups, multi-term branch: some members may
+            # not collide; resolve iteratively, always advancing the
+            # lesser (by position, then offset) of the colliding pair
+            for g in groups:
+                i = 0
+                while i < len(g):
+                    incr = 1
+                    si = g[i]
+                    while True:
+                        k = _collide0(si)
+                        if k < 0:
+                            break
+                        lower = (si if (pos[si], offs[si]) < (pos[k], offs[k])
+                                 else k)
+                        if not _adv0(lower):
+                            return 0.0
+                        if rpt_ind[lower] < i:
+                            incr = 0
+                            break
+                    i += incr
+        else:
+            # single-term repeats: all group members share one position
+            # list — member j starts at the term's (j+1)-th position
+            for g in groups:
+                for j, si in enumerate(g):
+                    if j == 0:
+                        continue
+                    idx[si] += j
+                    if idx[si] >= len(rebased[si]):
+                        return 0.0
+                    pos[si] = int(rebased[si][idx[si]])
     end = max(pos)
 
     def advance(i: int) -> bool:
@@ -729,6 +773,39 @@ class Searcher:
         arrs = F.array(*[F.col(f"_p{i}") for i in range(len(q.slots))])
         slop = int(q.slop)
 
+        # Repeat detection (SloppyPhraseScorer.repeatingTerms +
+        # gatherRptGroups' multi-term path): slots sharing ANY
+        # repeating term form one group (connected components of the
+        # slot/term bipartite graph, unionTermGroups); multi_term when
+        # a grouped slot holds several terms.
+        from collections import Counter
+
+        term_cnt = Counter(t for slot in q.slots for t in set(slot))
+        rpt_terms = {t for t, c in term_cnt.items() if c > 1}
+        groups: list[list[int]] | None = None
+        multi_term = False
+        if rpt_terms and slop > 0:
+            parent = list(range(len(q.slots)))
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for t in rpt_terms:
+                members = [i for i, s in enumerate(q.slots) if t in s]
+                for m in members[1:]:
+                    parent[find(m)] = find(members[0])
+            comps: dict[int, list[int]] = {}
+            for i, s in enumerate(q.slots):
+                if rpt_terms & set(s):
+                    comps.setdefault(find(i), []).append(i)
+            groups = [sorted(g) for g in comps.values() if len(g) > 1] or None
+            if groups:
+                multi_term = any(len(q.slots[i]) > 1
+                                 for g in groups for i in g)
+
         if slop == 0:
             @pandas_udf("double")
             def mp_freq(parr: pd.Series) -> pd.Series:
@@ -750,7 +827,8 @@ class Searcher:
                 for row_i, plists in enumerate(parr):
                     rebased = [np.asarray(pl, dtype=np.int64) - off
                                for off, pl in enumerate(plists)]
-                    out[row_i] = _sloppy_phrase_freq(rebased, slop)
+                    out[row_i] = _sloppy_phrase_freq(rebased, slop, groups,
+                                                     multi_term)
                 return pd.Series(out)
 
         with_freq = joined.select(

@@ -293,3 +293,81 @@ def test_multiphrase_matches_union_of_phrases(spark, tiny_index):
     want = ({r["docid"] for r in p1.select("docid").collect()}
             | {r["docid"] for r in p2.select("docid").collect()})
     assert got == want
+
+
+def test_multiphrase_rpt_fuzz_vs_cte_oracle():
+    """Multi-term repeat groups (SloppyPhraseScorer hasMultiTermRpts):
+    the Python machinery (_sloppy_phrase_freq multi_term=True) duels a
+    recursive-CTE transcription of the same reference state machine
+    (driver_surface_ext._MP_RPT_CTE) over random docs — two
+    independent derivations of SloppyPhraseScorer.java must agree on
+    every doc's sloppy freq."""
+    import random
+
+    import duckdb
+
+    from lucene_solr_spark.driver_surface_ext import _MP_RPT_CTE
+    from lucene_solr_spark.search.executor import _sloppy_phrase_freq
+
+    rng = random.Random(1234)
+    vocab = ["hash", "merge", "join", "xx", "yy"]
+    docs = [" ".join(rng.choice(vocab) for _ in range(rng.randint(3, 15)))
+            for _ in range(300)]
+
+    # python side: slots ({hash,merge}, {merge,join}), slop 2
+    def py_freq(tokens):
+        s0 = [i for i, t in enumerate(tokens) if t in ("hash", "merge")]
+        s1 = [i - 1 for i, t in enumerate(tokens) if t in ("merge", "join")]
+        if not s0 or not s1:
+            return 0.0
+        import numpy as np
+        rebased = [np.array(s0, dtype=np.int64), np.array(s1, dtype=np.int64)]
+        return _sloppy_phrase_freq(rebased, 2, groups=[[0, 1]],
+                                   multi_term=True)
+
+    want = {i: py_freq(d.split()) for i, d in enumerate(docs)}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(docs)))
+    sql = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+tokf AS (SELECT doc_id, term, pos FROM tok),
+{_MP_RPT_CTE.format(slop=2)}
+SELECT doc_id, pfreq FROM ph
+"""
+    got = {r[0]: r[1] for r in con.sql(sql).fetchall()}
+    for i in range(len(docs)):
+        assert abs(got.get(i, 0.0) - want[i]) < 1e-9, (
+            f"doc {i} ({docs[i]!r}): cte={got.get(i)} py={want[i]}")
+
+
+def test_multiphrase_rpt_golden():
+    """Hand-traced multi-term repeat cases (advanceRepeatGroups'
+    hasMultiTermRpts init + advanceRpts collision resolution)."""
+    import numpy as np
+
+    from lucene_solr_spark.search.executor import _sloppy_phrase_freq
+
+    def f(s0, s1, slop):
+        reb = [np.array(s0, np.int64), np.array(s1, np.int64) - 1]
+        return _sloppy_phrase_freq(reb, slop, groups=[[0, 1]],
+                                   multi_term=True)
+
+    # doc "x y x": both slots can match x (positions 0,2).
+    # init: both on token 0 -> collide -> slot1 advances to x@2;
+    # greedy: one match, window length 1 -> freq 1/2 at slop>=1.
+    assert f([0, 2], [0, 2], 1) == 0.5
+    assert f([0, 2], [0, 2], 0) == 0.0
+    # doc "x x": slot1 takes x@1 -> exact adjacency, d=0 -> freq 1.
+    assert f([0, 1], [0, 1], 0) == 1.0
+    # slot1 has its own token besides the shared one: "x j" exact.
+    assert f([0], [1], 0) == 1.0
+    # single shared token only ("x"): collision cannot resolve -> 0.
+    assert f([0], [0], 3) == 0.0

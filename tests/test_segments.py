@@ -356,3 +356,50 @@ def test_offsets_slice_matches_text(spark, pages_tiny):
         text = texts[urls[r["docid"]]]
         for st, en in zip(r["starts"], r["ends"]):
             assert text[st:en].lower() == r["term"]
+
+
+def test_docvalues_sidecar_and_backfill(spark, pages_tiny, tmp_path_factory):
+    """Doc-values sidecar (Lucene70DocValuesFormat analogue): built
+    inline with docvalues_cols, OR backfilled onto an existing index;
+    a function-query consumer's plan touches ONLY the index path —
+    never the source table."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.index.segments import (
+        SegmentIndex, build_segment_index, write_docvalues)
+
+    src = pages_tiny.withColumn("boostval",
+                                F.length("text").cast("double"))
+    path = str(tmp_path_factory.mktemp("dv") / "idx")
+    build_segment_index(src, path, seg_size=64, salt_span=16,
+                        docvalues_cols=["boostval"])
+    si = SegmentIndex(path=path, spark=spark)
+    assert si.has_docvalues()
+    dv = si.docvalues
+    assert dv.count() == pages_tiny.count()
+    # values round-trip exactly
+    want = {r["url"]: float(len(r["text"]))
+            for r in pages_tiny.select("url", "text").collect()}
+    got = {r["url"]: r["boostval"]
+           for r in dv.join(si.docs.select("docid", "url"), "docid")
+           .select("url", "boostval").collect()}
+    assert got == want
+
+    # the consuming plan must scan only the index (no source table)
+    score = F.log(F.lit(1.0) + F.col("boostval"))
+    plan = (dv.select("docid", score.alias("s"))
+            .orderBy(F.desc("s")).limit(5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "docvalues" in plan
+    assert "synth" not in plan and "pages" not in plan
+
+    # backfill path: delete the sidecar, restore via write_docvalues
+    import shutil
+    shutil.rmtree(f"{path}/docvalues")
+    assert not si.has_docvalues()
+    write_docvalues(si, src, key_col="url", cols=["boostval"])
+    assert si.has_docvalues()
+    got2 = {r["url"]: r["boostval"]
+            for r in si.docvalues.join(si.docs.select("docid", "url"), "docid")
+            .select("url", "boostval").collect()}
+    assert got2 == want

@@ -1023,8 +1023,9 @@ DRIVER_PRIORITY = [
     "dedup_embedding", "ft_boost_function", "mm_frames", "nb_classify",
     "span_containing", "span_within", "text_token_bpe", "cardinality_hll",
     # (b) new in round 3
-    "ft_dfr", "ft_ib", "seg_function_query", "seg_sort_dv",
-    "shortest_path_paths", "ft_multiphrase_rpt",
+    "ft_dfr", "ft_ib", "ft_dfi", "seg_function_query", "seg_sort_dv",
+    "shortest_path_paths", "ft_multiphrase_rpt", "suggest_analyzing",
+    "ft_qparser_mix",
     # (c) flagship: segment index + block-max WAND (float32-exact oracles)
     "seg_bm25_wand", "seg_bm25_and", "seg_bm25_msm", "seg_bm25_not",
     "seg_and_match", "seg_or_match", "seg_phrase",
@@ -1035,7 +1036,6 @@ DRIVER_PRIORITY = [
     "blockjoin_parent", "point_range", "stats_percentile", "cardinality",
     "ft_multiphrase", "ann_lsh", "ann_ivf", "mm_decode", "shortest_path",
     "function_query", "knn_classify", "ft_tfidf", "ft_phrase_sloppy",
-    "events_sessionize", "agg_cube", "percolate",
 ]
 
 

@@ -1978,3 +1978,130 @@ agg AS (
 )
 {_topk_sql("SELECT * FROM agg", 10)}
 """)
+
+
+# ---- analyzed completion (AnalyzingSuggester) ------------------------------
+
+def _suggest_analyzing(spark, sf):
+    """Weight-ordered ANALYZED completion (AnalyzingSuggester vs the
+    raw term-prefix table of suggest_prefix): entries are each doc's
+    leading 30 chars weighted by n_chars; the query 'custo' is
+    analyzed with the same chain, last token treated as a prefix."""
+    from lucene_solr_spark.operators.searchext import (
+        analyzing_suggest, build_analyzing_suggester)
+
+    docs = _load(spark, sf, "documents")
+    entries = docs.select(
+        F.substring("text", 1, 30).alias("surface"),
+        F.col("n_chars").alias("weight"))
+    sugg = build_analyzing_suggester(entries)
+    return analyzing_suggest(sugg, "custo", k=10)
+
+
+_register("suggest_analyzing", _suggest_analyzing, f"""
+WITH ent AS (
+  SELECT substr(text, 1, 30) AS surface, n_chars AS weight FROM documents
+),
+keyed AS (
+  SELECT array_to_string(
+           list_filter(string_split(surface, ' '),
+                       x -> x <> '' AND x NOT IN ('a','an','and','are','as','at','be','but','by','for','if','in','into','is','it','no','not','of','on','or','such','that','the','their','then','there','these','they','this','to','was','will','with')),
+           chr(31)) AS key,
+         surface, max(weight) AS weight
+  FROM ent GROUP BY 1, 2
+),
+cand AS (
+  SELECT surface, weight::BIGINT AS weight,
+         CASE WHEN key = 'custo' THEN 1 ELSE 0 END AS is_exact
+  FROM keyed
+  WHERE key <> '' AND starts_with(key, 'custo')
+)
+SELECT surface, weight,
+       row_number() OVER (ORDER BY is_exact DESC, weight DESC, surface)
+         AS rank
+FROM cand
+QUALIFY rank <= 10
+""")
+
+
+# ---- QParser breadth: parsed multi-term leaf syntax ------------------------
+
+def _ft_qparser_mix(spark, sf):
+    """Classic-QParser leaf syntax through parse_query (queryparser/
+    classic/QueryParserBase.java surface: range + trailing-* prefix +
+    fuzzy, composed with OR): `text:[merge TO part] OR has* OR scann~1`.
+    Each multi-term leaf rewrites constant-score; the OR sums clause
+    scores, so score_q counts matched clauses (x 1e6)."""
+    idx = _docs_index(spark, sf)
+    s = Searcher(idx, mode="sql")
+    q = A.parse_query("text:[merge TO part] OR has* OR scann~1")
+    m = s.matches(q)
+    return m.select(F.col("docid").alias("doc_id"),
+                    F.floor(F.col("score") * Q).cast("long").alias("score_q"))
+
+
+_register("ft_qparser_mix", _ft_qparser_mix, f"""
+WITH {FT_BASE},
+c1 AS (SELECT DISTINCT doc_id FROM postings
+       WHERE term >= 'merge' AND term <= 'part'),
+c2 AS (SELECT DISTINCT doc_id FROM postings WHERE term LIKE 'has%'),
+c3 AS (SELECT DISTINCT doc_id FROM postings
+       WHERE levenshtein(term, 'scann') <= 1),
+u AS (
+  SELECT doc_id, 1.0 AS s FROM c1
+  UNION ALL SELECT doc_id, 1.0 FROM c2
+  UNION ALL SELECT doc_id, 1.0 FROM c3
+)
+SELECT doc_id, CAST(floor(sum(s) * 1000000) AS BIGINT) AS score_q
+FROM u GROUP BY doc_id
+""")
+
+
+def _ft_dfi(spark, sf):
+    """DFI standardized (search/similarities/DFISimilarity.java:59-69
+    + IndependenceStandardized.java:28-30): expected = (ttf+1) * dl /
+    (numFieldTokens+1); score = log2((freq - expected)/sqrt(expected)
+    + 1) when freq > expected else 0; SHOULD clauses sum. sql-mode
+    float64, exact doclen, quantized."""
+    idx = _docs_index(spark, sf)
+    terms = ["hash", "scan"]
+    p = idx.postings.where(F.col("term").isin(terms)).select(
+        "term", "docid", "tf")
+    ts = idx.term_stats.where(F.col("term").isin(terms)).select("term", "ttf")
+    d = idx.docs.select("docid", "doclen")
+    j = p.join(F.broadcast(ts), "term").join(d, "docid")
+    n_tok = float(idx.coll_stats["sum_ttf"])
+    expected = ((F.col("ttf").cast("double") + F.lit(1.0))
+                * F.col("doclen").cast("double") / F.lit(n_tok + 1.0))
+    freq = F.col("tf").cast("double")
+    s = F.when(freq <= expected, F.lit(0.0)).otherwise(
+        F.log2((freq - expected) / F.sqrt(expected) + F.lit(1.0)))
+    agg = (j.select("docid", s.alias("s"))
+           .groupBy("docid")
+           .agg(F.floor(F.sum("s") * Q).cast("long").alias("score_q")))
+    return _sim_topk(spark, agg)
+
+
+_register("ft_dfi", _ft_dfi, f"""
+WITH {FT_BASE},
+ttfs AS (SELECT term, sum(tf)::DOUBLE AS ttf FROM postings GROUP BY term),
+sc AS (
+  SELECT p.doc_id,
+         CASE WHEN p.tf::DOUBLE <= (ts.ttf + 1.0) * dl.doclen / (cs.sttf + 1.0)
+              THEN 0.0
+              ELSE log2((p.tf::DOUBLE
+                         - (ts.ttf + 1.0) * dl.doclen / (cs.sttf + 1.0))
+                        / sqrt((ts.ttf + 1.0) * dl.doclen / (cs.sttf + 1.0))
+                        + 1.0) END AS s
+  FROM postings p
+  JOIN ttfs ts USING (term)
+  JOIN doclen dl USING (doc_id)
+  CROSS JOIN cstats cs
+  WHERE p.term IN ('hash','scan')
+),
+agg AS (
+  SELECT doc_id, CAST(floor(sum(s) * 1000000) AS BIGINT) AS score_q
+  FROM sc GROUP BY doc_id
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")

@@ -109,3 +109,57 @@ def highlight_offsets(index: IndexTables, docs_text: DataFrame, term: str,
         F.col("docid").alias(id_col),
         (F.col("st") + 1).cast("long").alias("off"),
         F.substring(F.col("_text"), snip_start, snip_len).alias("snippet"))
+
+
+# --- analyzed completion (lucene/suggest analyzing/AnalyzingSuggester) ------
+
+SUGGEST_SEP = "\x1f"  # preserveSep token boundary (SEP_LABEL analogue)
+
+
+def build_analyzing_suggester(entries: DataFrame, surface_col: str = "surface",
+                              weight_col: str = "weight") -> DataFrame:
+    """AnalyzingSuggester build side (lucene/suggest/.../analyzing/
+    AnalyzingSuggester.java:397-480): each entry's surface form is run
+    through the SAME analysis chain as queries will be, and the
+    analyzed token sequence joined with a separator byte becomes the
+    completion key (preserveSep=true: 'foobar' does not complete
+    'foo bar'). Surface forms sharing a key are deduplicated keeping
+    the max weight (the suggester's per-analyzed-form dedup). The
+    result table is the FST stand-in: (key, surface, weight), to be
+    persisted sorted by key so lookups are range scans."""
+    from lucene_solr_spark.analysis.standard import terms_only_udf
+
+    keyed = entries.select(
+        F.array_join(terms_only_udf(F.col(surface_col)),
+                     SUGGEST_SEP).alias("key"),
+        F.col(surface_col).alias("surface"),
+        F.col(weight_col).cast("long").alias("weight"),
+    ).where(F.col("key") != "")
+    return keyed.groupBy("key", "surface").agg(F.max("weight").alias("weight"))
+
+
+def analyzing_suggest(suggester: DataFrame, query: str, k: int = 10,
+                      exact_first: bool = True) -> DataFrame:
+    """AnalyzingSuggester.lookup (AnalyzingSuggester.java:614-694):
+    analyze the query with the same chain, treat the LAST token as a
+    partial prefix, match completion keys by prefix, rank by
+    (exact-match first when ``exact_first``, weight desc, surface asc)
+    — the weight-ordered automaton/FST intersection re-expressed as a
+    prefix range scan + top-k. Returns (surface, weight, rank)."""
+    from lucene_solr_spark.analysis.standard import analyze
+
+    toks = [t for t, _ in analyze(query)]
+    if not toks:
+        spark = suggester.sparkSession
+        return spark.createDataFrame([], "surface string, weight long, rank long")
+    qkey = SUGGEST_SEP.join(toks)
+    cand = suggester.where(F.col("key").startswith(qkey))
+    exact = F.when(F.col("key") == qkey, F.lit(1)).otherwise(F.lit(0))
+    if not exact_first:
+        exact = F.lit(0)
+    scored = cand.select("surface", "weight", exact.alias("is_exact"))
+    order = [F.desc("is_exact"), F.desc("weight"), F.asc("surface")]
+    return (scored.orderBy(*order).limit(k)
+            .withColumn("rank", F.row_number().over(Window.orderBy(*order))
+                        .cast("long"))
+            .select("surface", "weight", "rank"))

@@ -303,8 +303,21 @@ class TermInSetQ(MultiTermQ):
 #                         optionally, requires spider, excludes crawl
 #                         (MUST/SHOULD -> ReqOptSumScorer shape)
 #   a b c                 implicit OR (edismax default q.op=OR)
+# plus the classic LuceneQParser multi-term leaves
+# (solr/core/src/java/org/apache/solr/search/LuceneQParserPlugin.java /
+#  lucene/queryparser/classic/QueryParserBase.java):
+#   te*m, ?erm            wildcard (trailing-*-only -> PrefixQuery)
+#   term~ / term~1        fuzzy (default 2 edits)
+#   [a TO b] / {a TO b}   term range, inclusive / exclusive, * = open
+#   /rege?xp/             regexp query
+#   *:*                   MatchAllDocsQuery
 
-_TOKEN_RE = re.compile(r'\(|\)|"[^"]*"(?:~\d+)?(?:\^[\d.]+)?|AND|OR|NOT|[^\s()]+')
+_TOKEN_RE = re.compile(
+    r'\(|\)'
+    r'|"[^"]*"(?:~\d+)?(?:\^[\d.]+)?'
+    r'|(?:[\w*]+:)?[\[\{][^\]\}]*[\]\}](?:\^[\d.]+)?'
+    r'|/[^/]*/(?:\^[\d.]+)?'
+    r'|AND|OR|NOT|[^\s()]+')
 
 INDEXED_FIELDS = ("text",)
 
@@ -347,6 +360,21 @@ def parse_query(s: str) -> Query:
                 return TermQ(words[0].lower(), boost=boost)
             return PhraseQ(tuple(w.lower() for w in words), slop=slop,
                            boost=boost)
+        if tok == "*:*":
+            return MatchAllQ(boost=boost)
+        m = re.match(r'^(?:(\w+):)?([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])$',
+                     tok)
+        if m:
+            if m.group(1) and m.group(1).lower() not in INDEXED_FIELDS:
+                raise ValueError(f"unknown field {m.group(1)!r} in {s!r}")
+            lo, hi = m.group(3), m.group(4)
+            return TermRangeQ(
+                None if lo == "*" else lo.lower(),
+                None if hi == "*" else hi.lower(),
+                include_lower=m.group(2) == "[",
+                include_upper=m.group(5) == "]", boost=boost)
+        if len(tok) >= 2 and tok.startswith("/") and tok.endswith("/"):
+            return RegexpQ(tok[1:-1], boost=boost)
         if ":" in tok:
             field, _, term = tok.partition(":")
             if field.lower() not in INDEXED_FIELDS:
@@ -354,6 +382,15 @@ def parse_query(s: str) -> Query:
             tok = term
         if not tok:
             raise ValueError(f"empty term in {s!r}")
+        m = re.search(r'~(\d*)$', tok)
+        if m and m.start() > 0:
+            edits = int(m.group(1)) if m.group(1) else 2
+            return FuzzyQ(tok[: m.start()].lower(), max_edits=edits,
+                          boost=boost)
+        if "*" in tok or "?" in tok:
+            if tok.endswith("*") and "*" not in tok[:-1] and "?" not in tok:
+                return PrefixQ(tok[:-1].lower(), boost=boost)
+            return WildcardQ(tok.lower(), boost=boost)
         return TermQ(tok.lower(), boost=boost)
 
     def parse_atom() -> tuple[str, Query]:

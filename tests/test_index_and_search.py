@@ -371,3 +371,25 @@ def test_multiphrase_rpt_golden():
     assert f([0], [1], 0) == 1.0
     # single shared token only ("x"): collision cannot resolve -> 0.
     assert f([0], [0], 3) == 0.0
+
+
+def test_qparser_multiterm_leaves():
+    """Classic-QParser leaf syntax (ranges, wildcard/prefix, fuzzy,
+    regexp, *:*) parses to the right AST nodes."""
+    from lucene_solr_spark.search import ast as A
+
+    assert A.parse_query("hash*") == A.PrefixQ("hash")
+    assert A.parse_query("h?sh") == A.WildcardQ("h?sh")
+    assert A.parse_query("hash~1") == A.FuzzyQ("hash", max_edits=1)
+    assert A.parse_query("hash~") == A.FuzzyQ("hash", max_edits=2)
+    assert A.parse_query("[alpha TO beta]") == A.TermRangeQ("alpha", "beta")
+    assert A.parse_query("{alpha TO *}") == A.TermRangeQ(
+        "alpha", None, include_lower=False, include_upper=False)
+    assert A.parse_query("text:[a TO b]") == A.TermRangeQ("a", "b")
+    assert A.parse_query("/ha.h/") == A.RegexpQ("ha.h")
+    assert isinstance(A.parse_query("*:*"), A.MatchAllQ)
+    q = A.parse_query("hash* OR join~1")
+    assert isinstance(q, A.OrQ) and len(q.clauses) == 2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        A.parse_query("badfield:[a TO b]")

@@ -1025,7 +1025,7 @@ DRIVER_PRIORITY = [
     # (b) new in round 3
     "ft_dfr", "ft_ib", "ft_dfi", "seg_function_query", "seg_sort_dv",
     "shortest_path_paths", "ft_multiphrase_rpt", "suggest_analyzing",
-    "ft_qparser_mix",
+    "ft_qparser_mix", "index_sorted_topk",
     # (c) flagship: segment index + block-max WAND (float32-exact oracles)
     "seg_bm25_wand", "seg_bm25_and", "seg_bm25_msm", "seg_bm25_not",
     "seg_and_match", "seg_or_match", "seg_phrase",
@@ -1035,7 +1035,7 @@ DRIVER_PRIORITY = [
     "highlight", "export_sorted", "diversified_topk", "rerank",
     "blockjoin_parent", "point_range", "stats_percentile", "cardinality",
     "ft_multiphrase", "ann_lsh", "ann_ivf", "mm_decode", "shortest_path",
-    "function_query", "knn_classify", "ft_tfidf", "ft_phrase_sloppy",
+    "knn_classify", "ft_tfidf", "ft_phrase_sloppy",
 ]
 
 

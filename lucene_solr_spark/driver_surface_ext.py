@@ -2105,3 +2105,21 @@ agg AS (
 )
 {_topk_sql("SELECT * FROM agg", 10)}
 """)
+
+
+def _index_sorted_topk(spark, sf):
+    """EarlyTerminatingSortingCollector over the index sort: first 25
+    docs in index order (docid == url order == doc_id here), with the
+    docid cutoff bounded by the segment manifest so the scan reads
+    O(k) rows regardless of corpus size (plan-asserted in tests)."""
+    si = _seg_index(spark, sf)
+    return (si.index_sorted_topk(25)
+            .select(F.col("docid").alias("doc_id"),
+                    F.col("doclen").cast("long").alias("doclen")))
+
+
+_register("index_sorted_topk", _index_sorted_topk, f"""
+WITH {FT_BASE}
+SELECT doc_id, doclen::BIGINT AS doclen
+FROM doclen ORDER BY doc_id LIMIT 25
+""")

@@ -224,9 +224,25 @@ def check_index(si: SegmentIndex, max_report: int = 20) -> dict:
     if nerr:
         raise CheckIndexError(f"{nerr} norm bytes disagree between docs table and blob")
 
+    # 5. doc-values sidecar (when present): exactly one row per live
+    # doc, docids within segment ranges (the CheckIndex testDocValues
+    # pass, index/CheckIndex.java)
+    dv_docs = None
+    if si.has_docvalues():
+        dv = si.docvalues
+        dv_docs = dv.count()
+        if dv_docs != sum(r["doc_count"] for r in meta):
+            raise CheckIndexError(
+                f"docvalues rows {dv_docs} != live docs "
+                f"{sum(r['doc_count'] for r in meta)}")
+        dup = dv.groupBy("docid").count().where(F.col("count") > 1).count()
+        if dup:
+            raise CheckIndexError(f"{dup} duplicate docvalues docids")
+
     return {
         "segments": len(meta),
         "docs": sum(r["doc_count"] for r in meta),
         "sum_doclen": sum(r["sum_doclen"] for r in meta),
+        "docvalues_docs": dv_docs,
         "clean": True,
     }

@@ -268,6 +268,19 @@ def execute_merge(si: SegmentIndex, spec: MergeSpec) -> int:
      .option("partitionOverwriteMode", "dynamic").mode("overwrite")
      .parquet(f"{si.path}/norms"))
 
+    # doc-values sidecar carry-over: docids never remap across merges,
+    # so the merged segment's sidecar is the members' rows re-keyed to
+    # the new seg_id (SegmentMerger re-writes .dvd the same way,
+    # index/SegmentMerger.java mergeDocValues)
+    if si.has_docvalues():
+        dv = (si.spark.read.parquet(f"{si.path}/docvalues")
+              .where(F.col("seg_id").isin(member_ids))
+              .withColumn("seg_id", F.lit(new_id)))
+        (dv.repartition("seg_id").sortWithinPartitions("docid")
+         .write.partitionBy("seg_id")
+         .option("partitionOverwriteMode", "dynamic").mode("overwrite")
+         .parquet(f"{si.path}/docvalues"))
+
     # commit: write the next segments_meta generation (the segments_N
     # swap, made atomic by commit_segments_meta's _SUCCESS protocol).
     # Meta is one tiny row per segment — collect, edit driver-side.

@@ -276,6 +276,28 @@ class SegmentIndex:
         ).collect()[0]
         return {"doc_count": int(row["n"]), "sum_ttf": int(row["s"])}
 
+    def index_sorted_topk(self, k: int) -> DataFrame:
+        """Early-terminating collection over the INDEX SORT
+        (search/EarlyTerminatingSortingCollector.java): docids are
+        assigned in url order (the index sort — index/docid.py), so
+        top-k by url == the first k docids. The segment manifest
+        bounds the docid cutoff driver-side (O(segments) tiny meta
+        rows — the per-segment "stop after k" of the reference), and
+        the docs scan prunes to row groups below the cutoff via
+        parquet min/max statistics on the sort key — IO is O(k),
+        independent of corpus size. Returns (docid, url, doclen)."""
+        meta = sorted(self.meta.select("doc_base", "doc_count").collect(),
+                      key=lambda r: r["doc_base"])
+        need, cutoff = int(k), 0
+        for r in meta:
+            cutoff = int(r["doc_base"]) + int(r["doc_count"])
+            need -= int(r["doc_count"])
+            if need <= 0:
+                break
+        return (self.docs.select("docid", "url", "doclen")
+                .where(F.col("docid") < cutoff)
+                .orderBy("docid").limit(k))
+
     def as_flat_tables(self, with_positions: bool = False,
                        terms: list[str] | None = None,
                        with_offsets: bool = False) -> IndexTables:

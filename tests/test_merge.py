@@ -136,3 +136,25 @@ def test_segment_sizes_positive(merged_pair):
     for s in segment_sizes(a):
         assert s.size_bytes > 0
         assert s.doc_count > 0
+
+
+def test_docvalues_survive_merge(spark, pages_tiny, tmp_path_factory):
+    """Merges re-key the doc-values sidecar to the merged segment
+    (docids unchanged) — values identical before and after."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.index.merge import TieredMergePolicy, maybe_merge
+    from lucene_solr_spark.index.segments import (
+        SegmentIndex, build_segment_index)
+
+    src = pages_tiny.withColumn("nch", F.length("text").cast("double"))
+    path = str(tmp_path_factory.mktemp("dvmerge") / "idx")
+    build_segment_index(src, path, seg_size=32, salt_span=16,
+                        docvalues_cols=["nch"])
+    si = SegmentIndex(path=path, spark=spark)
+    before = {(r["docid"], r["nch"]) for r in si.docvalues.collect()}
+    merged = maybe_merge(si, TieredMergePolicy(segs_per_tier=2))
+    assert merged, "expected at least one merge on 10 tiny segments"
+    si.refresh()
+    after = {(r["docid"], r["nch"]) for r in si.docvalues.collect()}
+    assert after == before

@@ -403,3 +403,23 @@ def test_docvalues_sidecar_and_backfill(spark, pages_tiny, tmp_path_factory):
             for r in si.docvalues.join(si.docs.select("docid", "url"), "docid")
             .select("url", "boostval").collect()}
     assert got2 == want
+
+
+def test_index_sorted_topk_prunes(spark, pages_tiny, tmp_path_factory):
+    """Index-sort early termination: correct first-k rows AND the
+    docid cutoff is pushed to the parquet scan (row-group pruning)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.index.segments import (
+        SegmentIndex, build_segment_index)
+
+    path = str(tmp_path_factory.mktemp("ets") / "idx")
+    build_segment_index(pages_tiny, path, seg_size=64, salt_span=16)
+    si = SegmentIndex(path=path, spark=spark)
+    got = [r["docid"] for r in si.index_sorted_topk(10).collect()]
+    want = [r["docid"] for r in
+            si.docs.orderBy("docid").limit(10).collect()]
+    assert got == want == list(range(10))
+    plan = (si.index_sorted_topk(10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters" in plan and "LessThan(docid" in plan

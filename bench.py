@@ -204,6 +204,20 @@ def bench_wand_large(spark, n_docs: int = 500_000,
     for name, q in big_qset.items():
         times[name] = _min_of(lambda: ws.search(q, k=10).collect(),
                               QUERY_TRIALS)
+    # 100-query batched serving (the realistic q/s shape: one Spark
+    # job, per-segment tasks run every query against shared postings)
+    batch = {}
+    for i in range(100):
+        a, b, c = (i * 37) % 5000, (i * 101) % 800, (i * 13) % 50
+        batch[f"q{i}"] = [
+            f"t{a:06d}",
+            f"t{b:06d} AND t{c:06d}",
+            f"t{a:06d} OR t{b:06d}",
+            f"t{c:06d} OR t{b:06d} OR t{a:06d}",
+        ][i % 4]
+    times["w_batched_100"] = _min_of(
+        lambda: ws.search_many(batch, k=10).collect(), QUERY_TRIALS)
+    times["w_batched_100_qps"] = round(100 / times["w_batched_100"], 1)
     return times
 
 

@@ -2123,3 +2123,44 @@ WITH {FT_BASE}
 SELECT doc_id, doclen::BIGINT AS doclen
 FROM doclen ORDER BY doc_id LIMIT 25
 """)
+
+
+# ---- TermAutomatonQuery / GraphQuery (finite-strings route) ----------------
+
+def _term_automaton(spark, sf):
+    """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java) via
+    finite-string enumeration — the synonym-graph shape GraphQuery
+    compiles to (util/graph/GraphTokenStreamFiniteStrings.java):
+    accept 'hash join' OR 'hash ANY join'; freq = distinct matching
+    start positions, scored with the phrase recipe (summed idf)."""
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    q = A.TermAutomatonQ(
+        transitions=((0, 1, "hash"), (1, 3, "join"),
+                     (1, 2, None), (2, 3, "join")),
+        accept=(3,))
+    return _quantize_topk(s.matches(q), 10)
+
+
+_register("term_automaton", _term_automaton, f"""
+WITH {FT_BASE},
+ph AS (
+  SELECT doc_id, count(DISTINCT p)::DOUBLE AS pfreq FROM (
+    SELECT h.doc_id, h.pos AS p
+    FROM (SELECT doc_id, pos FROM tokf WHERE term='hash') h
+    JOIN (SELECT doc_id, pos FROM tokf WHERE term='join') j
+      ON h.doc_id = j.doc_id AND (j.pos = h.pos + 1 OR j.pos = h.pos + 2)
+  ) GROUP BY doc_id
+),
+idfs AS (
+  SELECT sum(ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5))) AS idf_sum
+  FROM tstats ts CROSS JOIN cstats cs WHERE ts.term IN ('hash', 'join')
+),
+agg AS (
+  SELECT ph.doc_id,
+         CAST(floor((i.idf_sum * 2.2) * ph.pfreq
+              / (ph.pfreq + 1.2 * (0.25 + 0.75 * dl.doclen / (cs.sttf / cs.n)))
+              * 1000000) AS BIGINT) AS score_q
+  FROM ph JOIN doclen dl USING (doc_id) CROSS JOIN cstats cs CROSS JOIN idfs i
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")

@@ -186,6 +186,66 @@ class SpanNearQ(Query):
 
 
 @dataclass(frozen=True)
+class TermAutomatonQ(Query):
+    """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java): an
+    automaton whose transitions are terms (or ANY), matched against
+    consecutive token positions — the generalization of Phrase /
+    MultiPhrase / synonym-graph queries. GraphQuery-style token graphs
+    compile to exactly this (util/graph/GraphTokenStreamFiniteStrings
+    .java enumerates a token graph's finite strings the same way).
+
+    ``transitions``: (src_state, dst_state, term-or-None) tuples; None
+    is an ANY transition. State 0 is the start; ``accept`` lists the
+    accepting states. The automaton must be ACYCLIC (finite strings);
+    matching enumerates the paths and a doc's freq is the number of
+    distinct start positions from which some path matches. Deviation
+    from the reference, documented: ANY steps over one position
+    ordinal, which includes analysis holes (stopped tokens), since the
+    index does not record which positions are occupied.
+    """
+    transitions: tuple
+    accept: tuple
+    boost: float = 1.0
+
+    def key(self) -> str:
+        return f"auto({sorted(self.transitions)!r},{sorted(self.accept)!r})"
+
+    def finite_strings(self, max_paths: int = 256) -> list[tuple]:
+        """All accepted term sequences (None = ANY slot), by DFS from
+        state 0. Raises on cycles or path blowup — the reference's
+        automata here are determinized token graphs, always DAGs."""
+        adj: dict[int, list[tuple[int, str | None]]] = {}
+        for src, dst, term in self.transitions:
+            adj.setdefault(int(src), []).append((int(dst), term))
+        accept = set(int(a) for a in self.accept)
+        out: list[tuple] = []
+
+        def walk(state: int, path: tuple, seen: tuple) -> None:
+            if state in seen:
+                raise ValueError("cyclic term automaton (infinite strings)")
+            if state in accept and path:
+                out.append(path)
+                if len(out) > max_paths:
+                    raise ValueError(f"more than {max_paths} finite strings")
+            for dst, term in sorted(adj.get(state, ()),
+                                    key=lambda x: (x[0], x[1] or "")):
+                walk(dst, path + (term,), seen + (state,))
+
+        walk(0, (), ())
+        if not out:
+            raise ValueError("term automaton accepts no strings")
+        if any(all(t is None for t in p) for p in out):
+            raise ValueError("all-ANY path matches every position")
+        if any(p[0] is None or p[-1] is None for p in out):
+            # leading/trailing ANY would need to know which position
+            # ordinals exist in a doc; the index records positions of
+            # surviving tokens only (holes are anonymous), so bound
+            # every path by real terms
+            raise ValueError("paths must start and end with a term")
+        return out
+
+
+@dataclass(frozen=True)
 class ConstQ(Query):
     """ConstantScoreQuery: match inner, score = boost."""
     inner: Query

@@ -212,6 +212,8 @@ def _collect_terms(q: A.Query) -> set[str]:
         return set(q.terms)
     if isinstance(q, A.MultiPhraseQ):
         return {t for slot in q.slots for t in slot}
+    if isinstance(q, A.TermAutomatonQ):
+        return {t for s, d, t in q.transitions if t is not None}
     if isinstance(q, (A.AndQ, A.OrQ, A.DisMaxQ)):
         return set().union(*(_collect_terms(c) for c in q.clauses))
     if isinstance(q, A.NotQ):
@@ -427,7 +429,63 @@ class Searcher:
             return self._eval_reqopt(q, scored)
         if isinstance(q, A.SpanNearQ):
             return self._eval_span_near(q)
+        if isinstance(q, A.TermAutomatonQ):
+            return self._eval_term_automaton(q)
         raise TypeError(f"unsupported query node {type(q).__name__}")
+
+    def _eval_term_automaton(self, q: A.TermAutomatonQ) -> DataFrame:
+        """TermAutomatonQuery via finite-string enumeration (the
+        GraphTokenStreamFiniteStrings route, util/graph/
+        GraphTokenStreamFiniteStrings.java): the acyclic automaton's
+        accepted strings become path templates (term sequences with
+        ANY gaps); per doc, freq = count of distinct start positions
+        from which some path matches consecutive positions (the
+        'merge-sort all positions' run of TermAutomatonScorer,
+        sandbox/search/TermAutomatonQuery.java). Scoring follows the
+        phrase recipe: idf summed over the automaton's distinct terms,
+        freq as above."""
+        paths = q.finite_strings()
+        terms = sorted({t for p in paths for t in p if t is not None})
+        dfs = self._df_for(set(terms))
+        present = [t for t in terms if dfs[t] > 0]
+        if not present:
+            return self._empty_scored().select("docid", "score")
+        p = self.index.postings.where(F.col("term").isin(present)).select(
+            "docid", "term", "positions")
+        agg = p.groupBy("docid").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))).alias("tpos"))
+
+        @pandas_udf("double")
+        def auto_freq(maps: pd.Series) -> pd.Series:
+            out = np.zeros(len(maps), dtype=np.float64)
+            for row_i, m in enumerate(maps):
+                starts: set = set()
+                for path in paths:
+                    base = None
+                    ok = True
+                    for off, t in enumerate(path):
+                        if t is None:
+                            continue  # ANY: one position step
+                        pl = m.get(t)
+                        if pl is None:
+                            ok = False
+                            break
+                        arr = np.asarray(pl, dtype=np.int64) - off
+                        base = arr if base is None else np.intersect1d(
+                            base, arr, assume_unique=True)
+                        if base.size == 0:
+                            ok = False
+                            break
+                    if ok and base is not None:
+                        starts.update(int(x) for x in base if x >= 0)
+                out[row_i] = float(len(starts))
+            return pd.Series(out)
+
+        with_freq = agg.select(
+            "docid", auto_freq(F.col("tpos")).alias("pfreq")).where(
+            F.col("pfreq") > 0)
+        return self._score_phrase_freq(with_freq, terms, dfs, q.boost)
 
     def _eval_dismax(self, q: A.DisMaxQ, scored: DataFrame | None) -> DataFrame:
         """DisjunctionMaxScorer.java:36-61: scoreMax + tieBreaker *

@@ -331,6 +331,36 @@ METADATA_COLS = ("seg_id", "term", "df", "ttf", "singleton_docid",
                  "grp_id", "grp_prev_doc", "grp_last_doc")
 
 
+# Process-global payload LRU, shared across tasks by Python-worker
+# reuse — the executor-side block cache of a serving tier (Lucene
+# keeps .doc blocks hot in the OS page cache / JVM the same way).
+# Safe because index cells are IMMUTABLE: segments are never rewritten
+# in place (merges mint fresh seg_ids; the manifest is generational),
+# so a (path, seg_id, term, grp) key can never go stale. Bounded by
+# cell count (LSS_PAYLOAD_CACHE_CELLS, ~1-20KB/cell); norms blobs get
+# a small separate ring.
+import os as _os
+from collections import OrderedDict as _OD
+
+_PAYLOAD_CACHE: "_OD[tuple, tuple[bytes, bytes]]" = _OD()
+_PAYLOAD_CACHE_CELLS = int(_os.environ.get("LSS_PAYLOAD_CACHE_CELLS", "4096"))
+_NORMS_CACHE: "_OD[tuple, tuple]" = _OD()
+_NORMS_CACHE_MAX = int(_os.environ.get("LSS_NORMS_CACHE_SEGS", "64"))
+
+
+def _lru_get(cache: "_OD", key):
+    v = cache.get(key)
+    if v is not None:
+        cache.move_to_end(key)
+    return v
+
+
+def _lru_put(cache: "_OD", key, val, cap: int) -> None:
+    cache[key] = val
+    while len(cache) > cap:
+        cache.popitem(last=False)
+
+
 def _prefetch_payloads(idx_path: str, seg_id: int, terms: list[str],
                        cache: dict) -> None:
     """Seed the fetch cache with ALL group payloads of ``terms`` in one
@@ -339,14 +369,24 @@ def _prefetch_payloads(idx_path: str, seg_id: int, terms: list[str],
     trips than the bytes saved by laziness)."""
     import pyarrow.parquet as pq
 
+    missing = [t for t in terms
+               if _lru_get(_PAYLOAD_CACHE, (idx_path, seg_id, t, 0)) is None]
+    for t in terms:
+        if t in missing:
+            continue
+        cache[(t, 0)] = _lru_get(_PAYLOAD_CACHE, (idx_path, seg_id, t, 0))
+    if not missing:
+        return
     t = pq.read_table(
         f"{idx_path}/postings/seg_id={seg_id}",
         columns=["term", "grp_id", "docs_enc", "tfs_enc"],
-        filters=[("term", "in", list(terms))])
+        filters=[("term", "in", list(missing))])
     for tm, g, d, f in zip(t["term"].to_pylist(), t["grp_id"].to_pylist(),
                            t["docs_enc"].to_pylist(), t["tfs_enc"].to_pylist()):
-        cache[(tm, int(g))] = (d if d is not None else b"",
-                               f if f is not None else b"")
+        cell = (d if d is not None else b"", f if f is not None else b"")
+        cache[(tm, int(g))] = cell
+        _lru_put(_PAYLOAD_CACHE, (idx_path, seg_id, tm, int(g)), cell,
+                 _PAYLOAD_CACHE_CELLS)
 
 
 def _make_group_fetcher(idx_path: str, seg_id: int, readahead: int = 4):
@@ -373,6 +413,10 @@ def _make_group_fetcher(idx_path: str, seg_id: int, readahead: int = 4):
     def fetch(term: str, grp: int) -> tuple[bytes, bytes]:
         key = (term, grp)
         if key not in cache:
+            hit = _lru_get(_PAYLOAD_CACHE, (idx_path, seg_id, term, grp))
+            if hit is not None:
+                cache[key] = hit
+                return hit
             t = pq.read_table(
                 f"{idx_path}/postings/seg_id={seg_id}",
                 columns=["term", "grp_id", "docs_enc", "tfs_enc"],
@@ -382,8 +426,11 @@ def _make_group_fetcher(idx_path: str, seg_id: int, readahead: int = 4):
                                    t["grp_id"].to_pylist(),
                                    t["docs_enc"].to_pylist(),
                                    t["tfs_enc"].to_pylist()):
-                cache[(tm, int(g))] = (d if d is not None else b"",
-                                       f if f is not None else b"")
+                cell = (d if d is not None else b"",
+                        f if f is not None else b"")
+                cache[(tm, int(g))] = cell
+                _lru_put(_PAYLOAD_CACHE, (idx_path, seg_id, tm, int(g)),
+                         cell, _PAYLOAD_CACHE_CELLS)
         return cache[key]
 
     fetch.cache = fetch_cache
@@ -428,10 +475,15 @@ def _load_seg_norms(idx_path: str, seg_id: int) -> tuple[np.ndarray, int]:
     per query term — megabytes per row at production segment sizes)."""
     import pyarrow.parquet as pq
 
+    hit = _lru_get(_NORMS_CACHE, (idx_path, seg_id))
+    if hit is not None:
+        return hit
     t = pq.read_table(f"{idx_path}/norms/seg_id={seg_id}",
                       columns=["doc_base", "norms"])
     doc_base = int(t["doc_base"][0].as_py())
     norms = np.frombuffer(t["norms"][0].as_py(), dtype=np.uint8)
+    _lru_put(_NORMS_CACHE, (idx_path, seg_id), (norms, doc_base),
+             _NORMS_CACHE_MAX)
     return norms, doc_base
 
 
@@ -582,7 +634,8 @@ class WandSearcher:
                 return any(scan(c, pred) for c in kids)
 
             needs_pos = scan(q, lambda n: isinstance(
-                n, (A.PhraseQ, A.MultiPhraseQ, A.SpanNearQ)))
+                n, (A.PhraseQ, A.MultiPhraseQ, A.SpanNearQ,
+                    A.TermAutomatonQ)))
             # term-restricted decode is only valid when the term set is
             # closed (multi-term queries expand against the dictionary)
             expands = scan(q, lambda n: isinstance(
@@ -678,7 +731,7 @@ class WandSearcher:
         return self._seed_seg
 
     def search_many(self, queries: dict[str, A.Query | str],
-                    k: int = 10) -> DataFrame:
+                    k: int = 10, query_shards: int | None = None) -> DataFrame:
         """Batched serving: run MANY WAND-shaped queries in ONE Spark
         job. Each segment task receives the union of all queries'
         term postings once and runs the kernel per query — the
@@ -688,9 +741,22 @@ class WandSearcher:
         scatter-gather, EP2b's PURPOSE_GET_TOP_IDS phase for a whole
         request window). Returns (qid, docid, score, rank).
 
-        Non-WAND-shaped queries are not accepted here (use search()).
+        ``query_shards``: split the query batch over S tasks PER
+        SEGMENT (task key = (seg_id, qid-hash shard)) so batch
+        parallelism is segments x shards instead of capping at the
+        segment count — the replica fan-out of a serving tier, with
+        metadata rows (tiny) duplicated per shard and payload reads
+        shared via the OS page cache. Default: auto —
+        ceil(parallelism / live segments), so a big batch uses the
+        whole cluster. Non-WAND-shaped queries are not accepted here
+        (use search()).
         """
         self._check_snapshot()
+        n_seg = max(1, len(self.si.live_segments()))
+        if query_shards is None:
+            par = self.si.spark.sparkContext.defaultParallelism
+            query_shards = max(1, -(-par // n_seg))  # ceil
+        query_shards = max(1, min(int(query_shards), len(queries)))
         parsed: dict[str, tuple[list[str], int, list[str]]] = {}
         for qid, q in queries.items():
             if isinstance(q, str):
@@ -715,14 +781,26 @@ class WandSearcher:
         k_ = int(k)
         idx_path = self.si.path
 
+        # deterministic round-robin shard assignment over sorted qids;
+        # each metadata row is exploded only to the shards whose
+        # queries use its term (no blanket duplication)
+        shard_of = {qid: i % query_shards
+                    for i, qid in enumerate(sorted(plan))}
+        term_shards: dict[str, set[int]] = {}
+        for qid, (terms, msm, negs) in plan.items():
+            for t in terms + negs:
+                term_shards.setdefault(t, set()).add(shard_of[qid])
+
         def per_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            sid = int(key[0])
+            sid, shard = int(key[0]), int(key[1])
             norms, doc_base = _load_seg_norms(idx_path, sid)
             eps = _grouped_postings(idx_path, sid, pdf)
             from lucene_solr_spark.index.codec import decode_posting
 
             out_q, out_d, out_s = [], [], []
             for qid, (terms, msm, negs) in plan.items():
+                if shard_of[qid] != shard:
+                    continue
                 postings = {t: eps[t] for t in terms if t in eps}
                 if len(postings) < msm or not postings:
                     continue
@@ -743,10 +821,15 @@ class WandSearcher:
                 "score": np.concatenate(out_s),
             })
 
+        shard_map = F.create_map(*[
+            x for t, ss in sorted(term_shards.items())
+            for x in (F.lit(t),
+                      F.array(*[F.lit(int(s)) for s in sorted(ss)]))])
         rows = (self.si.postings
                 .where(F.col("term").isin([t for t in all_terms if dfs[t] > 0]))
-                .select(*METADATA_COLS))
-        per_seg = rows.groupBy("seg_id").applyInPandas(
+                .select(*METADATA_COLS)
+                .withColumn("shard", F.explode(shard_map[F.col("term")])))
+        per_seg = rows.groupBy("seg_id", "shard").applyInPandas(
             per_segment, schema="qid string, docid long, score float")
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
         return (per_seg.withColumn("rank", F.row_number().over(w))

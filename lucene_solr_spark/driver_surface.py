@@ -1026,6 +1026,7 @@ DRIVER_PRIORITY = [
     "ft_dfr", "ft_ib", "ft_dfi", "seg_function_query", "seg_sort_dv",
     "shortest_path_paths", "ft_multiphrase_rpt", "suggest_analyzing",
     "ft_qparser_mix", "index_sorted_topk", "term_automaton",
+    "geo_box", "geo_distance", "geo_nearest", "ft_func_breadth",
     # (c) flagship: segment index + block-max WAND (float32-exact oracles)
     "seg_bm25_wand", "seg_bm25_and", "seg_bm25_msm", "seg_bm25_not",
     "seg_and_match", "seg_or_match", "seg_phrase",
@@ -1034,8 +1035,7 @@ DRIVER_PRIORITY = [
     "synonym", "req_opt", "suggest_prefix", "spellcheck", "more_like_this",
     "highlight", "export_sorted", "diversified_topk", "rerank",
     "blockjoin_parent", "point_range", "stats_percentile", "cardinality",
-    "ft_multiphrase", "ann_lsh", "ann_ivf", "mm_decode",
-    "knn_classify", "ft_tfidf", "ft_phrase_sloppy",
+    "ft_multiphrase", "knn_classify", "ft_phrase_sloppy",
 ]
 
 

@@ -2164,3 +2164,135 @@ agg AS (
 )
 {_topk_sql("SELECT * FROM agg", 10)}
 """)
+
+
+# ---- geo/spatial (LatLonPoint analogues) -----------------------------------
+# No geo columns exist in the fixtures, so coordinates derive
+# DETERMINISTICALLY from customer keys by exact integer arithmetic
+# (identical in any engine): lat/lon land on a 0.01-degree lattice.
+
+_GEO_LAT = "(((c_custkey * 7919) % 18000) / 100.0 - 90.0)"
+_GEO_LON = "(((c_custkey * 104729) % 36000) / 100.0 - 180.0)"
+
+
+def _geo_frame(spark, sf):
+    c = _load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7919) % 18000) / 100.0 - 90.0).alias("lat"),
+        (((F.col("c_custkey") * 104729) % 36000) / 100.0 - 180.0).alias("lon"))
+
+
+def _geo_box(spark, sf):
+    """LatLonPoint.newBoxQuery: rectangle containment as range
+    predicates (the BKD cell visit becomes scan-level pruning)."""
+    from lucene_solr_spark.operators.spatial import box_query
+
+    g = _geo_frame(spark, sf)
+    return (box_query(g, 10.0, 55.0, -30.0, 40.0)
+            .select("c_custkey").orderBy("c_custkey"))
+
+
+_register("geo_box", _geo_box, f"""
+SELECT c_custkey FROM customer
+WHERE {_GEO_LAT} BETWEEN 10.0 AND 55.0
+  AND {_GEO_LON} BETWEEN -30.0 AND 40.0
+ORDER BY c_custkey
+""")
+
+
+_HAVERSINE_SQL = """
+2.0 * 6371008.7714 * asin(least(1.0, sqrt(
+  sin(radians(({lat2}) - ({lat1})) / 2) * sin(radians(({lat2}) - ({lat1})) / 2)
+  + cos(radians({lat1})) * cos(radians({lat2}))
+    * sin(radians(({lon2}) - ({lon1})) / 2)
+    * sin(radians(({lon2}) - ({lon1})) / 2))))
+"""
+
+
+def _geo_distance(spark, sf):
+    """LatLonPoint.newDistanceQuery: bounding-box prefilter + exact
+    haversine radius verify; dist quantized to whole meters."""
+    from lucene_solr_spark.operators.spatial import (
+        distance_query, haversine_meters)
+
+    g = _geo_frame(spark, sf)
+    hits = distance_query(g, 34.05, -118.24, 2_000_000.0)
+    d = haversine_meters(F.col("lat"), F.col("lon"),
+                         F.lit(34.05), F.lit(-118.24))
+    return hits.select("c_custkey", F.floor(d).cast("long").alias("dist_m"))
+
+
+_register("geo_distance", _geo_distance, f"""
+SELECT c_custkey,
+       CAST(floor({_HAVERSINE_SQL.format(lat1=_GEO_LAT, lon1=_GEO_LON,
+                                         lat2='34.05', lon2='-118.24')})
+            AS BIGINT) AS dist_m
+FROM customer
+WHERE {_HAVERSINE_SQL.format(lat1=_GEO_LAT, lon1=_GEO_LON,
+                             lat2='34.05', lon2='-118.24')} <= 2000000.0
+""")
+
+
+def _geo_nearest(spark, sf):
+    """LatLonPoint nearest: top-20 by (haversine meters asc, key)."""
+    from lucene_solr_spark.operators.spatial import nearest
+
+    g = _geo_frame(spark, sf)
+    return nearest(g, 48.85, 2.35, 20, id_col="c_custkey")
+
+
+_register("geo_nearest", _geo_nearest, f"""
+WITH sc AS (
+  SELECT c_custkey,
+         CAST(floor({_HAVERSINE_SQL.format(lat1=_GEO_LAT, lon1=_GEO_LON,
+                                           lat2='48.85', lon2='2.35')})
+              AS BIGINT) AS dist_m
+  FROM customer
+)
+SELECT c_custkey, dist_m,
+       row_number() OVER (ORDER BY dist_m, c_custkey) AS rank
+FROM sc QUALIFY rank <= 20
+""")
+
+
+def _ft_func_breadth(spark, sf):
+    """Solr function-query surface breadth (solr/core/.../search/
+    ValueSourceParser.java registry): one composed expression using
+    scale(), linear(), recip(), sqrt(), abs(), ln(), plus the
+    relevance-free sort contract — scale needs a global (min,max)
+    aggregate exactly like ScaleFloatFunction's createWeight pass."""
+    o = _load(spark, sf, "orders")
+    mm = o.agg(F.min("o_totalprice").alias("mn"),
+               F.max("o_totalprice").alias("mx")).collect()[0]
+    mn, mx = float(mm["mn"]), float(mm["mx"])
+    scale = (F.col("o_totalprice") - F.lit(mn)) / F.lit(mx - mn)
+    recip = F.lit(1000.0) / (F.lit(1.0) * F.col("o_orderkey") + F.lit(1000.0))
+    lin = F.lit(0.0001) * F.col("o_custkey") + F.lit(0.5)
+    score = (scale + recip + lin
+             + F.sqrt(F.abs(F.col("o_custkey") - F.lit(500)))
+             * F.lit(0.001)
+             + F.log(F.lit(1.0) + F.col("o_orderkey")) * F.lit(0.01))
+    out = o.select("o_orderkey",
+                   F.floor(score * Q).cast("long").alias("score_q"))
+    w = Window.orderBy(F.desc("score_q"), F.asc("o_orderkey"))
+    return (out.orderBy(F.desc("score_q"), F.asc("o_orderkey")).limit(25)
+            .withColumn("rank", F.row_number().over(w).cast("long")))
+
+
+_register("ft_func_breadth", _ft_func_breadth, """
+WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+sc AS (
+  SELECT o_orderkey,
+         CAST(floor((
+           (o_totalprice - mm.mn) / (mm.mx - mm.mn)
+           + 1000.0 / (1.0 * o_orderkey + 1000.0)
+           + 0.0001 * o_custkey + 0.5
+           + sqrt(abs(o_custkey - 500)) * 0.001
+           + ln(1.0 + o_orderkey) * 0.01) * 1000000) AS BIGINT) AS score_q
+  FROM orders CROSS JOIN mm
+)
+SELECT o_orderkey, score_q,
+       row_number() OVER (ORDER BY score_q DESC, o_orderkey) AS rank
+FROM sc QUALIFY rank <= 25
+""")

@@ -1,0 +1,102 @@
+"""Geo/spatial queries: the LatLonPoint trio re-expressed as Catalyst
+column algebra (lucene/core/src/java/org/apache/lucene/document/
+LatLonPoint.java newBoxQuery/newDistanceQuery + sandbox
+LatLonPointDistanceQuery / NearestNeighbor):
+
+  newBoxQuery        -> range predicates on (lat, lon) columns; with a
+                        lat/lon-sorted or partitioned layout these
+                        reach the scan as PushedFilters (the BKD-tree
+                        cell pruning becomes row-group/partition
+                        pruning)
+  newDistanceQuery   -> bounding-box prefilter (cheap, index-prunable)
+                        + exact haversine verify — LatLonPoint's own
+                        two-phase: BKD box visit then haversin check
+  nearest (KNN)      -> top-k by (distance, id), TakeOrderedAndProject
+
+Distance = great-circle haversine on the mean-radius sphere
+(geo/GeoUtils.java EARTH_MEAN_RADIUS_METERS = 6371008.7714;
+util/SloppyMath.haversinMeters semantics in exact double math —
+we skip SloppyMath's table-driven approximations, which only trade
+accuracy for JVM speed). Engine-portable determinism: distances are
+quantized floor(meters) for cross-engine comparison; sub-ulp libm
+differences are absorbed exactly as for BM25 score quantization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+EARTH_MEAN_RADIUS_METERS = 6_371_008.7714
+
+
+def haversine_meters(lat1: Column, lon1: Column,
+                     lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters (haversine, mean radius)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (F.sin(dlat / 2) * F.sin(dlat / 2)
+         + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) * F.sin(dlon / 2))
+    return (F.lit(2.0 * EARTH_MEAN_RADIUS_METERS)
+            * F.asin(F.least(F.lit(1.0), F.sqrt(a))))
+
+
+def box_query(df: DataFrame, min_lat: float, max_lat: float,
+              min_lon: float, max_lon: float,
+              lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """LatLonPoint.newBoxQuery: rectangle containment (no dateline
+    crossing — split into two boxes for that, as the reference does)."""
+    return df.where(
+        (F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat)
+        & (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon))
+
+
+def _bbox_of_circle(lat: float, lon: float, radius_m: float):
+    """Bounding box of a distance circle (GeoUtils.Rectangle
+    .fromPointDistance semantics): the longitude extreme of a
+    great-circle disc is asin(sin(c)/cos(lat)) — NOT c/cos(lat),
+    which under-covers near the edge — and a disc reaching a pole
+    spans all longitudes. Conservative prefilter only; the exact
+    haversine verify follows."""
+    import math
+
+    c = radius_m / EARTH_MEAN_RADIUS_METERS  # angular radius, radians
+    dlat = math.degrees(c)
+    lo_lat, hi_lat = max(lat - dlat, -90.0), min(lat + dlat, 90.0)
+    if lo_lat <= -90.0 + 1e-12 or hi_lat >= 90.0 - 1e-12 or c >= math.pi / 2:
+        return (lo_lat, hi_lat, -180.0, 180.0)  # disc reaches a pole
+    ratio = math.sin(c) / math.cos(math.radians(lat))
+    if ratio >= 1.0:
+        return (lo_lat, hi_lat, -180.0, 180.0)
+    dlon = math.degrees(math.asin(ratio)) + 1e-9  # cover libm slack
+    return (lo_lat, hi_lat,
+            max(lon - dlon, -180.0), min(lon + dlon, 180.0))
+
+
+def distance_query(df: DataFrame, lat: float, lon: float, radius_m: float,
+                   lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """LatLonPoint.newDistanceQuery: two-phase — index-prunable
+    bounding-box prefilter, then exact haversine <= radius."""
+    lo_lat, hi_lat, lo_lon, hi_lon = _bbox_of_circle(lat, lon, radius_m)
+    boxed = box_query(df, lo_lat, hi_lat, lo_lon, hi_lon, lat_col, lon_col)
+    d = haversine_meters(F.col(lat_col), F.col(lon_col),
+                         F.lit(float(lat)), F.lit(float(lon)))
+    return boxed.where(d <= F.lit(float(radius_m)))
+
+
+def nearest(df: DataFrame, lat: float, lon: float, k: int,
+            id_col: str, lat_col: str = "lat",
+            lon_col: str = "lon") -> DataFrame:
+    """LatLonPoint nearest-neighbor: top-k by (distance asc, id asc),
+    distance quantized to whole meters for engine portability.
+    Returns (id, dist_m, rank)."""
+    d = haversine_meters(F.col(lat_col), F.col(lon_col),
+                         F.lit(float(lat)), F.lit(float(lon)))
+    scored = df.select(F.col(id_col),
+                       F.floor(d).cast("long").alias("dist_m"))
+    order = [F.asc("dist_m"), F.asc(id_col)]
+    w = Window.orderBy(*order)
+    return (scored.orderBy(*order).limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("long")))

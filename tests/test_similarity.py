@@ -76,3 +76,36 @@ def test_probe_reads_subset_of_files(spark, emb, ann_path):
                    for p in glob.glob(f"{path}/lsh/bucket=*")}
     assert probe & all_buckets
     assert len(all_buckets - probe) > 0  # something was prunable
+
+
+def test_geo_distance_prefilter_never_drops(spark):
+    """The circle bounding-box prefilter is conservative: brute-force
+    haversine membership == distance_query output on a dense lattice
+    around the circle edge (regression for the asin-vs-linear dlon
+    bound)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.operators.spatial import (
+        EARTH_MEAN_RADIUS_METERS, distance_query, haversine_meters)
+
+    lat0, lon0, r = 34.05, -118.24, 2_000_000.0
+    pts = [(i, lat0 + (i % 81 - 40) * 0.5, lon0 + (i // 81 - 40) * 0.6)
+           for i in range(81 * 81)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {r_["id"] for r_ in distance_query(df, lat0, lon0, r).collect()}
+    d = haversine_meters(F.col("lat"), F.col("lon"),
+                         F.lit(lat0), F.lit(lon0))
+    want = {r_["id"] for r_ in df.where(d <= r).collect()}
+    assert got == want and len(want) > 100
+
+    def hav(lat, lon):
+        p = math.pi / 180
+        a = (math.sin((lat - lat0) * p / 2) ** 2
+             + math.cos(lat0 * p) * math.cos(lat * p)
+             * math.sin((lon - lon0) * p / 2) ** 2)
+        return 2 * EARTH_MEAN_RADIUS_METERS * math.asin(min(1, math.sqrt(a)))
+
+    want_py = {i for i, la, lo in pts if hav(la, lo) <= r}
+    assert got == want_py

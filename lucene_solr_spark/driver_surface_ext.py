@@ -2296,3 +2296,40 @@ SELECT o_orderkey, score_q,
        row_number() OVER (ORDER BY score_q DESC, o_orderkey) AS rank
 FROM sc QUALIFY rank <= 25
 """)
+
+
+# ---- alternate analyzers (analysis/extra.py) -------------------------------
+
+_WS_INDEX_CACHE: dict[str, object] = {}
+
+
+def _ws_index(spark, sf):
+    from lucene_solr_spark.index.builder import build_index
+
+    if sf not in _WS_INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        idx = build_index(docs, key_col="doc_id", text_col="text",
+                          precomputed_docid="doc_id",
+                          analyzer="whitespace").cache()
+        idx.docs.count()
+        _WS_INDEX_CACHE[sf] = idx
+    return _WS_INDEX_CACHE[sf]
+
+
+def _ft_whitespace_term(spark, sf):
+    """WhitespaceAnalyzer build (analysis/common/.../core/
+    WhitespaceAnalyzer.java via the pluggable chain): no stop filter,
+    so the stopword 'the' IS indexed — a behavioral proof the chain
+    actually switched, not just a re-label."""
+    idx = _ws_index(spark, sf)
+    return idx.postings.where(F.col("term") == "the").select(
+        F.col("docid").alias("doc_id"), F.col("tf").cast("long").alias("tf"))
+
+
+_register("ft_whitespace_term", _ft_whitespace_term, """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT doc_id, count(*)::BIGINT AS tf
+FROM tok WHERE term = 'the' GROUP BY doc_id
+""")

@@ -75,7 +75,8 @@ class IndexTables:
 def analyzed_frame(pages: DataFrame, key_col: str = "url",
                    text_col: str = "text",
                    with_positions: bool = True,
-                   with_offsets: bool = False) -> DataFrame:
+                   with_offsets: bool = False,
+                   analyzer: str = "standard") -> DataFrame:
     """One fused analyze+invert pass over the corpus: per document,
     (docid, url, doclen, norm_byte, terms[], tfs[]
     [, poslists[][]][, starts[][], ends[][]]).
@@ -84,8 +85,52 @@ def analyzed_frame(pages: DataFrame, key_col: str = "url",
     (docs table, postings, stats) projects or explodes it. Caller
     should persist() it when deriving more than one output.
     ``with_offsets`` implies positions (the .pos/.pay pairing).
+    ``analyzer``: 'standard' (the fused numpy StandardAnalyzer chain)
+    or one of analysis/extra.ANALYZERS ('whitespace', 'simple',
+    'keyword' — generic inverter, no offsets support).
     """
     from lucene_solr_spark.analysis.standard import invert_batch, invert_batch_offsets
+
+    if analyzer != "standard":
+        from lucene_solr_spark.analysis.extra import (
+            ANALYZERS, invert_batch_generic)
+
+        if with_offsets:
+            raise ValueError("offsets are only supported by the "
+                             "standard analyzer chain")
+        an = ANALYZERS[analyzer]
+
+        def run_alt(batches):
+            for pdf in batches:
+                urls = pdf[key_col].astype(str).to_numpy()
+                if with_positions:
+                    dl, terms, tfs, pos = invert_batch_generic(
+                        pdf[text_col], an, True)
+                    out = pd.DataFrame({
+                        "docid": pdf["docid"].to_numpy(), "url": urls,
+                        "doclen": dl, "terms": terms, "tfs": tfs,
+                        "positions": pos,
+                    })
+                else:
+                    dl, terms, tfs = invert_batch_generic(
+                        pdf[text_col], an, False)
+                    out = pd.DataFrame({
+                        "docid": pdf["docid"].to_numpy(), "url": urls,
+                        "doclen": dl, "terms": terms, "tfs": tfs,
+                    })
+                nb = np.zeros(len(out), dtype=np.int32)
+                nz = dl > 0
+                nb[nz] = length_norm_byte(
+                    dl[nz].astype(np.int64)).astype(np.int32)
+                out["norm_byte"] = nb
+                yield out
+
+        schema_alt = ("docid long, url string, doclen int, "
+                      "terms array<string>, tfs array<int>, "
+                      + ("positions array<array<int>>, "
+                         if with_positions else "")
+                      + "norm_byte int")
+        return pages.mapInPandas(run_alt, schema=schema_alt)
 
     def run(batches):
         for pdf in batches:
@@ -134,6 +179,7 @@ def build_index(
     text_col: str = "text",
     precomputed_docid: str | None = None,
     with_offsets: bool = False,
+    analyzer: str = "standard",
 ) -> IndexTables:
     """Build the full flat index from a pages/documents DataFrame.
 
@@ -142,6 +188,8 @@ def build_index(
     ``with_offsets``: postings additionally carry per-occurrence char
     offset arrays (starts/ends — the .pay stream analogue), enabling
     offset-based highlighting without re-scanning stored text.
+    ``analyzer``: 'standard' | 'whitespace' | 'simple' | 'keyword'
+    (the analysis chain is pluggable; see analysis/extra.py).
     """
     pinned_range = None
     if precomputed_docid:
@@ -151,7 +199,8 @@ def build_index(
         pinned_range = getattr(base, "_pinned_range_frame", None)
 
     af = analyzed_frame(base, key_col=key_col, text_col=text_col,
-                        with_offsets=with_offsets).persist()
+                        with_offsets=with_offsets,
+                        analyzer=analyzer).persist()
 
     docs = af.select("docid", "url", "doclen", "norm_byte")
 

@@ -78,3 +78,35 @@ def test_vectorized_matches_scalar():
     for i, t in texts.items():
         expected = [{"term": a, "pos": p} for a, p in analyze(t or "")]
         assert vec[i] == expected, f"row {i}: {t!r}"
+
+
+def test_alternate_analyzers():
+    """analysis/extra: whitespace (no fold, no stop), simple (letter
+    runs, lowered), keyword (whole input one token)."""
+    from lucene_solr_spark.analysis.extra import (
+        keyword_analyze, simple_analyze, whitespace_analyze)
+
+    s = "The QUICK-Brown fox2 jumps"
+    assert whitespace_analyze(s) == [
+        ("The", 0), ("QUICK-Brown", 1), ("fox2", 2), ("jumps", 3)]
+    assert simple_analyze(s) == [
+        ("the", 0), ("quick", 1), ("brown", 2), ("fox", 3), ("jumps", 4)]
+    assert keyword_analyze(s) == [(s, 0)]
+    assert keyword_analyze("") == []
+
+
+def test_keyword_analyzer_end_to_end(spark):
+    """Keyword-analyzed index: the whole text is one exact-match term."""
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.executor import Searcher
+
+    df = spark.createDataFrame(
+        [("u1", "alpha beta"), ("u2", "alpha"), ("u3", "alpha beta")],
+        "url string, text string")
+    idx = build_index(df, analyzer="keyword")
+    s = Searcher(idx, mode="lucene")
+    from lucene_solr_spark.search.ast import TermQ
+
+    hits = {r["docid"] for r in s.matches(TermQ("alpha beta")).collect()}
+    assert len(hits) == 2
+    assert s.matches(TermQ("alpha")).count() == 1

@@ -2333,3 +2333,45 @@ WITH tok AS (
 SELECT doc_id, count(*)::BIGINT AS tf
 FROM tok WHERE term = 'the' GROUP BY doc_id
 """)
+
+
+# ---- JDBC-style SQL source (JDBCStream analogue over DuckDB) ---------------
+
+def _jdbc_stream(spark, sf):
+    """JDBCStream (solr/solrj/.../io/stream/JDBCStream.java): pull a
+    SQL query's result from an external database into the pipeline,
+    then compose with native ops (here: a groupBy over the fetched
+    rows). The database is a DuckDB file materialized once per sf from
+    the customer table — the 'external RDBMS' of the sandbox."""
+    import os as _o
+
+    import duckdb
+
+    from lucene_solr_spark.sources.sqlsource import sql_stream
+
+    key = os.path.basename(sf.rstrip("/"))
+    db = f"/tmp/driver_jdbc_{key}.duckdb"
+    if not _o.path.exists(db):
+        con = duckdb.connect(db)
+        con.execute(f"CREATE TABLE customer AS "
+                    f"SELECT * FROM '{sf}/customer.parquet'")
+        con.close()
+    rows = sql_stream(
+        spark, db,
+        "SELECT c_custkey, c_nationkey, c_acctbal FROM customer "
+        "WHERE c_acctbal > 1000")
+    return (rows.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.round(F.sum("c_acctbal") * 100).cast("long")
+                 .alias("bal_cents"))
+            .select(F.col("c_nationkey").cast("long").alias("c_nationkey"),
+                    "n_cust", "bal_cents"))
+
+
+_register("jdbc_stream", _jdbc_stream, """
+SELECT c_nationkey::BIGINT AS c_nationkey,
+       count(*)::BIGINT AS n_cust,
+       CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_cents
+FROM customer WHERE c_acctbal > 1000
+GROUP BY c_nationkey
+""")

@@ -433,3 +433,21 @@ def test_term_automaton_matches_phrase_and_gap(spark, tiny_index):
         ((0, 1, "t000000"), (1, 3, "t000001"), (1, 2, None),
          (3, 3, "zzz") if False else (2, 3, "t000001")), (3,))).collect()}
     assert set(phrase) <= gap
+
+
+def test_sql_stream_partitioned_equals_oneshot(spark, tmp_path_factory):
+    import duckdb
+
+    from lucene_solr_spark.sources.sqlsource import (
+        sql_stream, sql_stream_partitioned)
+
+    db = str(tmp_path_factory.mktemp("jdbc") / "t.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT range AS id, range % 7 AS g "
+                "FROM range(1000)")
+    con.close()
+    one = sorted(tuple(r) for r in sql_stream(
+        spark, db, "SELECT * FROM t").collect())
+    part = sorted(tuple(r) for r in sql_stream_partitioned(
+        spark, db, "SELECT * FROM t", "id", 0, 999, 8).collect())
+    assert one == part and len(one) == 1000

@@ -293,3 +293,44 @@ def test_flat_searcher_stats_refresh_after_append(spark, pages_tiny,
                                .as_flat_tables(), mode="lucene")
              .search(q, k=10).orderBy("rank").collect()]
     assert got == fresh
+
+
+def test_replicator_incremental(spark, pages_tiny, tmp_path_factory):
+    """lucene/replicator semantics: first round copies all live
+    segments; replica answers queries identically; after an NRT
+    append + new round, only the NEW segments are copied and the
+    replica flips to the new revision atomically."""
+    from lucene_solr_spark.index.replicator import replicate
+    from lucene_solr_spark.search.wand import WandSearcher
+
+    src_path = str(tmp_path_factory.mktemp("repl") / "src")
+    dst_path = str(tmp_path_factory.mktemp("repl") / "dst")
+    batches = _batches(pages_tiny, 2)
+    append_batch(batches[0], src_path, batch_id=0, seg_size=SEG,
+                 salt_span=SALT)
+    src = SegmentIndex(path=src_path, spark=spark)
+
+    r1 = replicate(src, dst_path)
+    assert r1["copied"] and not r1["skipped"]
+    dst = SegmentIndex(path=dst_path, spark=spark)
+    q = "t000001 OR t000002"
+    a = [(r["docid"], np.float32(r["score"]))
+         for r in WandSearcher(src).search(q, k=10).orderBy("rank").collect()]
+    b = [(r["docid"], np.float32(r["score"]))
+         for r in WandSearcher(dst).search(q, k=10).orderBy("rank").collect()]
+    assert a == b
+
+    append_batch(batches[1], src_path, batch_id=1, seg_size=SEG,
+                 salt_span=SALT)
+    src.refresh()
+    r2 = replicate(src, dst_path)
+    assert r2["copied"] and set(r2["skipped"]) == set(r1["copied"])
+    dst.refresh()
+    a2 = [(r["docid"], np.float32(r["score"]))
+          for r in WandSearcher(src).search(q, k=10).orderBy("rank").collect()]
+    b2 = [(r["docid"], np.float32(r["score"]))
+          for r in WandSearcher(dst).search(q, k=10).orderBy("rank").collect()]
+    assert a2 == b2
+    # idempotent third round: nothing to copy
+    r3 = replicate(src, dst_path)
+    assert not r3["copied"]

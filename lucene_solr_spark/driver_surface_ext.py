@@ -2375,3 +2375,65 @@ SELECT c_nationkey::BIGINT AS c_nationkey,
 FROM customer WHERE c_acctbal > 1000
 GROUP BY c_nationkey
 """)
+
+
+# ---- Solr local-params QParser dialects ------------------------------------
+
+def _solr_collapse_qp(spark, sf):
+    """{!collapse field=lang} over a scored query (CollapsingQParser
+    Plugin.java): best doc per lang among docs matching
+    'hash AND join', sql-mode scores quantized."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    attrs = (_load(spark, sf, "documents")
+             .select(F.col("doc_id").alias("docid"), "lang"))
+    out = solr_qparser(s, "{!collapse field=lang}hash AND join", attrs)
+    return out.select(F.col("docid").alias("doc_id"),
+                      F.floor(F.col("score") * Q).cast("long")
+                      .alias("score_q"))
+
+
+_register("solr_collapse_qp", _solr_collapse_qp, f"""
+WITH {FT_BASE},
+{_ft_scored(['hash', 'join'])},
+m AS (
+  SELECT a.doc_id, a.s + b.s AS score
+  FROM (SELECT doc_id, s FROM scored WHERE term='hash') a
+  JOIN (SELECT doc_id, s FROM scored WHERE term='join') b USING (doc_id)
+),
+r AS (
+  SELECT m.doc_id, m.score, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY m.score DESC, m.doc_id) AS rn
+  FROM m JOIN documents d USING (doc_id)
+)
+SELECT doc_id, CAST(floor(score * 1000000) AS BIGINT) AS score_q
+FROM r WHERE rn = 1
+""")
+
+
+def _solr_join_qp(spark, sf):
+    """{!join from=source to=source} (JoinQParserPlugin.java): docs
+    sharing a source with any doc matching the inner query."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    attrs = (_load(spark, sf, "documents")
+             .select(F.col("doc_id").alias("docid"), "source"))
+    out = solr_qparser(s, '{!join from=source to=source}"hash join"', attrs)
+    return out.select(F.col("docid").alias("doc_id")).orderBy("doc_id")
+
+
+_register("solr_join_qp", _solr_join_qp, f"""
+WITH {FT_BASE},
+ph AS (
+  SELECT DISTINCT p1.doc_id
+  FROM (SELECT doc_id, pos FROM tokf WHERE term='hash') p1
+  JOIN (SELECT doc_id, pos FROM tokf WHERE term='join') p2
+    ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+),
+srcs AS (SELECT DISTINCT d.source FROM documents d JOIN ph USING (doc_id))
+SELECT DISTINCT d.doc_id FROM documents d JOIN srcs USING (source)
+ORDER BY doc_id
+""")

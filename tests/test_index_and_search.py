@@ -451,3 +451,16 @@ def test_sql_stream_partitioned_equals_oneshot(spark, tmp_path_factory):
     part = sorted(tuple(r) for r in sql_stream_partitioned(
         spark, db, "SELECT * FROM t", "id", 0, 999, 8).collect())
     assert one == part and len(one) == 1000
+
+
+def test_parse_local_params():
+    from lucene_solr_spark.search.solrq import parse_local_params
+
+    assert parse_local_params('{!term f=text v=hash}') == (
+        "term", {"f": "text", "v": "hash"}, "")
+    assert parse_local_params('{!join from=a to=b}x AND y') == (
+        "join", {"from": "a", "to": "b"}, "x AND y")
+    name, p, rest = parse_local_params('plain query')
+    assert name is None and rest == 'plain query'
+    assert parse_local_params('{!collapse field="la ng"}q')[1] == {
+        "field": "la ng"}

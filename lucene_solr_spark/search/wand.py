@@ -104,6 +104,21 @@ def _block_bounds(bm25: BM25, w, ep) -> np.ndarray:
     return base
 
 
+def _decode_block_cached(ep, j: int):
+    """decode_nth_block through the worker-global decoded-array LRU
+    (enabled when the posting carries a cache_key — set by
+    _grouped_postings; arrays are shared READ-ONLY, the kernel only
+    slices them)."""
+    ck = getattr(ep, "cache_key", None)
+    if ck is None:
+        return decode_nth_block(ep, j)
+    hit = _lru_get(_DECODED_CACHE, (ck, j))
+    if hit is None:
+        hit = decode_nth_block(ep, j)
+        _lru_put(_DECODED_CACHE, (ck, j), hit, _DECODED_CACHE_BLOCKS)
+    return hit
+
+
 def wand_topk(
     postings: dict[str, EncodedPosting],
     weights: dict[str, np.float32],
@@ -153,7 +168,7 @@ def wand_topk(
             # needed — bound it by scanning the tail once here (cheap:
             # <128 vints) via decode_nth_block on the tail.
             if ep.has_tail:
-                tdocs, _ = decode_nth_block(ep, ep.n_full_blocks)
+                tdocs, _ = _decode_block_cached(ep, ep.n_full_blocks)
                 last = int(tdocs[-1])
             else:
                 last = int(ep.skip_last_doc[-1])
@@ -242,7 +257,7 @@ def wand_topk(
                     continue
                 key = (ti, j)
                 if key not in decoded:
-                    decoded[key] = decode_nth_block(eps[ti], j)
+                    decoded[key] = _decode_block_cached(eps[ti], j)
                     st.blocks_decoded += 1
                 docs_j = decoded[key][0]
                 a = np.searchsorted(docs_j, lo, side="right")
@@ -262,7 +277,7 @@ def wand_topk(
                 continue
             key = (ti, j)
             if key not in decoded:
-                decoded[key] = decode_nth_block(eps[ti], j)
+                decoded[key] = _decode_block_cached(eps[ti], j)
                 st.blocks_decoded += 1
             docs_j, tfs_j = decoded[key]
             a = np.searchsorted(docs_j, lo, side="right")
@@ -346,6 +361,11 @@ _PAYLOAD_CACHE: "_OD[tuple, tuple[bytes, bytes]]" = _OD()
 _PAYLOAD_CACHE_CELLS = int(_os.environ.get("LSS_PAYLOAD_CACHE_CELLS", "4096"))
 _NORMS_CACHE: "_OD[tuple, tuple]" = _OD()
 _NORMS_CACHE_MAX = int(_os.environ.get("LSS_NORMS_CACHE_SEGS", "64"))
+# decoded (docids, tfs) block arrays — ~2KB per full block; shared
+# read-only (the kernel only slices them)
+_DECODED_CACHE: "_OD[tuple, tuple]" = _OD()
+_DECODED_CACHE_BLOCKS = int(_os.environ.get("LSS_DECODED_CACHE_BLOCKS",
+                                            "16384"))
 
 
 def _lru_get(cache: "_OD", key):
@@ -463,8 +483,12 @@ def _grouped_postings(idx_path: str, seg_id: int,
             if len(rows) == 1 and not _is_singleton(rows[0])]
     if bulk:
         _prefetch_payloads(idx_path, seg_id, bulk, fetch.cache)
-    return {t: GroupedPosting(rows, lambda g, t=t: fetch(t, g))
-            for t, rows in rows_by_term.items()}
+    out: dict[str, GroupedPosting] = {}
+    for t, rows in rows_by_term.items():
+        gp = GroupedPosting(rows, lambda g, t=t: fetch(t, g))
+        gp.cache_key = (idx_path, seg_id, t)
+        out[t] = gp
+    return out
 
 
 def _load_seg_norms(idx_path: str, seg_id: int) -> tuple[np.ndarray, int]:

@@ -2437,3 +2437,34 @@ srcs AS (SELECT DISTINCT d.source FROM documents d JOIN ph USING (doc_id))
 SELECT DISTINCT d.doc_id FROM documents d JOIN srcs USING (source)
 ORDER BY doc_id
 """)
+
+
+def _geo_polygon(spark, sf):
+    """Convex-polygon containment (planar-convex subset of
+    LatLonPoint.newPolygonQuery) over the derived coordinates."""
+    from lucene_solr_spark.operators.spatial import convex_polygon_query
+
+    g = _geo_frame(spark, sf)
+    # CCW quadrilateral roughly over western europe
+    verts = [(35.0, -12.0), (35.0, 25.0), (60.0, 30.0), (60.0, -15.0)]
+    return (convex_polygon_query(g, verts)
+            .select("c_custkey").orderBy("c_custkey"))
+
+
+def _poly_sql(verts):
+    conds = []
+    n = len(verts)
+    for i in range(n):
+        a_lat, a_lon = verts[i]
+        b_lat, b_lon = verts[(i + 1) % n]
+        conds.append(
+            f"(({b_lon} - {a_lon}) * ({_GEO_LAT} - {a_lat})"
+            f" - ({b_lat} - {a_lat}) * ({_GEO_LON} - {a_lon})) >= 0")
+    return " AND ".join(conds)
+
+
+_register("geo_polygon", _geo_polygon, f"""
+SELECT c_custkey FROM customer
+WHERE {_poly_sql([(35.0, -12.0), (35.0, 25.0), (60.0, 30.0), (60.0, -15.0)])}
+ORDER BY c_custkey
+""")

@@ -100,3 +100,28 @@ def nearest(df: DataFrame, lat: float, lon: float, k: int,
     w = Window.orderBy(*order)
     return (scored.orderBy(*order).limit(k)
             .withColumn("rank", F.row_number().over(w).cast("long")))
+
+
+def convex_polygon_query(df: DataFrame, vertices: list[tuple[float, float]],
+                         lat_col: str = "lat",
+                         lon_col: str = "lon") -> DataFrame:
+    """Convex-polygon containment (the planar-convex subset of
+    LatLonPoint.newPolygonQuery — geodesic general polygons with holes
+    stay out of scope): vertices as (lat, lon) in counter-clockwise
+    order; a point is inside iff every edge's cross product
+    (b-a) x (p-a) >= 0. Pure arithmetic inequalities — they reach the
+    scan, and the same expressions run in any SQL engine."""
+    if len(vertices) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    cond = None
+    n = len(vertices)
+    for i in range(n):
+        a_lat, a_lon = vertices[i]
+        b_lat, b_lon = vertices[(i + 1) % n]
+        cross = ((F.lit(b_lon - a_lon))
+                 * (F.col(lat_col) - F.lit(a_lat))
+                 - (F.lit(b_lat - a_lat))
+                 * (F.col(lon_col) - F.lit(a_lon)))
+        c = cross >= 0
+        cond = c if cond is None else (cond & c)
+    return df.where(cond)

@@ -137,6 +137,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         reduce(lambda a, b: a.unionByName(b), frames).collect()
 
     times["batched_all"] = _min_of(batched, QUERY_TRIALS)
+    # search_many: ONE shared scored-terms frame for the whole batch
+    times["batched_many"] = _min_of(
+        lambda: s.search_many(QSET, k=10).collect(), QUERY_TRIALS)
     return times
 
 

@@ -942,6 +942,40 @@ class Searcher:
         w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid")))
         return top.withColumn("rank", w)
 
+    def search_many(self, queries: dict[str, A.Query | str],
+                    k: int = 10) -> DataFrame:
+        """Batched serving for the flat engine: ONE postings scan
+        scores the union of every query's terms (persisted), then each
+        query's operator tree composes over the shared frame — the
+        scan+score work is paid once per batch instead of once per
+        query (the scatter-gather request-window shape; WandSearcher
+        .search_many is the segment-store analogue). Returns
+        (qid, docid, score, rank <= k). The shared frame stays
+        persisted for reuse until the next search_many call."""
+        self._check_snapshot()
+        parsed: dict[str, A.Query] = {}
+        for qid, q in queries.items():
+            if isinstance(q, str):
+                q = A.parse_query(q)
+            parsed[qid] = q.rewrite()
+        all_terms = sorted(set().union(
+            *(_collect_terms(q) for q in parsed.values())) or set())
+        prev = getattr(self, "_batch_scored", None)
+        if prev is not None:
+            prev.unpersist()
+        scored = None
+        if all_terms:
+            scored = self._scored_terms(all_terms).persist()
+            self._batch_scored = scored
+        frames = []
+        for qid, q in parsed.items():
+            frames.append(self._eval(q, scored)
+                          .select(F.lit(qid).alias("qid"), "docid", "score"))
+        u = reduce(lambda a, b: a.unionByName(b), frames)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (u.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k))
+
     def search_quantized(self, q: A.Query | str, k: int = 10) -> DataFrame:
         """sql-mode top-k with cross-engine-stable integer scores:
         score_q = floor(score * 1e6); rank by (score_q desc, docid asc)

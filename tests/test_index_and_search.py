@@ -464,3 +464,25 @@ def test_parse_local_params():
     assert name is None and rest == 'plain query'
     assert parse_local_params('{!collapse field="la ng"}q')[1] == {
         "field": "la ng"}
+
+
+def test_flat_search_many_equals_singles(tiny_index):
+    """Flat-engine batched serving: search_many (one shared
+    scored-terms frame) returns exactly the per-query search()
+    results, bit-equal."""
+    import numpy as np
+
+    from lucene_solr_spark.search.executor import Searcher
+
+    s = Searcher(tiny_index, mode="lucene")
+    qs = {"a": "t000001", "b": "t000050 AND t000100",
+          "c": "t000050 OR t000200", "d": '"t000000 t000001"',
+          "e": "t000001 NOT t000050"}
+    many = {}
+    for r in s.search_many(qs, k=10).collect():
+        many.setdefault(r["qid"], []).append(
+            (r["rank"], r["docid"], np.float32(r["score"])))
+    for qid, q in qs.items():
+        single = [(r["rank"], r["docid"], np.float32(r["score"]))
+                  for r in s.search(q, k=10).orderBy("rank").collect()]
+        assert sorted(many.get(qid, [])) == sorted(single), qid

@@ -486,3 +486,26 @@ def test_flat_search_many_equals_singles(tiny_index):
         single = [(r["rank"], r["docid"], np.float32(r["score"]))
                   for r in s.search(q, k=10).orderBy("rank").collect()]
         assert sorted(many.get(qid, [])) == sorted(single), qid
+
+
+def test_term_automaton_random_paths_equal_phrases(tiny_index):
+    """Property: a single-path automaton over terms t0..tn IS the
+    exact phrase "t0 ... tn" (TermAutomatonQuery generalizes
+    PhraseQuery); random paths over the vocabulary must score
+    bit-equal to PhraseQ."""
+    import numpy as np
+
+    from lucene_solr_spark.search import ast as A
+    from lucene_solr_spark.search.executor import Searcher
+
+    rng = np.random.default_rng(5)
+    s = Searcher(tiny_index, mode="lucene")
+    for _ in range(6):
+        n = int(rng.integers(2, 4))
+        terms = [f"t{int(rng.integers(0, 200)):06d}" for _ in range(n)]
+        transitions = tuple((i, i + 1, t) for i, t in enumerate(terms))
+        auto = {r["docid"]: np.float32(r["score"]) for r in s.matches(
+            A.TermAutomatonQ(transitions, (n,))).collect()}
+        phrase = {r["docid"]: np.float32(r["score"]) for r in s.matches(
+            A.PhraseQ(tuple(terms))).collect()}
+        assert auto == phrase, terms

@@ -267,3 +267,53 @@ def lsh_topk_scan(embeddings: DataFrame, query_vec: list[float], dim: int,
 
 # back-compat alias (see ivf_topk above): prefer lsh_topk_indexed
 lsh_topk = lsh_topk_scan
+
+
+# --- int8 scalar quantization (the FAISS SQ8 baseline) ----------------------
+
+def sq8_codes(vec: Column) -> tuple[Column, Column]:
+    """Symmetric int8 scalar quantization: scale = max|x|, code_i =
+    floor(x_i * 127 / scale) — the SQ8 storage layout (4x smaller
+    than float32, so a 100 TB float corpus scans as 25 TB). Returns
+    (codes array<long>, scale). All-double arithmetic in a fixed op
+    order so any engine derives identical codes."""
+    mx = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    codes = F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(127.0) / mx)
+        .cast("long"))
+    return codes, mx
+
+
+def sq8_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Quantized top-k: rank by the INTEGER dot product of int8 codes
+    (query quantized the same way) — ranking is exact integer
+    arithmetic, so it is bit-stable across engines with no float
+    quantization step at all. Zero vectors (scale 0) are excluded, as
+    they have no direction. Returns (vec_id, dot_q, rank).
+
+    The standard serving recipe composes this as stage 1 of
+    SQ8-then-rerank: take top-C here (C ~ 5-10x k), then re-rank the
+    survivors by exact float cosine (brute_force_topk on the C rows).
+    """
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qm = float(np.abs(q).max())
+    if qm == 0.0:
+        raise ValueError("zero query vector")
+    qc = np.floor(q * 127.0 / qm)
+    qlit = F.array(*[F.lit(int(v)) for v in qc])
+    codes, mx = sq8_codes(F.col(vec_col))
+    enc = embeddings.where(
+        F.array_max(F.transform(F.col(vec_col),
+                                lambda x: F.abs(x.cast("double")))) > 0
+    ).select(F.col(id_col), codes.alias("_c"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_c"), qlit, lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    scored = enc.select(id_col, dot.alias("dot_q"))
+    order = [F.desc("dot_q"), F.asc(id_col)]
+    return (scored.orderBy(*order).limit(k)
+            .withColumn("rank", F.row_number().over(Window.orderBy(*order))
+                        .cast("long")))

@@ -1027,13 +1027,13 @@ DRIVER_PRIORITY = [
     "shortest_path_paths", "ft_multiphrase_rpt", "suggest_analyzing",
     "ft_qparser_mix", "index_sorted_topk", "term_automaton",
     "geo_box", "geo_distance", "geo_nearest", "ft_func_breadth",
-    "ft_whitespace_term", "jdbc_stream", "solr_collapse_qp", "solr_join_qp", "geo_polygon", "ann_sq8",
+    "ft_whitespace_term", "jdbc_stream", "solr_collapse_qp", "solr_join_qp", "geo_polygon", "ann_sq8", "ann_sq8_rerank",
     # (c) flagship: segment index + block-max WAND (float32-exact oracles)
     "seg_bm25_wand", "seg_bm25_and", "seg_bm25_msm", "seg_bm25_not",
     "seg_and_match", "seg_or_match", "seg_phrase",
     # (d) regression sample across operator families
     "hashjoin_stream", "rollup_stream", "stats_stream", "events_hourly",
-    "synonym", "req_opt", "suggest_prefix", "spellcheck", "more_like_this",
+    "synonym", "req_opt", "spellcheck", "more_like_this",
     "highlight",
     "blockjoin_parent", "point_range",
     "knn_classify", "ft_phrase_sloppy",

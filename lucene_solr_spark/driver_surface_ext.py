@@ -2508,3 +2508,55 @@ SELECT vec_id, dot_q,
        row_number() OVER (ORDER BY dot_q DESC, vec_id) AS rank
 FROM sc QUALIFY rank <= 10
 """)
+
+
+def _ann_sq8_rerank(spark, sf):
+    """Two-stage quantized serving (the standard SQ recipe): stage 1
+    takes top-50 candidates by int8 integer dot (cheap 4x-smaller
+    scan); stage 2 re-ranks the survivors by EXACT float cosine —
+    recall of the exact metric at quantized-scan cost."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qrow = emb.where(F.col("vec_id") == 0).first()
+    qv = list(qrow["embedding"])
+    cand = SIM.sq8_topk(emb.where(F.col("vec_id") != 0), qv, k=50)
+    survivors = emb.join(cand.select("vec_id"), "vec_id")
+    return SIM.brute_force_topk(survivors, qv, k=10)
+
+
+_register("ann_sq8_rerank", _ann_sq8_rerank, """
+WITH q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+qm AS (SELECT list_max(list_transform(v, y -> abs(y::DOUBLE))) AS m FROM q),
+qc AS (
+  SELECT list_transform(v, x -> floor(x::DOUBLE * 127.0 / qm.m)) AS c
+  FROM q, qm
+),
+enc AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 127.0 / mx)) AS c
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding, y -> abs(y::DOUBLE))) AS mx
+        FROM embeddings WHERE vec_id <> 0)
+  WHERE mx > 0
+),
+stage1 AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY CAST(list_dot_product(c, (SELECT c FROM qc)) AS BIGINT)
+                    DESC, vec_id) AS r1
+  FROM enc QUALIFY r1 <= 50
+),
+sc AS (
+  SELECT s.vec_id,
+         CAST(floor(
+           list_sum(list_transform(range(1, len(s.embedding)+1),
+                    i -> s.embedding[i]::DOUBLE * q.v[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(s.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.v, x -> x::DOUBLE * x::DOUBLE))))
+           * 1000000) AS BIGINT) AS cos_q
+  FROM stage1 s CROSS JOIN q
+)
+SELECT vec_id, cos_q,
+       row_number() OVER (ORDER BY cos_q DESC, vec_id) AS rank
+FROM sc QUALIFY rank <= 10
+""")

@@ -2326,9 +2326,16 @@ def _ft_whitespace_term(spark, sf):
         F.col("docid").alias("doc_id"), F.col("tf").cast("long").alias("tf"))
 
 
-_register("ft_whitespace_term", _ft_whitespace_term, """
+# the oracle mirrors the ANALYZER contract, not the fixture shape:
+# Python str.split() = split on any whitespace RUN, no empty tokens;
+# tokens longer than 255 chars are dropped (WhitespaceTokenizer's
+# maxTokenLen) — regexp split + the same filters.
+_register("ft_whitespace_term", _ft_whitespace_term, r"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> len(x) > 0 AND len(x) <= 255)) AS term
+  FROM documents
 )
 SELECT doc_id, count(*)::BIGINT AS tf
 FROM tok WHERE term = 'the' GROUP BY doc_id

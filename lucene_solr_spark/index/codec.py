@@ -670,11 +670,13 @@ class GroupedPosting:
     prunes never cost payload IO (nor shuffle transfer).
     """
 
-    def __init__(self, rows: list[dict], fetch):
+    def __init__(self, rows: list[dict], fetch, pos_fetch=None):
         rows = sorted(rows, key=lambda r: int(r["grp_id"]))
         self._rows = rows
         self._fetch = fetch
+        self.pos_fetch = pos_fetch      # grp_id -> pos_enc bytes (lazy)
         self._eps: dict[int, EncodedPosting] = {}
+        self._pos_cache: dict[int, tuple] = {}
         one = rows[0]
         sd = one["singleton_docid"]
         self.singleton_docid = (None if sd is None

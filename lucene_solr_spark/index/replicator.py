@@ -52,7 +52,15 @@ def replicate(src: SegmentIndex, dst_path: str) -> dict:
     fs, jvm = _hadoop_fs(spark, src.path)
     conf = spark._jsc.hadoopConfiguration()
 
-    live = src.live_segments()
+    # Freeze ONE revision up front (IndexRevision's frozen file list):
+    # both the copy list and the manifest committed at the replica
+    # derive from this single collected snapshot. Reading the live
+    # manifest twice (live_segments() for the copy list, src.meta at
+    # commit time) would race a concurrent committer — the replica's
+    # manifest could reference segment dirs that were never copied.
+    meta_rows = src.meta.collect()
+    meta_schema = src.meta.schema
+    live = sorted({int(r["seg_id"]) for r in meta_rows})
     dst_meta = read_segments_meta(spark, dst_path)
     have = (set() if dst_meta is None else
             {int(r["seg_id"]) for r in dst_meta.select("seg_id").collect()})
@@ -68,8 +76,10 @@ def replicate(src: SegmentIndex, dst_path: str) -> dict:
                       f"{dst_path}/{sub}/seg_id={sid}")
         copied.append(sid)
 
-    # commit the SOURCE manifest as the replica's next generation —
-    # the revision flip; readers on the replica see old-or-new, never
-    # a mix (generational manifest + _SUCCESS)
-    commit_segments_meta(src.meta, dst_path)
+    # commit the FROZEN revision's manifest as the replica's next
+    # generation — the revision flip; readers on the replica see
+    # old-or-new, never a mix (generational manifest + _SUCCESS), and
+    # never a manifest row whose segment dir wasn't copied above.
+    commit_segments_meta(spark.createDataFrame(meta_rows, meta_schema),
+                         dst_path)
     return {"copied": copied, "skipped": skipped}

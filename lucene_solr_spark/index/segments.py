@@ -888,6 +888,28 @@ def write_docvalues(si: SegmentIndex, source: DataFrame, key_col: str,
         F.col(key_col).cast("string").alias("url"),
         *[F.col(c).cast("double").alias(c) for c in cols])
     dv = ids.join(src, "url").select("seg_id", "docid", *cols)
+    # Validate BEFORE writing (one cheap aggregate): an inner join
+    # silently drops index docs missing from the source (no sidecar
+    # row -> later CheckIndexError / wrong sort results) and fans out
+    # duplicate source keys into duplicate (seg_id, docid) rows. Fail
+    # loudly at write time, naming the offending keys.
+    n_docs = int(si.meta.agg(F.sum("doc_count")).collect()[0][0])
+    st = dv.agg(F.count(F.lit(1)).alias("n"),
+                F.count_distinct("seg_id", "docid").alias("nd")).collect()[0]
+    if int(st["nd"]) != int(st["n"]):
+        dups = [r["url"] for r in
+                src.groupBy("url").count().where(F.col("count") > 1)
+                .select("url").limit(10).collect()]
+        raise ValueError(
+            f"write_docvalues: source has duplicate {key_col} keys "
+            f"(would fan out into duplicate docvalues rows); e.g. {dups}")
+    if int(st["n"]) != n_docs:
+        missing = [r["url"] for r in
+                   ids.join(src.select("url"), "url", "left_anti")
+                   .select("url").limit(10).collect()]
+        raise ValueError(
+            f"write_docvalues: source covers {int(st['n'])} of {n_docs} "
+            f"index docs; missing {key_col} keys e.g. {missing}")
     par = si.spark.sparkContext.defaultParallelism
     (dv.repartition(par, "seg_id", "docid")
        .sortWithinPartitions("seg_id", "docid")

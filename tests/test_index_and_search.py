@@ -448,9 +448,18 @@ def test_sql_stream_partitioned_equals_oneshot(spark, tmp_path_factory):
     con.close()
     one = sorted(tuple(r) for r in sql_stream(
         spark, db, "SELECT * FROM t").collect())
-    part = sorted(tuple(r) for r in sql_stream_partitioned(
-        spark, db, "SELECT * FROM t", "id", 0, 999, 8).collect())
+    pdf = sql_stream_partitioned(spark, db, "SELECT * FROM t", "id", 0, 999, 8)
+    part = sorted(tuple(r) for r in pdf.collect())
     assert one == part and len(one) == 1000
+    # stripe fetches run in EXECUTOR tasks (mapInPandas over the
+    # stripe frame), not as driver-side createDataFrame materialization
+    plan = pdf._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    # JDBC bounds contract: lower/upper set stripe widths only — rows
+    # OUTSIDE the bounds still land in the unbounded first/last stripe
+    narrow = sql_stream_partitioned(
+        spark, db, "SELECT * FROM t", "id", 300, 700, 4)
+    assert sorted(tuple(r) for r in narrow.collect()) == one
 
 
 def test_parse_local_params():

@@ -42,7 +42,8 @@ QSET = {
     "q_phrase": '"hash join"',
 }
 
-# WAND path takes flat boolean shapes only (phrase falls back to flat)
+# WAND path: flat boolean shapes + phrases (the two-phase kernel;
+# round 4 — phrases no longer fall back to the flat full decode)
 WAND_QSET = {
     # zipf head/mid/tail of the synthetic webtext vocabulary
     "w_term_high": "t000000",
@@ -52,6 +53,7 @@ WAND_QSET = {
     "w_and3": "t000000 AND t000010 AND t000050",
     "w_or2": "t000001 OR t000002",
     "w_or3": "t000000 OR t000111 OR t004999",
+    "w_phrase": '"t000001 t000002"',
 }
 
 

@@ -963,18 +963,18 @@ agg AS (
 
 
 def _seg_phrase(spark, sf):
-    """Exact phrase answered from the segment store's .pos stream
-    (decode restricted to the phrase terms): integer pfreq per doc."""
+    """Exact phrase via the segment-native TWO-PHASE kernel
+    (wand.phrase_topk — ConjunctionDISI-style docid intersection over
+    block metadata, positions fetched lazily per group only for
+    intersection docs; search/ExactPhraseScorer.java:62,123): integer
+    pfreq per matching doc, NO as_flat_tables full decode
+    (plan-asserted in tests/test_wand.py)."""
+    from lucene_solr_spark.search.wand import WandSearcher
+
     si = _seg_index(spark, sf)
-    flat = si.as_flat_tables(with_positions=True, terms=["hash", "join"])
-    p1 = flat.postings.where(F.col("term") == "hash").select(
-        "docid", F.explode("positions").alias("pos"))
-    p2 = flat.postings.where(F.col("term") == "join").select(
-        "docid", F.explode("positions").alias("pos2"))
-    return (p1.join(p2, (p1.docid == p2.docid) & (p2.pos2 == p1.pos + 1))
-            .groupBy(p1.docid)
-            .agg(F.count(F.lit(1)).alias("pfreq"))
-            .select(F.col("docid").alias("doc_id"), "pfreq"))
+    out = WandSearcher(si).phrase_freqs(["hash", "join"])
+    return out.select(F.col("docid").alias("doc_id"),
+                      F.col("pfreq").cast("long").alias("pfreq"))
 
 
 _register("seg_phrase", _seg_phrase, f"""
@@ -985,6 +985,62 @@ JOIN (SELECT doc_id, pos FROM tokf WHERE term='join') p2
   ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
 GROUP BY p1.doc_id
 """)
+
+
+def _f32_phrase_sql(t1: str, t2: str, k: int = 10) -> str:
+    """Float32-exact BM25 phrase top-k oracle: pfreq from the position
+    join, weight = f32(f32(idf(t1)+idf(t2)) * (k1+1)), score =
+    f32(w * pf / (pf + cache)) — the exact op order of
+    WandSearcher._search_phrase / the flat _eval_phrase."""
+    from lucene_solr_spark.oracle_f32 import NT_SQL, K1P1_F32, ONE_MINUS_B_F32
+
+    return f"""
+WITH {FT_BASE},
+nt(lo, hi, v) AS {NT_SQL},
+favg AS (SELECT (sttf / n)::FLOAT AS avgdl FROM cstats),
+fcache AS (
+  SELECT dl.doc_id,
+         (1.2::FLOAT * ({ONE_MINUS_B_F32}
+            + ((0.75::FLOAT * nt.v::FLOAT) / fa.avgdl))) AS c
+  FROM doclen dl JOIN nt ON dl.doclen BETWEEN nt.lo AND nt.hi
+  CROSS JOIN favg fa
+),
+ph AS (
+  SELECT p1.doc_id, count(*)::BIGINT AS pfreq
+  FROM (SELECT doc_id, pos FROM tokf WHERE term='{t1}') p1
+  JOIN (SELECT doc_id, pos FROM tokf WHERE term='{t2}') p2
+    ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+  GROUP BY p1.doc_id
+),
+fw AS (
+  SELECT ((1.0::FLOAT * (
+      (SELECT ln(1+(cs.n - ts.df + 0.5)/(ts.df + 0.5))
+       FROM tstats ts, cstats cs WHERE ts.term='{t1}')
+    + (SELECT ln(1+(cs.n - ts.df + 0.5)/(ts.df + 0.5))
+       FROM tstats ts, cstats cs WHERE ts.term='{t2}'))::FLOAT)
+    * {K1P1_F32}) AS w
+),
+agg AS (
+  SELECT ph.doc_id,
+         CAST(floor(((fw.w * ph.pfreq::FLOAT)
+                     / (ph.pfreq::FLOAT + fc.c))::DOUBLE * 1000000)
+              AS BIGINT) AS score_q
+  FROM ph JOIN fcache fc USING (doc_id) CROSS JOIN fw
+)
+{_topk_sql("SELECT * FROM agg", k)}
+"""
+
+
+def _seg_phrase_hot(spark, sf):
+    """Zipf-head phrase ("table hash": both terms in ~80% of docs)
+    ranked top-10 through the two-phase kernel with theta pruning,
+    float32-exact scores vs the bit-exact f32 oracle — the query shape
+    where the old full-decode fallback was O(df_head) and the kernel
+    is O(intersection)."""
+    return _wand_quantized(spark, sf, A.PhraseQ(("table", "hash")))
+
+
+_register("seg_phrase_hot", _seg_phrase_hot, _f32_phrase_sql("table", "hash"))
 
 
 # ---- §2.3 CommonTermsQuery / BoostingQuery, §2.4 graph, cube, sessions ----

@@ -336,6 +336,223 @@ def wand_topk(
     return top_docs, top_scores
 
 
+def _positions_for(ep, docids: np.ndarray) -> list[np.ndarray]:
+    """positions_for dispatch: GroupedPosting fetches its .pos payload
+    lazily per group; a plain EncodedPosting (kernel-level tests)
+    decodes its own pos_enc once and slices."""
+    if hasattr(ep, "positions_for"):
+        return ep.positions_for(docids)
+    from lucene_solr_spark.index.codec import decode_posting, read_vints_arr
+
+    cached = getattr(ep, "_pos_decoded", None)
+    if cached is None:
+        docs, tfs = decode_posting(ep)
+        if not ep.pos_enc:
+            raise ValueError("posting has no positions")
+        vals = read_vints_arr(ep.pos_enc)
+        starts = np.concatenate(([0], np.cumsum(tfs)))
+        cached = (docs, tfs, vals, starts)
+        ep._pos_decoded = cached
+    docs, tfs, vals, starts = cached
+    idxs = np.searchsorted(docs, np.asarray(docids, dtype=np.int64))
+    out = []
+    for ii in idxs:
+        ii = int(ii)
+        s, t = int(starts[ii]), int(tfs[ii])
+        out.append(np.cumsum(vals[s:s + t]))
+    return out
+
+
+def phrase_topk(
+    terms: list[str],
+    postings: dict[str, "object"],
+    weight: np.float32,
+    norms: np.ndarray,
+    doc_base: int,
+    bm25: BM25,
+    k: int,
+    slop: int = 0,
+    stats: WandStats | None = None,
+    collect_freqs: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Segment-native two-phase phrase kernel — the reference's
+    ExactPhraseScorer discipline (search/ExactPhraseScorer.java:62,123:
+    ConjunctionDISI.intersectIterators drives docids, phraseFreq runs
+    only on the intersection, behind search/TwoPhaseIterator.java)
+    instead of a full posting decode:
+
+    phase 1 (approximation): interval sweep over the merged block grid
+    of the phrase's DISTINCT terms; an interval is live only where ALL
+    terms have an active block. Surviving intervals decode blocks
+    cheapest-term-first and intersect docids, so a (rare, zipf-head)
+    phrase does O(df_rare) work — the head term's blocks are decoded
+    only in intervals the rare term reaches, and its .pos stream only
+    for groups holding intersection docs.
+
+    phase 2 (verify): positions are fetched lazily per GROUP for
+    intersection docs only (GroupedPosting.positions_for), rebased per
+    slot, and matched — vectorized intersect for slop=0, the reference
+    SloppyPhraseScorer traversal for slop>0.
+
+    Pruning (skipped when ``collect_freqs``): per-interval score bound
+    = f32(weight, tf_bound, min-over-terms block-max norm byte) with
+    tf_bound = min-over-terms block-max tf for slop=0 (each phrase
+    occurrence consumes one occurrence of every slot) or the
+    slot-multiplicity-weighted sum for slop>0 (sloppy freq adds <= 1
+    per PhrasePositions advance; advances <= sum of slot tfs). The
+    bound dominates any in-interval doc's score (score is monotone in
+    tf and norm byte; float32 rounding is monotone), so skipped
+    intervals cannot beat theta — the block-max WAND safety argument.
+
+    weight: f32(boost * f32(sum idf over the SLOT array) * (k1+1)) —
+    the flat executor's phrase weight, so scores duel bit-equal.
+
+    Returns top-k (docids, float32 scores) by (score desc, docid asc);
+    with ``collect_freqs`` returns ALL matches' (docids, float64
+    phrase freqs) and applies no theta pruning.
+    """
+    uniq = sorted(set(terms))
+    m = len(uniq)
+    if m == 0 or any(t not in postings for t in uniq):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    eps = [postings[t] for t in uniq]
+    mult = {t: terms.count(t) for t in uniq}
+
+    last_docs: list[np.ndarray] = []
+    for t, ep in zip(uniq, eps):
+        if ep.singleton_docid is not None:
+            last = ep.singleton_docid
+        elif getattr(ep, "last_doc", -1) >= 0:
+            last = int(ep.last_doc)
+        elif ep.has_tail:
+            last = int(_decode_block_cached(ep, ep.n_full_blocks)[0][-1])
+        else:
+            last = int(ep.skip_last_doc[-1])
+        last_docs.append(block_last_docs(ep, last))
+
+    bounds = np.unique(np.concatenate(last_docs))
+    n_int = len(bounds)
+    jmat = np.empty((m, n_int), dtype=np.int64)
+    active = np.zeros(n_int, dtype=np.int32)
+    tf_bound = (np.full(n_int, np.iinfo(np.int32).max, dtype=np.int64)
+                if slop == 0 else np.zeros(n_int, dtype=np.int64))
+    nb_min = np.full(n_int, 255, dtype=np.int64)
+    for ti in range(m):
+        bm_tf = np.asarray(eps[ti].blockmax_tf, dtype=np.int64)
+        bm_nb = np.asarray(eps[ti].blockmax_norm, dtype=np.int64)
+        j = np.searchsorted(last_docs[ti], bounds, side="left")
+        jmat[ti] = j
+        ok = j < len(last_docs[ti])
+        active[ok] += 1
+        if slop == 0:
+            tf_bound[ok] = np.minimum(tf_bound[ok], bm_tf[j[ok]])
+        else:
+            tf_bound[ok] += mult[uniq[ti]] * bm_tf[j[ok]]
+        nb_min[ok] = np.minimum(nb_min[ok], bm_nb[j[ok]])
+
+    st = stats if stats is not None else WandStats()
+    st.blocks_total += sum(len(x) for x in last_docs)
+    st.intervals_total += n_int
+
+    ub32 = bm25.score(np.full(n_int, np.float32(weight), np.float32),
+                      tf_bound, nb_min)
+    cand_idx = np.nonzero(active == m)[0]
+    by_cost = sorted(range(m), key=lambda ti: eps[ti].ndocs)
+    decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    groups = [[i for i, t in enumerate(terms) if t == d]
+              for d in uniq if mult[d] > 1] or None
+    if slop > 0:
+        from lucene_solr_spark.search.executor import _sloppy_phrase_freq
+
+    top_docs = np.empty(0, np.int64)
+    top_scores = np.empty(0, np.float32)
+    theta = np.float32(-np.inf)
+    out_d: list[np.ndarray] = []
+    out_f: list[np.ndarray] = []
+
+    for i in cand_idx:
+        hi = int(bounds[i])
+        lo = int(bounds[i - 1]) if i > 0 else -1
+        full = len(top_scores) >= k
+        if not collect_freqs and full and ub32[i] <= theta:
+            continue
+
+        # phase 1: docid conjunction, cheapest term's block first
+        inter: np.ndarray | None = None
+        for ti in by_cost:
+            j = int(jmat[ti, i])
+            key = (ti, j)
+            if key not in decoded:
+                decoded[key] = _decode_block_cached(eps[ti], j)
+                st.blocks_decoded += 1
+            docs_j = decoded[key][0]
+            a = np.searchsorted(docs_j, lo, side="right")
+            b = np.searchsorted(docs_j, hi, side="right")
+            d = docs_j[a:b]
+            if len(d) == 0:
+                inter = None
+                break
+            inter = d if inter is None else np.intersect1d(
+                inter, d, assume_unique=True)
+            if len(inter) == 0:
+                inter = None
+                break
+        if inter is None or len(inter) == 0:
+            continue
+        st.intervals_scored += 1
+
+        # phase 2: positions verify on the intersection only
+        pos_by_term = {t: _positions_for(postings[t], inter) for t in uniq}
+        nd = len(inter)
+        freqs = np.zeros(nd, dtype=np.float64)
+        if slop == 0:
+            for di in range(nd):
+                base: np.ndarray | None = None
+                for off, t in enumerate(terms):
+                    arr = pos_by_term[t][di] - off
+                    base = arr if base is None else np.intersect1d(
+                        base, arr, assume_unique=True)
+                    if base.size == 0:
+                        break
+                freqs[di] = float(base.size)
+        else:
+            for di in range(nd):
+                rebased = [pos_by_term[t][di] - off
+                           for off, t in enumerate(terms)]
+                freqs[di] = _sloppy_phrase_freq(rebased, slop, groups)
+        mask = freqs > 0
+        if not mask.any():
+            continue
+        cand_d = inter[mask]
+        f = freqs[mask]
+        if collect_freqs:
+            out_d.append(cand_d)
+            out_f.append(f)
+            continue
+
+        nb = norms[cand_d - doc_base]
+        cand_s = bm25.score(
+            np.full(len(cand_d), np.float32(weight), np.float32), f, nb)
+        if full and len(cand_s):
+            keep = cand_s > theta
+            cand_d, cand_s = cand_d[keep], cand_s[keep]
+        if len(cand_d) == 0:
+            continue
+        md = np.concatenate([top_docs, cand_d])
+        ms = np.concatenate([top_scores, cand_s])
+        order = np.lexsort((md, -ms.astype(np.float64)))[:k]
+        top_docs, top_scores = md[order], ms[order]
+        if len(top_scores) >= k:
+            theta = top_scores[-1]
+
+    if collect_freqs:
+        if not out_d:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return np.concatenate(out_d), np.concatenate(out_f)
+    return top_docs, top_scores
+
+
 # --- Spark orchestration ----------------------------------------------------
 
 
@@ -457,6 +674,42 @@ def _make_group_fetcher(idx_path: str, seg_id: int, readahead: int = 4):
     return fetch
 
 
+def _make_pos_fetcher(idx_path: str, seg_id: int, readahead: int = 2):
+    """Lazy .pos payload reader (the .pos stream open of
+    ExactPhraseScorer): per-(term, group) point reads of the pos_enc
+    column only — docs/tfs payloads are NOT re-read, and groups whose
+    docs never reach the phrase's docid intersection cost no IO.
+    Shares the worker-global payload LRU under a "pos"-tagged key."""
+    import pyarrow.parquet as pq
+
+    cache: dict[tuple[str, int], bytes] = {}
+
+    def fetch_pos(term: str, grp: int) -> bytes:
+        key = (term, grp)
+        if key not in cache:
+            hit = _lru_get(_PAYLOAD_CACHE,
+                           (idx_path, seg_id, term, grp, "pos"))
+            if hit is not None:
+                cache[key] = hit
+                return hit
+            t = pq.read_table(
+                f"{idx_path}/postings/seg_id={seg_id}",
+                columns=["term", "grp_id", "pos_enc"],
+                filters=[("term", "==", term), ("grp_id", ">=", grp),
+                         ("grp_id", "<", grp + readahead)])
+            for tm, g, p in zip(t["term"].to_pylist(),
+                                t["grp_id"].to_pylist(),
+                                t["pos_enc"].to_pylist()):
+                blob = p if p is not None else b""
+                cache[(tm, int(g))] = blob
+                _lru_put(_PAYLOAD_CACHE,
+                         (idx_path, seg_id, tm, int(g), "pos"), blob,
+                         _PAYLOAD_CACHE_CELLS)
+        return cache[key]
+
+    return fetch_pos
+
+
 def _is_singleton(row: dict) -> bool:
     sd = row["singleton_docid"]
     return sd is not None and not (isinstance(sd, float) and np.isnan(sd))
@@ -483,9 +736,11 @@ def _grouped_postings(idx_path: str, seg_id: int,
             if len(rows) == 1 and not _is_singleton(rows[0])]
     if bulk:
         _prefetch_payloads(idx_path, seg_id, bulk, fetch.cache)
+    pos_fetch = _make_pos_fetcher(idx_path, seg_id)
     out: dict[str, GroupedPosting] = {}
     for t, rows in rows_by_term.items():
-        gp = GroupedPosting(rows, lambda g, t=t: fetch(t, g))
+        gp = GroupedPosting(rows, lambda g, t=t: fetch(t, g),
+                            pos_fetch=lambda g, t=t: pos_fetch(t, g))
         gp.cache_key = (idx_path, seg_id, t)
         out[t] = gp
     return out
@@ -636,6 +891,9 @@ class WandSearcher:
         if isinstance(q, str):
             q = A.parse_query(q)
         q = q.rewrite()
+        if isinstance(q, A.PhraseQ):
+            # segment-native two-phase phrase path (no full decode)
+            return self._search_phrase(q, k)
         shape = self._flat_terms(q)
         if shape is None:
             # fallback: exhaustive over decoded postings; positions are
@@ -745,6 +1003,75 @@ class WandSearcher:
         top = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("docid"))
         return top.withColumn("rank", F.row_number().over(w))
+
+    def _phrase_plan(self, terms: list[str], slop: int, k: int,
+                     weight: np.float32, collect_freqs: bool) -> DataFrame:
+        """Shared phrase orchestration: ship METADATA-ONLY posting rows
+        of the phrase's distinct terms to one applyInPandas task per
+        segment; the kernel does lazy payload + .pos IO task-side.
+        Schema: (docid, score) for top-k, (docid, pfreq) for freqs."""
+        bm25 = self.bm25
+        k_ = int(k)
+        slop_ = int(slop)
+        idx_path = self.si.path
+        terms_ = list(terms)
+        uniq = sorted(set(terms_))
+
+        def per_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(key[0])
+            norms, doc_base = _load_seg_norms(idx_path, sid)
+            eps = _grouped_postings(idx_path, sid, pdf)
+            if any(t not in eps for t in uniq):
+                cols = {"docid": np.empty(0, np.int64)}
+                cols["pfreq" if collect_freqs else "score"] = (
+                    np.empty(0, np.float64 if collect_freqs else np.float32))
+                return pd.DataFrame(cols)
+            d, v = phrase_topk(terms_, eps, weight, norms, doc_base, bm25,
+                               k=k_, slop=slop_, collect_freqs=collect_freqs)
+            if collect_freqs:
+                return pd.DataFrame({"docid": d, "pfreq": v})
+            return pd.DataFrame({"docid": d, "score": v})
+
+        rows = (self.si.postings
+                .where(F.col("term").isin(uniq))
+                .select(*METADATA_COLS))
+        schema = ("docid long, pfreq double" if collect_freqs
+                  else "docid long, score float")
+        return rows.groupBy("seg_id").applyInPandas(per_segment,
+                                                    schema=schema)
+
+    def _search_phrase(self, q: A.PhraseQ, k: int) -> DataFrame:
+        """PhraseQ over the segment index via the two-phase kernel —
+        same scores as the flat executor's _eval_phrase (duel-tested):
+        weight = f32(boost * f32(sum idf over the slot array) * (k1+1)),
+        score = f32 BM25 of the phrase freq."""
+        terms = list(q.terms)
+        dfs = self._global_df(sorted(set(terms)))
+        if any(dfs[t] == 0 for t in set(terms)):
+            return self.si.spark.createDataFrame(
+                [], "docid long, score float, rank int")
+        idf_sum64 = float(sum(self.bm25.idf(dfs[t]) for t in terms))
+        weight = (np.float32(q.boost) * np.float32(idf_sum64)
+                  * np.float32(self._k1 + 1.0))
+        per_seg = self._phrase_plan(terms, q.slop, k, weight,
+                                    collect_freqs=False)
+        top = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        return top.withColumn("rank", F.row_number().over(w))
+
+    def phrase_freqs(self, terms: list[str], slop: int = 0) -> DataFrame:
+        """All (docid, phrase freq) matches of a phrase — the unranked
+        MatchesIterator view. Runs the same two-phase kernel with no
+        theta (every match is returned), still decoding docs only in
+        all-terms-active intervals and positions only for intersection
+        docs. pfreq is integral for slop=0, fractional (sloppyFreq
+        sums 1/(len+1)) for slop>0."""
+        self._check_snapshot()
+        dfs = self._global_df(sorted(set(terms)))
+        if any(dfs[t] == 0 for t in set(terms)):
+            return self.si.spark.createDataFrame([], "docid long, pfreq double")
+        return self._phrase_plan(list(terms), slop, 0, np.float32(1.0),
+                                 collect_freqs=True)
 
     def _lowest_docbase_segment(self) -> int:
         snap = tuple(self.si.live_segments())

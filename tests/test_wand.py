@@ -320,6 +320,150 @@ def test_seeded_theta_duels_unseeded(seg_index, q):
     assert a == b, q
 
 
+# --- segment-native two-phase phrases ---------------------------------------
+
+
+PHRASES = [
+    ("t000000", "t000001"),          # head + head
+    ("t000001", "t000002"),
+    ("t000100", "t000000"),          # mid + head (order reversed in text?)
+    ("t000000", "t000000"),          # repeated term
+]
+
+
+@pytest.mark.parametrize("slop", [0, 2])
+@pytest.mark.parametrize("terms", PHRASES)
+def test_phrase_duels_flat(seg_index, flat_searcher, terms, slop):
+    """PhraseQ over the segment index runs the two-phase kernel and
+    duels bit-equal with the flat executor (exact and sloppy)."""
+    from lucene_solr_spark.search import ast as A
+
+    q = A.PhraseQ(tuple(terms), slop=slop)
+    a = _rows(WandSearcher(seg_index).search(q, k=10))
+    b = _rows(flat_searcher.search(q, k=10))
+    assert a == b, f"{terms} slop={slop}: wand={a[:3]} flat={b[:3]}"
+
+
+def test_phrase_plan_no_full_decode(seg_index):
+    """The phrase plan ships metadata-only rows to applyInPandas — no
+    as_flat_tables mapInPandas full decode anywhere in the plan."""
+    from lucene_solr_spark.search import ast as A
+
+    df = WandSearcher(seg_index).search(A.PhraseQ(("t000001", "t000002")), k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" not in plan
+
+
+def test_phrase_freqs_matches_flat(seg_index, flat_searcher):
+    from lucene_solr_spark.search import ast as A
+
+    got = {r["docid"]: r["pfreq"]
+           for r in WandSearcher(seg_index)
+           .phrase_freqs(["t000001", "t000002"]).collect()}
+    exp = {r["docid"] for r in
+           flat_searcher.matches(A.PhraseQ(("t000001", "t000002"))).collect()}
+    assert set(got) == exp
+    assert all(v >= 1 for v in got.values())
+
+
+def _mk_phrase_fixture(seed=3):
+    """Hot term (every 2nd doc) + rare term (40 docs); positions set so
+    the phrase matches on half the rare docs."""
+    from lucene_solr_spark.index.codec import encode_positions
+
+    rng = np.random.default_rng(seed)
+    n_docs = 60_000
+    doclens = np.full(n_docs, 100)
+    norms = length_norm_byte(doclens)
+    bm25 = BM25(n_docs, int(doclens.sum()))
+    hot_docs = np.arange(0, n_docs, 2, dtype=np.int64)
+    rare_docs = np.sort(rng.choice(hot_docs, 40, replace=False)).astype(np.int64)
+    hot_tfs = np.ones(len(hot_docs), np.int64)
+    rare_tfs = np.ones(40, np.int64)
+    hot_pos = np.full(len(hot_docs), 5, dtype=np.int64)
+    rare_pos = np.where(np.arange(40) % 2 == 0, 6, 9).astype(np.int64)
+    hot = encode_posting(hot_docs, hot_tfs, norms[hot_docs].astype(np.int64))
+    hot.pos_enc = encode_positions(hot_pos, hot_tfs)
+    rare = encode_posting(rare_docs, rare_tfs, norms[rare_docs].astype(np.int64))
+    rare.pos_enc = encode_positions(rare_pos, rare_tfs)
+    return ({"hot": hot, "rare": rare}, norms, bm25,
+            rare_docs[np.arange(40) % 2 == 0])
+
+
+def test_phrase_kernel_prunes_blocks():
+    """(hot, rare) phrase: conjunction discipline means the hot term's
+    blocks decode only in intervals the rare term reaches — O(df_rare)
+    work, not O(df_hot) (the ExactPhraseScorer leapfrog point)."""
+    from lucene_solr_spark.search.wand import phrase_topk
+
+    postings, norms, bm25, match_docs = _mk_phrase_fixture()
+    st = WandStats()
+    w = np.float32(2.0)
+    d, s = phrase_topk(["hot", "rare"], postings, w, norms, 0, bm25,
+                       k=10, stats=st)
+    assert st.blocks_decoded < st.blocks_total / 3, (
+        f"decoded {st.blocks_decoded}/{st.blocks_total}")
+    # results: exactly the docs where rare follows hot (pos 6 == 5+1)
+    exp = np.sort(match_docs)[:10]  # equal scores -> docid tiebreak
+    nb = norms[exp]
+    es = bm25.score(np.full(len(exp), w, np.float32),
+                    np.ones(len(exp), np.int64), nb)
+    np.testing.assert_array_equal(np.sort(d), exp)
+    np.testing.assert_array_equal(
+        s.view(np.int32), es.view(np.int32))
+
+
+def test_phrase_kernel_lazy_pos_io():
+    """Positions payloads are fetched per GROUP, only for groups whose
+    docs reach the docid intersection."""
+    from lucene_solr_spark.index.codec import (
+        GroupedPosting, encode_positions, split_posting_to_rows)
+    from lucene_solr_spark.search.wand import phrase_topk
+
+    rng = np.random.default_rng(17)
+    n_docs = 200_000
+    doclens = np.full(n_docs, 100)
+    norms = length_norm_byte(doclens)
+    bm25 = BM25(n_docs, int(doclens.sum()))
+    # hot term spanning many groups (df 100k -> ~781 blocks -> 13 groups)
+    hot_docs = np.arange(0, n_docs, 2, dtype=np.int64)
+    hot_tfs = np.ones(len(hot_docs), np.int64)
+    hot_pos = np.full(len(hot_docs), 5, dtype=np.int64)
+    hot_ep = encode_posting(hot_docs, hot_tfs, norms[hot_docs].astype(np.int64))
+    rows = split_posting_to_rows(hot_ep, hot_tfs, hot_pos)
+    assert len(rows) > 4
+    payloads = {int(r["grp_id"]): (r["docs_enc"], r["tfs_enc"]) for r in rows}
+    pos_payloads = {int(r["grp_id"]): r["pos_enc"] for r in rows}
+    fetched_pos: set[int] = set()
+    meta_rows = []
+    for r in rows:
+        r2 = dict(r)
+        r2["docs_enc"] = None
+        r2["tfs_enc"] = None
+        r2["pos_enc"] = None
+        meta_rows.append(r2)
+
+    def fetch(g):
+        return payloads[g]
+
+    def pos_fetch(g):
+        fetched_pos.add(g)
+        return pos_payloads[g]
+
+    hot = GroupedPosting(meta_rows, fetch, pos_fetch=pos_fetch)
+    # rare term: 10 docs clustered in the FIRST group's doc range
+    rare_docs = hot_docs[:10]
+    rare_tfs = np.ones(10, np.int64)
+    rare = encode_posting(rare_docs, rare_tfs,
+                          norms[rare_docs].astype(np.int64))
+    rare.pos_enc = encode_positions(np.full(10, 6, np.int64), rare_tfs)
+    d, s = phrase_topk(["hot", "rare"], {"hot": hot, "rare": rare},
+                       np.float32(2.0), norms, 0, bm25, k=10)
+    assert len(d) == 10
+    assert fetched_pos == {0}, fetched_pos
+
+
 def test_kernel_theta0_prunes_before_full():
     """A seeded threshold prunes strictly-below blocks even before the
     local heap fills, without changing the surviving results."""

@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from lucene_solr_spark.driver_surface import (
     FT_BASE,
+    _STOP_SQL,
     _docs_index,
     _ft_scored,
     _load,
@@ -2622,4 +2623,126 @@ sc AS (
 SELECT vec_id, cos_q,
        row_number() OVER (ORDER BY cos_q DESC, vec_id) AS rank
 FROM sc QUALIFY rank <= 10
+""")
+
+
+# ---- §2.2/§2.8 multi-field indexing + edismax qf (round 4) ---------------
+#
+# The per-field data model (index/FieldInfos.java, codecs/perfield/
+# PerFieldPostingsFormat.java) over the documents fixture: title =
+# first 8 whitespace tokens of text (derivable identically in SQL),
+# body = full text. One fused corpus scan builds both fields'
+# postings/norms/stats (index/multifield.py).
+
+_MF_CACHE: dict[str, object] = {}
+
+
+def _mf_docs_index(spark, sf):
+    from lucene_solr_spark.index.multifield import build_multifield_index
+
+    if sf not in _MF_CACHE:
+        docs = _load(spark, sf, "documents")
+        pages = docs.select(
+            "doc_id",
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8),
+                         " ").alias("title"),
+            F.col("text").alias("body"))
+        mfi = build_multifield_index(pages, ["title", "body"],
+                                     key_col="doc_id",
+                                     precomputed_docid="doc_id")
+        mfi.analyzed.count()
+        _MF_CACHE[sf] = mfi
+    return _MF_CACHE[sf]
+
+
+def _mf_searcher(spark, sf):
+    from lucene_solr_spark.search.multifield import MultiFieldSearcher
+
+    return MultiFieldSearcher(_mf_docs_index(spark, sf), mode="sql",
+                              default_field="body")
+
+
+# shared per-field CTEs: title tokens = raw positions 0..7 then the
+# stop filter (exactly what the engine's analyzer sees after the
+# 8-token slice); per-field docCount counts docs WITH the field
+_MF_BASE = f"""
+tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+tt AS (SELECT doc_id, term FROM tok WHERE pos < 8 AND term NOT IN {_STOP_SQL}),
+tb AS (SELECT doc_id, term FROM tok WHERE term NOT IN {_STOP_SQL}),
+pt AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tt GROUP BY 1, 2),
+pb AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tb GROUP BY 1, 2),
+dlt AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tt GROUP BY 1),
+dlb AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tb GROUP BY 1),
+cst AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS s FROM dlt),
+csb AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS s FROM dlb),
+tst AS (SELECT term, count(*)::DOUBLE AS df FROM pt GROUP BY 1),
+tsb AS (SELECT term, count(*)::DOUBLE AS df FROM pb GROUP BY 1)
+"""
+
+
+def _mf_field_scored(fld: str, terms: list[str], boost: float) -> str:
+    """sql-mode BM25 of one field, exactly Searcher(mode='sql')'s
+    expression over that field's own stats, times the field boost."""
+    p, ts, dl, cs = {"title": ("pt", "tst", "dlt", "cst"),
+                     "body": ("pb", "tsb", "dlb", "csb")}[fld]
+    tl = ",".join(f"'{t}'" for t in terms)
+    return f"""
+  SELECT p.doc_id, p.term,
+         (ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * p.tf
+          / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.s / cs.n))))
+         * {boost} AS s
+  FROM {p} p JOIN {ts} ts USING (term) JOIN {dl} dl USING (doc_id)
+  CROSS JOIN {cs} cs
+  WHERE p.term IN ({tl})"""
+
+
+def _ft_multifield_qf(spark, sf):
+    """edismax qf={{title:3, body:1}}: per term, DisMax across the two
+    fields' per-field BM25 (each with its own df/docCount/avgdl/
+    norms); terms combine as SHOULD. ExtendedDismaxQParser's qf."""
+    from lucene_solr_spark.search.multifield import edismax_qf
+
+    q = edismax_qf("hash join", {"title": 3.0, "body": 1.0})
+    return _mf_searcher(spark, sf).search_quantized(q, k=10)
+
+
+_register("ft_multifield_qf", _ft_multifield_qf, f"""
+WITH {_MF_BASE},
+st AS ({_mf_field_scored("title", ["hash", "join"], 3.0)}),
+sb AS ({_mf_field_scored("body", ["hash", "join"], 1.0)}),
+dm AS (
+  SELECT doc_id, term, max(s) AS s
+  FROM (SELECT * FROM st UNION ALL SELECT * FROM sb)
+  GROUP BY doc_id, term
+),
+agg AS (
+  SELECT doc_id, CAST(floor(sum(s) * 1000000) AS BIGINT) AS score_q
+  FROM dm GROUP BY doc_id
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
+def _ft_multifield_bool(spark, sf):
+    """Cross-field conjunction title:join AND body term — per-field
+    scored leaves joined on docid, scores summed."""
+    return _mf_searcher(spark, sf).search_quantized(
+        "title:join AND hash", k=10)
+
+
+_register("ft_multifield_bool", _ft_multifield_bool, f"""
+WITH {_MF_BASE},
+st AS ({_mf_field_scored("title", ["join"], 1.0)}),
+sb AS ({_mf_field_scored("body", ["hash"], 1.0)}),
+agg AS (
+  SELECT st.doc_id,
+         CAST(floor((st.s + sb.s) * 1000000) AS BIGINT) AS score_q
+  FROM st JOIN sb ON st.doc_id = sb.doc_id
+)
+{_topk_sql("SELECT * FROM agg", 10)}
 """)

@@ -258,6 +258,29 @@ class ConstQ(Query):
         return f"const({self.inner.key()})"
 
 
+@dataclass(frozen=True)
+class FieldedQ(Query):
+    """Field-qualified subquery — the per-field dimension of Lucene's
+    Term (index/Term.java: a Term is (field, text); index/FieldInfos
+    .java and codecs/perfield/PerFieldPostingsFormat.java keep
+    postings/norms/stats per field). Instead of threading a field
+    through every leaf node, the field is a WRAPPER over any
+    single-field subtree; MultiFieldSearcher routes ``inner`` to
+    ``fld``'s per-field index (its own df/avgdl/docCount/norms, so
+    scores match a standalone index of that field bit-for-bit)."""
+    fld: str
+    inner: Query
+
+    def rewrite(self) -> Query:
+        inner = self.inner.rewrite()
+        if isinstance(inner, FieldedQ):  # innermost qualifier wins,
+            return inner                 # like Lucene's parser
+        return FieldedQ(self.fld, inner)
+
+    def key(self) -> str:
+        return f"f[{self.fld}]({self.inner.key()})"
+
+
 class MultiTermQ(Query):
     """Base for term-expanding queries (search/MultiTermQuery.java).
 
@@ -374,7 +397,7 @@ class TermInSetQ(MultiTermQ):
 
 _TOKEN_RE = re.compile(
     r'\(|\)'
-    r'|"[^"]*"(?:~\d+)?(?:\^[\d.]+)?'
+    r'|(?:\w+:)?"[^"]*"(?:~\d+)?(?:\^[\d.]+)?'
     r'|(?:[\w*]+:)?[\[\{][^\]\}]*[\]\}](?:\^[\d.]+)?'
     r'|/[^/]*/(?:\^[\d.]+)?'
     r'|AND|OR|NOT|[^\s()]+')
@@ -382,10 +405,17 @@ _TOKEN_RE = re.compile(
 INDEXED_FIELDS = ("text",)
 
 
-def parse_query(s: str) -> Query:
+def parse_query(s: str, fields: tuple[str, ...] = INDEXED_FIELDS,
+                default_field: str = "text") -> Query:
     """Parse ``a AND b``, ``(a AND b) OR c``, ``"exact phrase"``,
     ``a NOT b``, plus the edismax-lite extensions documented above.
     AND binds tighter than OR; NOT is infix (a NOT b = +a -b).
+
+    ``fields``: the schema's indexed field names — ``f:term`` /
+    ``f:"a phrase"`` with f in ``fields`` wraps the leaf in FieldedQ
+    (except the ``default_field``, which stays bare so single-field
+    indexes see the classic tree); unknown fields raise, like an
+    undefined Solr schema field.
     """
     tokens = _TOKEN_RE.findall(s)
     if not tokens:
@@ -403,12 +433,24 @@ def parse_query(s: str) -> Query:
         pos += 1
         return t
 
+    def _check_field(fld: str) -> str:
+        if fld.lower() not in fields:
+            raise ValueError(f"unknown field {fld!r} in {s!r}")
+        return fld.lower()
+
+    def _wrap(fld: str | None, q: Query) -> Query:
+        return q if fld is None or fld == default_field else FieldedQ(fld, q)
+
     def leaf(tok: str) -> Query:
         boost = 1.0
         m = re.search(r"\^([\d.]+)$", tok)
         if m:
             boost = float(m.group(1))
             tok = tok[: m.start()]
+        m = re.match(r'^(\w+):(".*)$', tok, re.DOTALL)
+        if m:
+            rest = m.group(2) + (f"^{boost}" if boost != 1.0 else "")
+            return _wrap(_check_field(m.group(1)), leaf(rest))
         if tok.startswith('"'):
             slop = 0
             m = re.search(r'~(\d+)$', tok)
@@ -425,33 +467,32 @@ def parse_query(s: str) -> Query:
         m = re.match(r'^(?:(\w+):)?([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])$',
                      tok)
         if m:
-            if m.group(1) and m.group(1).lower() not in INDEXED_FIELDS:
-                raise ValueError(f"unknown field {m.group(1)!r} in {s!r}")
+            fld = _check_field(m.group(1)) if m.group(1) else None
             lo, hi = m.group(3), m.group(4)
-            return TermRangeQ(
+            return _wrap(fld, TermRangeQ(
                 None if lo == "*" else lo.lower(),
                 None if hi == "*" else hi.lower(),
                 include_lower=m.group(2) == "[",
-                include_upper=m.group(5) == "]", boost=boost)
+                include_upper=m.group(5) == "]", boost=boost))
         if len(tok) >= 2 and tok.startswith("/") and tok.endswith("/"):
             return RegexpQ(tok[1:-1], boost=boost)
+        fld = None
         if ":" in tok:
-            field, _, term = tok.partition(":")
-            if field.lower() not in INDEXED_FIELDS:
-                raise ValueError(f"unknown field {field!r} in {s!r}")
+            f0, _, term = tok.partition(":")
+            fld = _check_field(f0)
             tok = term
         if not tok:
             raise ValueError(f"empty term in {s!r}")
         m = re.search(r'~(\d*)$', tok)
         if m and m.start() > 0:
             edits = int(m.group(1)) if m.group(1) else 2
-            return FuzzyQ(tok[: m.start()].lower(), max_edits=edits,
-                          boost=boost)
+            return _wrap(fld, FuzzyQ(tok[: m.start()].lower(),
+                                     max_edits=edits, boost=boost))
         if "*" in tok or "?" in tok:
             if tok.endswith("*") and "*" not in tok[:-1] and "?" not in tok:
-                return PrefixQ(tok[:-1].lower(), boost=boost)
-            return WildcardQ(tok.lower(), boost=boost)
-        return TermQ(tok.lower(), boost=boost)
+                return _wrap(fld, PrefixQ(tok[:-1].lower(), boost=boost))
+            return _wrap(fld, WildcardQ(tok.lower(), boost=boost))
+        return _wrap(fld, TermQ(tok.lower(), boost=boost))
 
     def parse_atom() -> tuple[str, Query]:
         t = peek()

@@ -1,0 +1,209 @@
+"""Multi-field indexing + FieldedQ routing + edismax qf.
+
+Duels pin the core contract: a query routed to field f scores
+bit-identically (float32) to the same query on a standalone
+single-field index built from f's text — per-field df/docCount/avgdl/
+norms (index/FieldInfos.java, BM25Similarity per-field stats)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.functions.bm25 import length_norm_byte
+from lucene_solr_spark.index.builder import build_index
+from lucene_solr_spark.index.multifield import build_multifield_index
+from lucene_solr_spark.search import ast as A
+from lucene_solr_spark.search.executor import Searcher
+from lucene_solr_spark.search.multifield import MultiFieldSearcher, edismax_qf
+
+def _title_col():
+    return F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+
+
+@pytest.fixture(scope="module")
+def mf_pages(spark):
+    from lucene_solr_spark.sources.webtext import synth_pages
+
+    df = (synth_pages(spark, 400, seed=7)
+          .withColumn("title", _title_col())
+          .withColumnRenamed("text", "body")
+          .select("url", "title", "body").cache())
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def mf_index(mf_pages):
+    mfi = build_multifield_index(mf_pages, ["title", "body"])
+    mfi.analyzed.count()
+    return mfi
+
+
+@pytest.fixture(scope="module")
+def title_index(mf_pages):
+    idx = build_index(mf_pages.select("url", F.col("title").alias("text")))
+    idx.docs.count()
+    return idx
+
+
+@pytest.fixture(scope="module")
+def body_index(mf_pages):
+    idx = build_index(mf_pages.select("url", F.col("body").alias("text")))
+    idx.docs.count()
+    return idx
+
+
+def _rows(df):
+    return [(r["docid"], np.float32(r["score"]).view(np.int32).item())
+            for r in df.select("docid", "score").collect()]
+
+
+def test_norms_per_field_bitexact(mf_index):
+    """norm_<f> is byte315 of the FIELD length for every field."""
+    rows = mf_index.docs.collect()
+    for r in rows:
+        for f in ("title", "body"):
+            dl = r[f"doclen_{f}"]
+            expect = (int(length_norm_byte(np.array([dl]))[0])
+                      if dl > 0 else 0)
+            assert r[f"norm_{f}"] == expect, (r["docid"], f, dl)
+
+
+def test_per_field_stats_match_standalone(mf_index, title_index, body_index):
+    for f, idx in (("title", title_index), ("body", body_index)):
+        it = mf_index.fields[f]
+        assert it.coll_stats == idx.coll_stats, f
+        a = {r["term"]: (r["df"], r["ttf"])
+             for r in it.term_stats.collect()}
+        b = {r["term"]: (r["df"], r["ttf"])
+             for r in idx.term_stats.collect()}
+        assert a == b, f
+
+
+FIELD_QUERIES = [
+    "title:t000000",
+    "body:t000001",
+    "title:t000000 AND body:t000001",
+    "title:t000000 OR body:t000212",
+    'body:"t000001 t000002"',
+    "title:t00000*",
+]
+
+
+@pytest.mark.parametrize("qs", FIELD_QUERIES)
+def test_fielded_duel_standalone(mf_index, title_index, body_index, qs):
+    """FieldedQ leaves score bit-equal to standalone per-field indexes,
+    and cross-field composition reuses the deterministic f32 folds.
+    Full match sets compared, every score bit-equal."""
+    ms = MultiFieldSearcher(mf_index, default_field="body")
+    q = A.parse_query(qs, fields=("title", "body"), default_field="body")
+    got = sorted(_rows(ms.matches(q)))
+
+    ts, bs = Searcher(title_index), Searcher(body_index)
+
+    def eval_exp(node) -> dict[int, np.float32]:
+        if isinstance(node, A.FieldedQ):
+            assert node.fld == "title"
+            return {r["docid"]: np.float32(r["score"])
+                    for r in ts.matches(node.inner).collect()}
+        if isinstance(node, (A.AndQ, A.OrQ)):
+            parts = [eval_exp(c) for c in
+                     sorted(node.clauses, key=lambda c: c.key())]
+            if isinstance(node, A.AndQ):
+                common = set(parts[0])
+                for p in parts[1:]:
+                    common &= set(p)
+                return {d: np.float32(sum(np.float64(p[d]) for p in parts))
+                        for d in common}
+            acc: dict[int, np.float64] = {}
+            for p in parts:
+                for d, s in p.items():
+                    acc[d] = acc.get(d, np.float64(0.0)) + np.float64(s)
+            return {d: np.float32(v) for d, v in acc.items()}
+        return {r["docid"]: np.float32(r["score"])
+                for r in bs.matches(node).collect()}
+
+    exp = sorted((int(d), np.float32(s).view(np.int32).item())
+                 for d, s in eval_exp(q.rewrite()).items())
+    assert got == exp, (qs, got[:3], exp[:3])
+
+
+def test_edismax_qf_scores(mf_index, title_index, body_index):
+    """edismax qf: per term, f32(max over fields of boost_f * s_f);
+    terms sum in f64 clause-key order — verified against per-field
+    standalone searchers composed in numpy."""
+    ms = MultiFieldSearcher(mf_index, default_field="body")
+    qf = {"title": 3.0, "body": 1.0}
+    q = edismax_qf("t000000 t000005", qf)
+    got = dict(_rows(ms.search(q, k=1000)))
+
+    def fscores(idx, term, boost):
+        s = Searcher(idx)
+        out = {}
+        for r in s.matches(A.TermQ(term)).collect():
+            v = np.float32(np.float64(r["score"]) * np.float32(boost))
+            out[r["docid"]] = v
+        return out
+
+    exp: dict[int, float] = {}
+    per_term = []
+    for t in ["t000000", "t000005"]:
+        tmap = fscores(title_index, t, 3.0)
+        bmap = fscores(body_index, t, 1.0)
+        dm = {}
+        for d in set(tmap) | set(bmap):
+            cands = [v for v in (tmap.get(d), bmap.get(d)) if v is not None]
+            dm[d] = np.float32(max(np.float64(c) for c in cands))
+        per_term.append(dm)
+    # OrQ f64 fold in clause-key order: dmax keys sort by clause key —
+    # both clauses are dmax(...) keys; order = sorted key strings
+    keys = ["dmax(f[body](t:t000000),f[title](t:t000000))",
+            "dmax(f[body](t:t000005),f[title](t:t000005))"]
+    order = np.argsort(keys)
+    for d in set(per_term[0]) | set(per_term[1]):
+        acc = np.float64(0.0)
+        for i in order:
+            if d in per_term[i]:
+                acc = acc + np.float64(per_term[i][d])
+        exp[d] = np.float32(acc)
+    exp_rows = {d: np.float32(v).view(np.int32).item()
+                for d, v in exp.items()}
+    for d, s in got.items():
+        assert exp_rows.get(d) == s, (d, s, exp_rows.get(d))
+    assert len(got) == min(1000, len(exp_rows))
+
+
+def test_single_scan_build(mf_index):
+    """Both fields' postings project the SAME persisted analyzed frame
+    (one corpus scan), visible as InMemoryTableScan in both plans."""
+    for f in ("title", "body"):
+        plan = (mf_index.fields[f].postings._jdf.queryExecution()
+                .executedPlan().toString())
+        # the scan reads the persisted frame; the MapInPandas appearing
+        # below it is the cached relation's lineage printout, not a
+        # recompute — assert the cache is hit before any Python stage
+        assert "InMemoryTableScan" in plan, f
+        assert plan.index("InMemoryTableScan") < plan.index("MapInPandas"), f
+
+
+def test_parse_fielded_queries():
+    q = A.parse_query("title:foo AND body:bar", fields=("title", "body"),
+                      default_field="body")
+    assert q == A.AndQ((A.FieldedQ("title", A.TermQ("foo")),
+                        A.TermQ("bar")))
+    q2 = A.parse_query('title:"a b"~1^2.5', fields=("title", "body"),
+                       default_field="body")
+    assert q2 == A.FieldedQ("title", A.PhraseQ(("a", "b"), slop=1,
+                                               boost=2.5))
+    with pytest.raises(ValueError):
+        A.parse_query("nosuch:foo", fields=("title", "body"))
+    # default-field qualifier stays bare (single-field back-compat)
+    assert A.parse_query("text:foo") == A.TermQ("foo")
+
+
+def test_matchall_covers_all_docs(mf_index, mf_pages):
+    ms = MultiFieldSearcher(mf_index, default_field="body")
+    n = ms.matches(A.MatchAllQ()).count()
+    assert n == mf_pages.count()

@@ -240,9 +240,9 @@ def bench_ann(spark, sf_dir: str) -> dict[str, float]:
     dim = 64
     cents = SIM._hyperplanes(dim, 4, seed=7)
     key = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/bench_annidx_{key}"
+    path = f"/tmp/bench_annidx_v2_{key}"
     times: dict[str, float] = {}
-    if not os.path.exists(f"{path}/lsh/_SUCCESS"):
+    if not os.path.exists(f"{path}/sq8/_SUCCESS"):
         _sh.rmtree(path, ignore_errors=True)
         t0 = time.time()
         SIM.build_ann_index(emb, path, dim=dim, n_planes=8, seed=42,
@@ -253,6 +253,10 @@ def bench_ann(spark, sf_dir: str) -> dict[str, float]:
         ("ann_lsh_scan", lambda: SIM.lsh_topk_scan(emb, q, dim=dim, k=10)),
         ("ann_lsh_indexed", lambda: SIM.lsh_topk_indexed(spark, path, q, dim=dim, k=10)),
         ("ann_ivf_indexed", lambda: SIM.ivf_topk_indexed(spark, path, q, cents, k=10)),
+        # code-table scan (dim bytes/vec) vs float full scan (4*dim):
+        # the persisted-SQ8 claim measured
+        ("ann_sq8_indexed", lambda: SIM.sq8_topk_indexed(spark, path, q, k=10)),
+        ("ann_float_scan", lambda: SIM.brute_force_topk(emb, q, k=10)),
     ):
         fn().collect()  # warm
         t0 = time.time()

@@ -417,8 +417,8 @@ def _ann_index(spark, sf) -> str:
     import glob as _glob
 
     key = os.path.basename(sf.rstrip("/"))
-    path = f"/tmp/driver_annidx_v2_{key}"
-    if not _glob.glob(f"{path}/lsh/_SUCCESS"):
+    path = f"/tmp/driver_annidx_v3_{key}"
+    if not _glob.glob(f"{path}/sq8/_SUCCESS"):
         emb = _load(spark, sf, "embeddings")
         SIM.build_ann_index(emb, path, dim=_EMB_DIM, n_planes=8, seed=42,
                             centroids=_IVF_CENTROIDS)
@@ -2537,14 +2537,18 @@ ORDER BY c_custkey
 # ---- SQ8 quantized vector search -------------------------------------------
 
 def _ann_sq8(spark, sf):
-    """int8 scalar-quantized top-10 by INTEGER dot product (the FAISS
-    SQ8 baseline — 4x smaller scans at 100 TB; ranking is exact
-    integer math, no float quantization step). Query = vector 0,
-    quantized with the same floor(x*127/max|x|) recipe."""
+    """int8 scalar-quantized top-10 over the PERSISTED code layout
+    (build_ann_index writes (id, codes BINARY, scale) once; the probe
+    scans ONLY that 4x-smaller table — the float embedding column is
+    never read, plan-asserted in tests/test_similarity.py). Ranking =
+    FAISS SQ8 asymmetric reconstruction: exact int64 code dot times
+    the stored per-vector scale, floor-quantized in a fixed op order.
+    Query = vector 0, quantized with the same floor(x*127/max|x|)."""
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     qrow = emb.where(F.col("vec_id") == 0).first()
-    return SIM.sq8_topk(emb.where(F.col("vec_id") != 0),
-                        list(qrow["embedding"]), k=10)
+    path = _ann_index(spark, sf)
+    return SIM.sq8_topk_indexed(spark, path, list(qrow["embedding"]),
+                                k=10, exclude_ids=[0])
 
 
 _register("ann_sq8", _ann_sq8, """
@@ -2555,7 +2559,7 @@ qc AS (
   FROM q, qm
 ),
 enc AS (
-  SELECT vec_id,
+  SELECT vec_id, mx,
          list_transform(embedding,
                         x -> floor(x::DOUBLE * 127.0 / mx)) AS c
   FROM (SELECT vec_id, embedding,
@@ -2565,24 +2569,27 @@ enc AS (
 ),
 sc AS (
   SELECT e.vec_id,
-         CAST(list_dot_product(e.c, (SELECT c FROM qc)) AS BIGINT) AS dot_q
+         CAST(floor((list_dot_product(e.c, (SELECT c FROM qc))::DOUBLE
+                     * e.mx) * 1000000.0) AS BIGINT) AS recon_q
   FROM enc e
 )
-SELECT vec_id, dot_q,
-       row_number() OVER (ORDER BY dot_q DESC, vec_id) AS rank
+SELECT vec_id, recon_q,
+       row_number() OVER (ORDER BY recon_q DESC, vec_id) AS rank
 FROM sc QUALIFY rank <= 10
 """)
 
 
 def _ann_sq8_rerank(spark, sf):
     """Two-stage quantized serving (the standard SQ recipe): stage 1
-    takes top-50 candidates by int8 integer dot (cheap 4x-smaller
-    scan); stage 2 re-ranks the survivors by EXACT float cosine —
-    recall of the exact metric at quantized-scan cost."""
+    takes top-50 candidates from the PERSISTED code table (4x-smaller
+    scan, reconstructed-dot ranking, float column untouched); stage 2
+    re-ranks only the 50 survivors by EXACT float cosine — recall of
+    the exact metric at quantized-scan cost."""
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     qrow = emb.where(F.col("vec_id") == 0).first()
     qv = list(qrow["embedding"])
-    cand = SIM.sq8_topk(emb.where(F.col("vec_id") != 0), qv, k=50)
+    path = _ann_index(spark, sf)
+    cand = SIM.sq8_topk_indexed(spark, path, qv, k=50, exclude_ids=[0])
     survivors = emb.join(cand.select("vec_id"), "vec_id")
     return SIM.brute_force_topk(survivors, qv, k=10)
 
@@ -2595,7 +2602,7 @@ qc AS (
   FROM q, qm
 ),
 enc AS (
-  SELECT vec_id, embedding,
+  SELECT vec_id, embedding, mx,
          list_transform(embedding,
                         x -> floor(x::DOUBLE * 127.0 / mx)) AS c
   FROM (SELECT vec_id, embedding,
@@ -2606,7 +2613,8 @@ enc AS (
 stage1 AS (
   SELECT vec_id, embedding,
          row_number() OVER (
-           ORDER BY CAST(list_dot_product(c, (SELECT c FROM qc)) AS BIGINT)
+           ORDER BY CAST(floor((list_dot_product(c, (SELECT c FROM qc))::DOUBLE
+                                * mx) * 1000000.0) AS BIGINT)
                     DESC, vec_id) AS r1
   FROM enc QUALIFY r1 <= 50
 ),

@@ -155,7 +155,8 @@ ivf_topk = ivf_topk_scan
 def build_ann_index(embeddings: DataFrame, path: str, dim: int,
                     n_planes: int = 8, seed: int = 42,
                     centroids: list[list[float]] | None = None,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    sq8: bool = True) -> None:
     """Materialize the ANN layout ONCE at ingest: vectors written
     partitioned by their LSH ``bucket`` (and, when centroids are
     given, by their IVF ``cell``). A probe then reads only its probe
@@ -163,13 +164,23 @@ def build_ann_index(embeddings: DataFrame, path: str, dim: int,
     size — instead of re-computing bucket bits over the whole corpus
     per query (the round-1 scale hazard). This is the inverted-file
     structure of FAISS-style IVF expressed as a parquet partition key.
-    """
+
+    ``sq8`` additionally persists the int8 code layout at
+    ``{path}/sq8``: (id, codes BINARY = the dim int8 bytes packed,
+    scale DOUBLE). A quantized probe (sq8_topk_indexed) then scans
+    ONLY this table — dim bytes per vector instead of 4*dim float
+    bytes, the actual "100 TB of floats serves from a 25 TB code
+    table" layout (the codes are never re-derived from the float
+    column at query time)."""
     slim = embeddings.select(id_col, vec_col)
     b = lsh_bucket(slim, dim, n_planes, seed, vec_col)
     b.write.partitionBy("bucket").mode("overwrite").parquet(f"{path}/lsh")
     if centroids is not None:
         c = ivf_assign(slim, centroids, vec_col)
         c.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/ivf")
+    if sq8:
+        sq8_encode(embeddings, id_col, vec_col).write.mode(
+            "overwrite").parquet(f"{path}/sq8")
 
 
 def _scored_topk(cand: DataFrame, query_vec: list[float], k: int,
@@ -284,13 +295,96 @@ def sq8_codes(vec: Column) -> tuple[Column, Column]:
     return codes, mx
 
 
+def sq8_encode(embeddings: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, codes BINARY, scale DOUBLE): each vector's int8 codes
+    packed into dim bytes. scale = max|x| (the per-vector symmetric
+    quantizer constant); zero vectors are dropped (no direction).
+    One Arrow pass at ingest; the write is the 4x-smaller layout the
+    quantized probe scans."""
+    import numpy as np
+    import pandas as pd
+
+    def enc(batches):
+        for pdf in batches:
+            ids, blobs, scales = [], [], []
+            for i, v in zip(pdf[id_col], pdf[vec_col]):
+                a = np.asarray(v, dtype=np.float64)
+                mx = float(np.abs(a).max()) if len(a) else 0.0
+                if mx == 0.0:
+                    continue
+                codes = np.floor(a * 127.0 / mx).astype(np.int8)
+                ids.append(i)
+                blobs.append(codes.tobytes())
+                scales.append(mx)
+            yield pd.DataFrame({id_col: ids, "codes": blobs,
+                                "scale": scales})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} long, codes binary, scale double")
+
+
+def sq8_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,
+                     id_col: str = "vec_id",
+                     exclude_ids: list[int] | None = None) -> DataFrame:
+    """Quantized top-k over the PERSISTED code layout: scans ONLY the
+    (id, codes, scale) table written by build_ann_index — the float
+    embedding column is never read (plan-asserted in tests), so a
+    100 TB float corpus serves stage 1 from its 25 TB code table.
+
+    Ranking follows the FAISS SQ8 asymmetric-distance reconstruction
+    (the codes decode to code_i * scale / 127): score is the exact
+    int64 code dot multiplied by the stored per-vector scale —
+    recon_q = floor((dot::double * scale) * 1e6), a fixed-op-order
+    double product, deterministic across engines. The query's own
+    scale and the 1/127^2 factor are positive per-query constants and
+    drop out of the ordering. Returns (id, recon_q, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qm = float(np.abs(q).max())
+    if qm == 0.0:
+        raise ValueError("zero query vector")
+    qc = np.floor(q * 127.0 / qm).astype(np.int64)
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.int8
+            ).reshape(len(pdf), len(qc)).astype(np.int64)
+            dots = mat @ qc
+            recon = np.floor(
+                (dots.astype(np.float64) * pdf["scale"].to_numpy())
+                * 1_000_000.0).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "recon_q": recon})
+
+    codes = spark.read.parquet(f"{path}/sq8")
+    if exclude_ids:
+        codes = codes.where(~F.col(id_col).isin(exclude_ids))
+    scored = codes.mapInPandas(probe, schema=f"{id_col} long, recon_q long")
+    order = [F.desc("recon_q"), F.asc(id_col)]
+    return (scored.orderBy(*order).limit(k)
+            .withColumn("rank", F.row_number().over(Window.orderBy(*order))
+                        .cast("long")))
+
+
 def sq8_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Quantized top-k: rank by the INTEGER dot product of int8 codes
-    (query quantized the same way) — ranking is exact integer
-    arithmetic, so it is bit-stable across engines with no float
-    quantization step at all. Zero vectors (scale 0) are excluded, as
-    they have no direction. Returns (vec_id, dot_q, rank).
+    """Ad-hoc quantized top-k over a float frame (no persisted layout;
+    the serving path is build_ann_index + sq8_topk_indexed, which
+    never touches the float column). Ranks by the INTEGER dot product
+    of int8 codes (query quantized the same way) — exact integer
+    arithmetic, bit-stable across engines.
+
+    Metric note: because each vector's codes are scaled by ITS OWN
+    max|x|, the raw code dot is the dot of max-normalized vectors —
+    NOT the FAISS SQ8 reconstructed similarity (that multiplies the
+    stored scale back in; sq8_topk_indexed does). Exact as
+    arithmetic; as a metric it ranks direction only. Zero vectors
+    (scale 0) are excluded. Returns (vec_id, dot_q, rank).
 
     The standard serving recipe composes this as stage 1 of
     SQ8-then-rerank: take top-C here (C ~ 5-10x k), then re-rank the

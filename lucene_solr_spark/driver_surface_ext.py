@@ -381,14 +381,45 @@ FROM lineitem
 
 
 def _cardinality_hll(spark, sf):
-    """HLL sketch cardinality (StatsComponent 'cardinality', HLL.java)
-    — approximate by design, so no cross-engine oracle (rows-only)."""
+    """DETERMINISTIC HLL sketch (solr/core/.../util/hll/HLL.java is a
+    fully-specified sketch: fixed hash + dense registers + Flajolet
+    estimator, so two engines running the same spec agree exactly).
+    md5-derived hash, m=1024 registers, exact-integer register sum;
+    the DuckDB oracle executes the identical algorithm — the one
+    formerly rows-only row now has a value-checked oracle."""
+    from lucene_solr_spark.operators.facets import hll_cardinality
+
     li = _load(spark, sf, "lineitem")
-    return li.agg(F.approx_count_distinct("l_partkey", rsd=0.02)
-                  .alias("n_parts_hll"))
+    return hll_cardinality(li, "l_partkey").select(
+        F.floor(F.col("est") * 1000).cast("long").alias("n_parts_hll_q"))
 
 
-_register("cardinality_hll", _cardinality_hll, None)
+def _hll_oracle_sql() -> str:
+    from lucene_solr_spark.operators.facets import (
+        hll_estimate_expr, hll_rank_case, hll_weight_case)
+
+    s_total = "(s_present + (1024 - n_present) * 8589934592)"
+    zeros = "(1024 - n_present)"
+    return f"""
+WITH h AS (SELECT md5(CAST(l_partkey AS VARCHAR)) AS hx FROM lineitem),
+hw AS (
+  SELECT CAST(concat('0x', substring(hx, 1, 8)) AS BIGINT) % 1024 AS idx,
+         CAST(concat('0x', substring(hx, 9, 8)) AS BIGINT) AS w
+  FROM h
+),
+regs AS (SELECT idx, max({hll_rank_case('w')}) AS mreg FROM hw GROUP BY idx),
+agg AS (
+  SELECT sum({hll_weight_case('mreg')})::BIGINT AS s_present,
+         count(*)::BIGINT AS n_present
+  FROM regs
+)
+SELECT CAST(floor({hll_estimate_expr(s_total, zeros)} * 1000) AS BIGINT)
+       AS n_parts_hll_q
+FROM agg
+"""
+
+
+_register("cardinality_hll", _cardinality_hll, _hll_oracle_sql())
 
 
 # ---- ANN scale paths: LSH probe, IVF probe --------------------------------

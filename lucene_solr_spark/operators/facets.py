@@ -84,6 +84,73 @@ def cardinality(df: DataFrame, field: str, rsd: float = 0.023) -> DataFrame:
     return df.agg(F.approx_count_distinct(field, rsd).alias("cardinality"))
 
 
+# --- deterministic HyperLogLog (solr/core/.../util/hll/HLL.java) -----------
+#
+# A fully-specified dense-register HLL so the SAME estimate is computable
+# in any SQL engine (the driver's DuckDB oracle runs the identical
+# algorithm): hash = md5 of the value's decimal string, register index =
+# first 32 hash bits mod m, rank = 1 + leading-zero-count of the next
+# 32 bits (capped 33), registers = max rank per index, estimator =
+# alpha_m * m^2 / sum(2^-M_j) with the Flajolet small-range linear
+# counting correction. The 2^-M_j sum is kept EXACT by scaling to
+# integers 2^(33-M_j) — addition order cannot perturb it.
+
+HLL_LOG2M = 10
+
+
+def hll_rank_case(w_expr: str) -> str:
+    """1 + clz32(w) as a CASE chain — valid in both Spark SQL and
+    DuckDB, no float log in sight."""
+    branches = " ".join(
+        f"WHEN {w_expr} >= {1 << (31 - i)} THEN {i + 1}"
+        for i in range(32))
+    return f"(CASE {branches} ELSE 33 END)"
+
+
+def hll_weight_case(m_expr: str) -> str:
+    """2^(33 - M) as exact BIGINT literals (M in 1..33)."""
+    branches = " ".join(
+        f"WHEN {m_expr} = {r} THEN {1 << (33 - r)}" for r in range(1, 34))
+    return f"(CASE {branches} END)"
+
+
+def hll_estimate_expr(s_expr: str, zeros_expr: str,
+                      log2m: int = HLL_LOG2M) -> str:
+    """The estimator over the exact scaled register sum ``s_expr``
+    (absent registers contribute 2^33 each) and the empty-register
+    count — identical text evaluates identically in Spark and DuckDB
+    (single division; ln only in the linear-counting branch)."""
+    m = 1 << log2m
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+    raw = f"({alpha} * {m}.0 * {m}.0 * {1 << 33}.0 / ({s_expr}))"
+    return (f"(CASE WHEN {raw} <= {2.5 * m} AND ({zeros_expr}) > 0 "
+            f"THEN {m}.0 * ln({m}.0 / ({zeros_expr})) ELSE {raw} END)")
+
+
+def hll_cardinality(df: DataFrame, field: str,
+                    log2m: int = HLL_LOG2M) -> DataFrame:
+    """Deterministic HLL estimate of ``count(distinct field)`` — one
+    row (est DOUBLE). One shuffle on the register index (m keys);
+    duplicate values hash to identical registers, so the pre-shuffle
+    partial max-combine collapses the stream to <= m rows per task
+    regardless of input size."""
+    m = 1 << log2m
+    h = df.select(F.md5(F.col(field).cast("string")).alias("hx"))
+    hw = h.select(
+        (F.conv(F.substring("hx", 1, 8), 16, 10).cast("long") % m)
+        .alias("idx"),
+        F.conv(F.substring("hx", 9, 8), 16, 10).cast("long").alias("w"))
+    regs = (hw.withColumn("rank", F.expr(hll_rank_case("w")))
+            .groupBy("idx").agg(F.max("rank").alias("mreg")))
+    agg = regs.agg(
+        F.sum(F.expr(hll_weight_case("mreg"))).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"))
+    s_total = (f"(s_present + ({m} - n_present) * {1 << 33})")
+    zeros = f"({m} - n_present)"
+    return agg.select(
+        F.expr(hll_estimate_expr(s_total, zeros, log2m)).alias("est"))
+
+
 def group_top_k(df: DataFrame, group: str, order: list[Column], k: int = 1,
                 rank_col: str = "grank") -> DataFrame:
     """Grouping / CollapsingQParserPlugin: top-k rows per group.

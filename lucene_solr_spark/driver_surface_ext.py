@@ -2785,3 +2785,113 @@ agg AS (
 )
 {_topk_sql("SELECT * FROM agg", 10)}
 """)
+
+
+# ---- QParser ValueSource dialects: {!func} {!boost} {!frange} {!terms} -----
+
+# recip(docid,1,1000,1000) = 1000/(1*docid+1000) in the engine's exact
+# fold order, as SQL.
+_RECIP_SQL = "1000.0 / ((1.0 * doc_id) + 1000.0)"
+
+
+def _doc_num_attrs(spark, sf):
+    return (_load(spark, sf, "documents")
+            .select(F.col("doc_id").alias("docid"), "n_chars"))
+
+
+def _rank_topk(m, k: int):
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (m.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("long")))
+
+
+def _solr_func_qp(spark, sf):
+    """{!func} (FunctionQParserPlugin.java): every doc scored by a
+    ValueSource expression — sum of a recip over docid and a linear
+    over n_chars, parsed by the solrq expression grammar."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    out = solr_qparser(
+        None, "{!func}sum(recip(docid,1,1000,1000),"
+              "linear(n_chars,0.001,0.5))", _doc_num_attrs(spark, sf))
+    m = out.select(F.col("docid").alias("doc_id"),
+                   F.floor(F.col("score") * Q).cast("long").alias("score_q"))
+    return _rank_topk(m, 25)
+
+
+_register("solr_func_qp", _solr_func_qp, f"""
+SELECT doc_id, score_q,
+       row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank
+FROM (
+  SELECT doc_id,
+         CAST(floor((({_RECIP_SQL}) + ((0.001 * n_chars) + 0.5))
+              * 1000000) AS BIGINT) AS score_q
+  FROM documents
+) QUALIFY rank <= 25
+""")
+
+
+def _solr_boost_qp(spark, sf):
+    """{!boost b=...}q (BoostQParserPlugin.java / BoostedQuery): the
+    inner 'hash AND join' BM25 score multiplied by a recip of docid."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    out = solr_qparser(s, "{!boost b=recip(docid,1,1000,1000)}"
+                          "hash AND join", _doc_num_attrs(spark, sf))
+    m = out.select(F.col("docid").alias("doc_id"),
+                   F.floor(F.col("score") * Q).cast("long").alias("score_q"))
+    return _rank_topk(m, 10)
+
+
+_register("solr_boost_qp", _solr_boost_qp, f"""
+WITH {FT_BASE},
+{_ft_scored(['hash', 'join'])},
+m AS (
+  SELECT a.doc_id, (a.s + b.s) * ({_RECIP_SQL}) AS score
+  FROM (SELECT doc_id, s FROM scored WHERE term='hash') a
+  JOIN (SELECT doc_id, s FROM scored WHERE term='join') b USING (doc_id)
+),
+agg AS (
+  SELECT doc_id, CAST(floor(score * 1000000) AS BIGINT) AS score_q FROM m
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
+def _solr_frange_qp(spark, sf):
+    """{!frange l=0.8 u=0.95}recip(docid,...) (FunctionRangeQParser
+    Plugin.java): docs whose ValueSource value lies in the closed
+    range; constant score."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    out = solr_qparser(None, "{!frange l=0.8 u=0.95}"
+                             "recip(docid,1,1000,1000)",
+                       _doc_num_attrs(spark, sf))
+    return (out.select(F.col("docid").alias("doc_id"))
+            .orderBy("doc_id"))
+
+
+_register("solr_frange_qp", _solr_frange_qp, f"""
+SELECT doc_id FROM documents
+WHERE ({_RECIP_SQL}) >= 0.8 AND ({_RECIP_SQL}) <= 0.95
+ORDER BY doc_id
+""")
+
+
+def _solr_terms_qp(spark, sf):
+    """{!terms f=lang} (TermsQParserPlugin.java): doc-attribute IN
+    set, grouped to a per-language count for a compact verdict."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    attrs = (_load(spark, sf, "documents")
+             .select(F.col("doc_id").alias("docid"), "lang"))
+    out = solr_qparser(None, "{!terms f=lang}es,zh", attrs)
+    return (out.join(attrs, "docid").groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n")).orderBy("lang"))
+
+
+_register("solr_terms_qp", _solr_terms_qp, """
+SELECT lang, count(*)::BIGINT AS n FROM documents
+WHERE lang IN ('es', 'zh') GROUP BY lang ORDER BY lang
+""")

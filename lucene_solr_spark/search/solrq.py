@@ -12,10 +12,30 @@ onto existing engine operators:
   {!collapse field=F}q       CollapsingQParserPlugin.java: match q,
                              keep the best doc per F group
                              (score desc, docid asc)
+  {!func}expr                FunctionQParserPlugin.java: every doc
+                             scored by a ValueSource expression
+  {!boost b=expr}q           BoostQParserPlugin.java / BoostedQuery:
+                             inner query score * expr(doc)
+  {!frange l=.. u=..}expr    FunctionRangeQParserPlugin.java: docs
+                             whose expr value lies in [l, u]
+                             (incl/incu control the bound closure),
+                             constant score 1.0
+  {!terms f=F}v1,v2,...      TermsQParserPlugin.java: field value in
+                             a comma-separated set, constant score
 
-Only the single indexed text field exists, so f= must be 'text'; join
-and collapse take their doc attributes from a (docid, field...) frame
-— the doc-values role.
+Only the single indexed text field exists, so f= must be 'text' for
+term/prefix; join, collapse, func, boost, frange and terms take their
+doc attributes from a (docid, field...) frame — the doc-values role.
+
+ValueSource expressions (ValueSourceParser.java registry subset):
+  sum(a,b,..) product(a,b,..) sub(a,b) div(a,b) recip(x,m,a,b)
+  linear(x,m,c) scale(x,lo,hi) sqrt(x) abs(x) ln(x) log(x) exp(x)
+  pow(a,b) max(a,b) min(a,b) field(f) | bare field | numeric literal
+recip(x,m,a,b) = a/(m*x+b); linear(x,m,c) = m*x+c; scale() performs
+the global (min,max) pre-pass exactly like ScaleFloatFunction's
+createWeight. Arithmetic folds left in the written argument order, so
+a SQL oracle writing the same expression reproduces the doubles
+bit-for-bit.
 """
 
 from __future__ import annotations
@@ -40,6 +60,130 @@ def parse_local_params(s: str):
         return None, {}, s
     params = {k: v.strip('"') for k, v in _PARAM_RE.findall(m.group(2))}
     return m.group(1), params, m.group(3).strip()
+
+
+# ---- ValueSource expression parser -----------------------------------------
+
+_VS_TOKEN = re.compile(r'\s*([A-Za-z_]\w*|-?\d+\.?\d*(?:[eE]-?\d+)?|[(),])')
+
+
+def parse_value_source(expr: str):
+    """Parse a Solr function-query expression into a nested tuple AST:
+    ('call', name, [args...]) | ('field', name) | ('num', float).
+    Grammar and function names follow ValueSourceParser.java's
+    registry (the subset documented in the module docstring)."""
+    toks, i = [], 0
+    while i < len(expr):
+        m = _VS_TOKEN.match(expr, i)
+        if not m:
+            raise ValueError(f"bad value-source syntax at {expr[i:]!r}")
+        toks.append(m.group(1))
+        i = m.end()
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def parse_node():
+        nonlocal pos
+        t = peek()
+        if t is None:
+            raise ValueError("unexpected end of expression")
+        pos += 1
+        if re.fullmatch(r'-?\d+\.?\d*(?:[eE]-?\d+)?', t):
+            return ("num", float(t))
+        if peek() == "(":
+            pos += 1  # consume '('
+            args = []
+            if peek() != ")":
+                args.append(parse_node())
+                while peek() == ",":
+                    pos += 1
+                    args.append(parse_node())
+            if peek() != ")":
+                raise ValueError(f"missing ')' in {expr!r}")
+            pos += 1
+            if t == "field":
+                if len(args) != 1 or args[0][0] != "field":
+                    raise ValueError("field() takes one field name")
+                return args[0]
+            return ("call", t, args)
+        return ("field", t)
+
+    node = parse_node()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in {expr!r}: {toks[pos:]}")
+    return node
+
+
+_VS_ARITY = {"sub": 2, "div": 2, "recip": 4, "linear": 3, "scale": 3,
+             "sqrt": 1, "abs": 1, "ln": 1, "log": 1, "exp": 1,
+             "pow": 2, "max": 2, "min": 2}
+
+
+def value_source_column(node, doc_attrs: DataFrame) -> F.Column:
+    """Evaluate a parsed ValueSource AST to a Spark Column over the
+    doc_attrs frame. scale() triggers one (min,max) aggregate on
+    doc_attrs — the ScaleFloatFunction.createWeight two-pass shape.
+    All arithmetic is double-precision in the written fold order."""
+    kind = node[0]
+    if kind == "num":
+        return F.lit(float(node[1]))
+    if kind == "field":
+        if doc_attrs is None or node[1] not in doc_attrs.columns:
+            raise ValueError(f"unknown value-source field {node[1]!r}")
+        return F.col(node[1]).cast("double")
+    name, args = node[1], node[2]
+    if name in _VS_ARITY and len(args) != _VS_ARITY[name]:
+        raise ValueError(f"{name}() takes {_VS_ARITY[name]} args")
+    if name == "scale":
+        src = value_source_column(args[0], doc_attrs)
+        if args[1][0] != "num" or args[2][0] != "num":
+            raise ValueError("scale() bounds must be numeric literals")
+        lo, hi = float(args[1][1]), float(args[2][1])
+        row = doc_attrs.agg(F.min(src).alias("mn"),
+                            F.max(src).alias("mx")).collect()[0]
+        mn, mx = float(row["mn"]), float(row["mx"])
+        span = (mx - mn) or 1.0
+        return (src - F.lit(mn)) / F.lit(span) * F.lit(hi - lo) + F.lit(lo)
+    cols = [value_source_column(a, doc_attrs) for a in args]
+    if name == "sum":
+        out = cols[0]
+        for c in cols[1:]:
+            out = out + c
+        return out
+    if name in ("product", "mul"):
+        out = cols[0]
+        for c in cols[1:]:
+            out = out * c
+        return out
+    if name == "sub":
+        return cols[0] - cols[1]
+    if name == "div":
+        return cols[0] / cols[1]
+    if name == "recip":
+        x, m, a, b = cols
+        return a / (m * x + b)
+    if name == "linear":
+        x, m, c = cols
+        return m * x + c
+    if name == "sqrt":
+        return F.sqrt(cols[0])
+    if name == "abs":
+        return F.abs(cols[0])
+    if name == "ln":
+        return F.log(cols[0])
+    if name == "log":
+        return F.log10(cols[0])
+    if name == "exp":
+        return F.exp(cols[0])
+    if name == "pow":
+        return F.pow(cols[0], cols[1])
+    if name == "max":
+        return F.greatest(cols[0], cols[1])
+    if name == "min":
+        return F.least(cols[0], cols[1])
+    raise ValueError(f"unknown value-source function {name!r}")
 
 
 def solr_qparser(searcher, s: str,
@@ -78,4 +222,55 @@ def solr_qparser(searcher, s: str,
             F.desc("score"), F.asc("docid"))
         return (j.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1).select("docid", "score"))
+    if name == "func":
+        # FunctionQParserPlugin.java -> FunctionQuery: every doc in
+        # the attrs frame scored by the expression (matches-all).
+        if doc_attrs is None:
+            raise ValueError("{!func} needs a doc_attrs frame")
+        col = value_source_column(parse_value_source(rest), doc_attrs)
+        return doc_attrs.select("docid", col.alias("score"))
+    if name == "boost":
+        # BoostQParserPlugin.java / queries/function/BoostedQuery:
+        # inner score multiplied by the ValueSource, in that op order.
+        if doc_attrs is None:
+            raise ValueError("{!boost} needs a doc_attrs frame")
+        if "b" not in params:
+            raise ValueError("{!boost} needs b=<value source>")
+        col = value_source_column(parse_value_source(params["b"]),
+                                  doc_attrs)
+        m = searcher.matches(A.parse_query(rest))
+        return (m.join(doc_attrs, "docid")
+                .select("docid", (F.col("score") * col).alias("score")))
+    if name == "frange":
+        # FunctionRangeQParserPlugin.java -> FunctionRangeQuery:
+        # ValueSourceRangeFilter over the expression, constant score.
+        if doc_attrs is None:
+            raise ValueError("{!frange} needs a doc_attrs frame")
+        col = value_source_column(parse_value_source(rest), doc_attrs)
+        cond = F.lit(True)
+        if "l" in params:
+            lo = F.lit(float(params["l"]))
+            cond = cond & (col >= lo if params.get("incl", "true")
+                           == "true" else col > lo)
+        if "u" in params:
+            hi = F.lit(float(params["u"]))
+            cond = cond & (col <= hi if params.get("incu", "true")
+                           == "true" else col < hi)
+        return (doc_attrs.withColumn("_v", col).where(cond)
+                .select("docid", F.lit(1.0).alias("score")))
+    if name == "terms":
+        # TermsQParserPlugin.java: field value IN a comma-separated
+        # set; text routes to indexed TermInSetQ, other fields to the
+        # attrs frame. Constant score 1.0 (the plugin's default).
+        vals = [v for v in rest.split(",") if v]
+        field = params.get("f", "text")
+        if field == "text":
+            return (searcher.matches(
+                A.TermInSetQ(tuple(v.lower() for v in vals)))
+                .select("docid", F.lit(1.0).alias("score")))
+        if doc_attrs is None:
+            raise ValueError("{!terms} on a non-text field needs "
+                             "a doc_attrs frame")
+        return (doc_attrs.where(F.col(field).cast("string").isin(vals))
+                .select("docid", F.lit(1.0).alias("score")))
     raise ValueError(f"unknown QParser dialect {name!r}")

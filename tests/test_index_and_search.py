@@ -475,6 +475,57 @@ def test_parse_local_params():
         "field": "la ng"}
 
 
+def test_parse_value_source():
+    import pytest as _pt
+
+    from lucene_solr_spark.search.solrq import parse_value_source
+
+    assert parse_value_source("3.5") == ("num", 3.5)
+    assert parse_value_source("n_chars") == ("field", "n_chars")
+    assert parse_value_source("field(n_chars)") == ("field", "n_chars")
+    assert parse_value_source("recip(docid,1,1000,1000)") == (
+        "call", "recip", [("field", "docid"), ("num", 1.0),
+                          ("num", 1000.0), ("num", 1000.0)])
+    assert parse_value_source("sum(a,product(b,2))") == (
+        "call", "sum", [("field", "a"),
+                        ("call", "product", [("field", "b"), ("num", 2.0)])])
+    with _pt.raises(ValueError):
+        parse_value_source("recip(x,1)(")
+    with _pt.raises(ValueError):
+        parse_value_source("sum(a,b) trailing")
+
+
+def test_value_source_eval_and_frange(spark):
+    """{!func}/{!frange} over a doc_attrs frame: the Column evaluation
+    matches hand arithmetic (scale() does its global min/max pre-pass
+    like ScaleFloatFunction.createWeight)."""
+    from lucene_solr_spark.search.solrq import (
+        parse_value_source, solr_qparser, value_source_column)
+
+    attrs = spark.createDataFrame(
+        [(i, float(10 * i)) for i in range(5)], "docid long, x double")
+    col = value_source_column(
+        parse_value_source("sum(recip(docid,1,10,10),linear(x,0.5,1))"),
+        attrs)
+    got = {r["docid"]: r["v"]
+           for r in attrs.select("docid", col.alias("v")).collect()}
+    want = {i: 10.0 / (1.0 * i + 10.0) + (0.5 * (10.0 * i) + 1.0)
+            for i in range(5)}
+    assert got == want
+
+    sc = value_source_column(
+        parse_value_source("scale(x,0,1)"), attrs)
+    vals = {r["docid"]: r["v"]
+            for r in attrs.select("docid", sc.alias("v")).collect()}
+    assert vals == {i: (10.0 * i) / 40.0 for i in range(5)}
+
+    fr = solr_qparser(None, "{!frange l=10 u=16 incu=false}linear(x,0.5,1)",
+                      attrs)
+    assert sorted(r["docid"] for r in fr.collect()) == [2]
+    tm = solr_qparser(None, "{!terms f=docid}1,3", attrs)
+    assert sorted(r["docid"] for r in tm.collect()) == [1, 3]
+
+
 def test_flat_search_many_equals_singles(tiny_index):
     """Flat-engine batched serving: search_many (one shared
     scored-terms frame) returns exactly the per-query search()

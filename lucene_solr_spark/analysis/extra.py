@@ -10,19 +10,18 @@ the reference's 100+ analyzer farm):
   KeywordAnalyzer     .../core/KeywordAnalyzer.java — the whole input
                       is ONE token (exact-match fields)
 
-Each is a plain ``analyze(text) -> [(term, position)]`` plus a
-generic batch inverter; they plug into build_index(analyzer=...) /
-build_segment_index(analyzer=...). The standard chain keeps its fused
-numpy fast path (analysis/standard.py) — these generic inverters are
-correctness-first (alternate analyzers are not the benchmarked hot
-path).
+Each is a plain ``analyze(text) -> [(term, position)]``; they plug
+into build_index(analyzer=...) / build_segment_index(analyzer=...).
+The batch inverter is the standard chain's fused one-pass
+analyze+invert (analysis/standard.py invert_batch) with the tokenize
+step swapped — alternate-analyzer builds share the hot path's loop
+shape instead of a slower generic walk.
 """
 
 from __future__ import annotations
 
 import re
 
-import numpy as np
 import pandas as pd
 
 MAX_TOKEN_LENGTH = 255
@@ -31,21 +30,14 @@ _LETTER_RE = re.compile(r"[^\W\d_]+")
 
 
 def whitespace_analyze(text: str) -> list[tuple[str, int]]:
-    out = []
-    for pos, tok in enumerate(text.split()):
-        if len(tok) > MAX_TOKEN_LENGTH:
-            continue
-        out.append((tok, pos))
-    return out
+    return [(t, p) for p, t in enumerate(text.split())
+            if len(t) <= MAX_TOKEN_LENGTH]
 
 
 def simple_analyze(text: str) -> list[tuple[str, int]]:
-    out = []
-    for pos, tok in enumerate(_LETTER_RE.findall(text)):
-        if len(tok) > MAX_TOKEN_LENGTH:
-            continue
-        out.append((tok.lower(), pos))
-    return out
+    return [(t.lower(), p)
+            for p, t in enumerate(_LETTER_RE.findall(text))
+            if len(t) <= MAX_TOKEN_LENGTH]
 
 
 def keyword_analyze(text: str) -> list[tuple[str, int]]:
@@ -60,27 +52,11 @@ ANALYZERS = {
 
 
 def invert_batch_generic(texts: pd.Series, analyze, with_positions: bool):
-    """Generic analyze+invert for one Arrow batch: per text returns
-    (doclen, terms, tfs[, poslists]) with terms sorted and positions
-    in ascending order — the same contract as the standard chain's
-    invert_batch."""
-    texts = texts.fillna("")
-    n = len(texts)
-    doclens = np.empty(n, dtype=np.int32)
-    all_terms, all_tfs, all_pos = [], [], []
-    for i, text in enumerate(texts):
-        toks = analyze(text)
-        doclens[i] = len(toks)
-        by_term: dict[str, list[int]] = {}
-        for term, pos in toks:
-            by_term.setdefault(term, []).append(pos)
-        terms = sorted(by_term)
-        all_terms.append(np.array(terms, dtype=object))
-        all_tfs.append(np.array([len(by_term[t]) for t in terms],
-                                dtype=np.int32))
-        if with_positions:
-            all_pos.append([np.array(by_term[t], dtype=np.int32)
-                            for t in terms])
-    if with_positions:
-        return doclens, all_terms, all_tfs, all_pos
-    return doclens, all_terms, all_tfs
+    """Analyze+invert for one Arrow batch with a swapped tokenize step:
+    delegates to the standard chain's fused invert_batch, so alternate
+    analyzers invert at the same per-doc cost as the standard build
+    (same contract: (doclen, terms, tfs[, poslists]), terms sorted,
+    positions ascending)."""
+    from lucene_solr_spark.analysis.standard import invert_batch
+
+    return invert_batch(texts, with_positions, analyze_fn=analyze)

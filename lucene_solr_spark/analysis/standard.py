@@ -218,7 +218,8 @@ def invert_batch_offsets(texts: pd.Series):
     return doclens, terms_out, tfs_out, pos_out, st_out, en_out
 
 
-def invert_batch(texts: pd.Series, with_positions: bool = True):
+def invert_batch(texts: pd.Series, with_positions: bool = True,
+                 analyze_fn=None):
     """Analyze + per-document inversion in ONE pass (the
     DefaultIndexingChain.processField + TermsHashPerField.add step
     fused): for each text, returns (doclen, terms, tfs[, poslists])
@@ -230,6 +231,11 @@ def invert_batch(texts: pd.Series, with_positions: bool = True):
     then carries one row per (doc, distinct term), already combined —
     the same reduction TermsHashPerField's in-RAM hash performs before
     flush.
+
+    ``analyze_fn``: optional swapped tokenize step (text ->
+    [(term, pos)]) so alternate analyzers (whitespace/simple/keyword)
+    share this fused inverter instead of a slower generic path; None
+    selects the standard chain.
     """
     from collections import Counter
 
@@ -239,7 +245,10 @@ def invert_batch(texts: pd.Series, with_positions: bool = True):
     tfs_out = np.empty(len(texts), dtype=object)
     pos_out = np.empty(len(texts), dtype=object) if with_positions else None
     for i, s in enumerate(texts):
-        toks = _analyze_ascii_lower(s.lower()) if s.isascii() else analyze(s)
+        if analyze_fn is not None:
+            toks = analyze_fn(s)
+        else:
+            toks = _analyze_ascii_lower(s.lower()) if s.isascii() else analyze(s)
         # field length = number of EMITTED tokens (stop/overlength
         # excluded), BM25Similarity discountOverlaps semantics.
         doclens[i] = len(toks)

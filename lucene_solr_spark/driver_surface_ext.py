@@ -2074,16 +2074,23 @@ def _suggest_analyzing(spark, sf):
     """Weight-ordered ANALYZED completion (AnalyzingSuggester vs the
     raw term-prefix table of suggest_prefix): entries are each doc's
     leading 30 chars weighted by n_chars; the query 'custo' is
-    analyzed with the same chain, last token treated as a prefix."""
+    analyzed with the same chain, last token treated as a prefix.
+    Served from the PERSISTED key-prefix-partitioned layout
+    (write_suggester — the FST file's role), so the lookup reads one
+    pfx partition, not the whole table."""
     from lucene_solr_spark.operators.searchext import (
-        analyzing_suggest, build_analyzing_suggester)
+        analyzing_suggest, build_analyzing_suggester, load_suggester,
+        write_suggester)
 
-    docs = _load(spark, sf, "documents")
-    entries = docs.select(
-        F.substring("text", 1, 30).alias("surface"),
-        F.col("n_chars").alias("weight"))
-    sugg = build_analyzing_suggester(entries)
-    return analyzing_suggest(sugg, "custo", k=10)
+    key = os.path.basename(sf.rstrip("/"))
+    path = f"/tmp/driver_suggester_{key}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        docs = _load(spark, sf, "documents")
+        entries = docs.select(
+            F.substring("text", 1, 30).alias("surface"),
+            F.col("n_chars").alias("weight"))
+        write_suggester(build_analyzing_suggester(entries), path)
+    return analyzing_suggest(load_suggester(spark, path), "custo", k=10)
 
 
 _register("suggest_analyzing", _suggest_analyzing, f"""

@@ -197,29 +197,55 @@ def check_index(si: SegmentIndex, max_report: int = 20) -> dict:
 
     # 4. norms blob vs docs table. Docids map to live segments by
     # range (docs.seg_id is the original build partition, which merges
-    # do not rewrite), so route by doc_base interval.
-    norm_rows = si.norms.select("seg_id", "doc_base", "norms").collect()
-    norm_rows = sorted(norm_rows, key=lambda r: r["doc_base"])
-    bases = np.array([r["doc_base"] for r in norm_rows], dtype=np.int64)
-    blobs = [bytes(r["norms"]) for r in norm_rows]
-    blob_b = si.spark.sparkContext.broadcast((bases, blobs))
+    # do not rewrite), so route by doc_base interval. The pass streams
+    # PER SEGMENT like the postings pass: only the tiny
+    # (seg_id, doc_base) metadata reaches the driver; each blob is
+    # shuffled once to the one cogroup task checking its segment's
+    # docs — no O(total docs) driver-side collect.
+    meta_rows = sorted(si.norms.select("seg_id", "doc_base").collect(),
+                       key=lambda r: r["doc_base"])
+    bases = np.array([r["doc_base"] for r in meta_rows], dtype=np.int64)
+    owner_segs = np.array([r["seg_id"] for r in meta_rows], dtype=np.int64)
+    tag_b = si.spark.sparkContext.broadcast((bases, owner_segs))
 
-    def check_norms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        nerr = 0
-        bases_l, blobs_l = blob_b.value
-        arrs = [np.frombuffer(b, dtype=np.uint8) for b in blobs_l]
+    def tag_owner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bases_l, segs_l = tag_b.value
         for pdf in batches:
             docid = pdf["docid"].to_numpy(dtype=np.int64)
-            nb = pdf["norm_byte"].to_numpy(dtype=np.int64)
-            seg_ix = np.searchsorted(bases_l, docid, side="right") - 1
-            for s in np.unique(seg_ix):
-                m = seg_ix == s
-                idx = docid[m] - bases_l[s]
-                nerr += int((arrs[s][idx] != nb[m]).sum())
-        yield pd.DataFrame({"nerr": [nerr]})
+            ix = np.searchsorted(bases_l, docid, side="right") - 1
+            own = np.where(ix >= 0, segs_l[np.clip(ix, 0, None)], -1)
+            yield pd.DataFrame({"docid": docid,
+                                "norm_byte": pdf["norm_byte"].to_numpy(),
+                                "own_seg": own})
 
-    nerr = (si.docs.select("docid", "norm_byte")
-            .mapInPandas(check_norms, schema="nerr long")
+    tagged = (si.docs.select("docid", "norm_byte")
+              .mapInPandas(tag_owner,
+                           schema="docid long, norm_byte int, own_seg long"))
+    norms_keyed = si.norms.select(
+        F.col("seg_id").cast("long").alias("own_seg"), "doc_base",
+        "doc_count", "norms")
+
+    def check_norms(docs_pdf: pd.DataFrame,
+                    norm_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(docs_pdf) == 0:
+            return pd.DataFrame({"nerr": [0]})
+        if len(norm_pdf) == 0:
+            # docs owned by no norms segment (or own_seg == -1)
+            return pd.DataFrame({"nerr": [len(docs_pdf)]})
+        arr = np.frombuffer(bytes(norm_pdf["norms"].iloc[0]),
+                            dtype=np.uint8)
+        base = int(norm_pdf["doc_base"].iloc[0])
+        docid = docs_pdf["docid"].to_numpy(dtype=np.int64)
+        nb = docs_pdf["norm_byte"].to_numpy(dtype=np.int64)
+        idx = docid - base
+        in_rng = (idx >= 0) & (idx < len(arr))
+        bad = int((~in_rng).sum())
+        bad += int((arr[idx[in_rng]] != nb[in_rng]).sum())
+        return pd.DataFrame({"nerr": [bad]})
+
+    nerr = (tagged.groupBy("own_seg")
+            .cogroup(norms_keyed.groupBy("own_seg"))
+            .applyInPandas(check_norms, schema="nerr long")
             .agg(F.sum("nerr")).collect()[0][0])
     if nerr:
         raise CheckIndexError(f"{nerr} norm bytes disagree between docs table and blob")

@@ -138,14 +138,42 @@ def build_analyzing_suggester(entries: DataFrame, surface_col: str = "surface",
     return keyed.groupBy("key", "surface").agg(F.max("weight").alias("weight"))
 
 
+SUGGEST_PREFIX_LEN = 2  # key-prefix partition width of the persisted layout
+
+
+def write_suggester(suggester: DataFrame, path: str,
+                    prefix_len: int = SUGGEST_PREFIX_LEN) -> None:
+    """Persist the completion table in the FST file's role
+    (AnalyzingSuggester.java store(): the weight-sorted FST written
+    once, memory-mapped by lookups): keys are directory-partitioned by
+    their first ``prefix_len`` chars and sorted within each partition,
+    so a lookup touches ONE key-prefix partition (partition pruning)
+    and, inside it, only the row groups whose [min,max] key range
+    intersects the prefix (parquet StartsWith pushdown) — the
+    range-scan shape of an FST prefix walk, O(matching keys) IO."""
+    (suggester
+     .withColumn("pfx", F.substring("key", 1, prefix_len))
+     .repartition("pfx")
+     .sortWithinPartitions("key")
+     .write.partitionBy("pfx").mode("overwrite").parquet(path))
+
+
+def load_suggester(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def analyzing_suggest(suggester: DataFrame, query: str, k: int = 10,
-                      exact_first: bool = True) -> DataFrame:
+                      exact_first: bool = True,
+                      prefix_len: int = SUGGEST_PREFIX_LEN) -> DataFrame:
     """AnalyzingSuggester.lookup (AnalyzingSuggester.java:614-694):
     analyze the query with the same chain, treat the LAST token as a
     partial prefix, match completion keys by prefix, rank by
     (exact-match first when ``exact_first``, weight desc, surface asc)
     — the weight-ordered automaton/FST intersection re-expressed as a
-    prefix range scan + top-k. Returns (surface, weight, rank)."""
+    prefix range scan + top-k. On a write_suggester layout (a 'pfx'
+    column is present) the scan adds the partition-pruning predicate,
+    so only the query's key-prefix directory is read.
+    Returns (surface, weight, rank)."""
     from lucene_solr_spark.analysis.standard import analyze
 
     toks = [t for t, _ in analyze(query)]
@@ -153,7 +181,13 @@ def analyzing_suggest(suggester: DataFrame, query: str, k: int = 10,
         spark = suggester.sparkSession
         return spark.createDataFrame([], "surface string, weight long, rank long")
     qkey = SUGGEST_SEP.join(toks)
-    cand = suggester.where(F.col("key").startswith(qkey))
+    cand = suggester
+    if "pfx" in suggester.columns:
+        # equality when len(qkey) >= prefix_len (pfx is exactly the
+        # key's first prefix_len chars there); startswith covers the
+        # shorter-query case — both prune on the partition column.
+        cand = cand.where(F.col("pfx").startswith(qkey[:prefix_len]))
+    cand = cand.where(F.col("key").startswith(qkey))
     exact = F.when(F.col("key") == qkey, F.lit(1)).otherwise(F.lit(0))
     if not exact_first:
         exact = F.lit(0)

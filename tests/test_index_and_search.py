@@ -569,3 +569,35 @@ def test_term_automaton_random_paths_equal_phrases(tiny_index):
         phrase = {r["docid"]: np.float32(r["score"]) for r in s.matches(
             A.PhraseQ(tuple(terms))).collect()}
         assert auto == phrase, terms
+
+
+def test_suggester_persisted_layout_prunes(spark, tmp_path_factory):
+    """write_suggester persists the completion table key-prefix-
+    partitioned (the FST file's role); a lookup on the persisted
+    layout (a) returns exactly the in-memory lookup's rows and (b)
+    plan-proves pruning: a partition filter on pfx plus a StartsWith
+    pushed filter on key reach the parquet scan."""
+    from lucene_solr_spark.operators.searchext import (
+        analyzing_suggest, build_analyzing_suggester, load_suggester,
+        write_suggester)
+
+    rows = [(f"customer {w}", 10 + i) for i, w in
+            enumerate(["alpha", "beta", "gamma"])]
+    rows += [("custom tooling", 99), ("zebra crossing", 5),
+             ("alpha beta", 7), ("merge sort", 3)]
+    entries = spark.createDataFrame(rows, "surface string, weight long")
+    sugg = build_analyzing_suggester(entries)
+
+    path = str(tmp_path_factory.mktemp("sugg") / "layout")
+    write_suggester(sugg, path)
+    persisted = load_suggester(spark, path)
+
+    want = sorted(tuple(r) for r in
+                  analyzing_suggest(sugg, "custo", k=10).collect())
+    out_df = analyzing_suggest(persisted, "custo", k=10)
+    got = sorted(tuple(r) for r in out_df.collect())
+    assert got == want and len(got) == 4
+
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "pfx" in plan
+    assert "StartsWith(key,cu" in plan.replace(" ", ""), plan

@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from lucene_solr_spark.driver_surface import (
     FT_BASE,
+    _BM25_S,
     _STOP_SQL,
     _docs_index,
     _ft_scored,
@@ -2901,4 +2902,68 @@ def _solr_terms_qp(spark, sf):
 _register("solr_terms_qp", _solr_terms_qp, """
 SELECT lang, count(*)::BIGINT AS n FROM documents
 WHERE lang IN ('es', 'zh') GROUP BY lang ORDER BY lang
+""")
+
+
+def _solr_bool_qp(spark, sf):
+    """{!bool must= should= must_not=} (BoolQParserPlugin.java):
+    explicit boolean composition — must scores, should adds when it
+    co-matches (ReqOptSumScorer), must_not excludes."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    out = solr_qparser(s, "{!bool must=hash should=join must_not=merge}")
+    return _quantize_topk(out, 10)
+
+
+_register("solr_bool_qp", _solr_bool_qp, f"""
+WITH {FT_BASE}, {_ft_scored(['hash', 'join'])},
+req AS (SELECT doc_id, s FROM scored WHERE term = 'hash'),
+opt AS (SELECT doc_id, s FROM scored WHERE term = 'join'),
+agg AS (
+  SELECT r.doc_id,
+         CAST(floor((r.s + coalesce(o.s, 0)) * 1000000) AS BIGINT) AS score_q
+  FROM req r LEFT JOIN opt o USING (doc_id)
+  WHERE r.doc_id NOT IN (SELECT DISTINCT doc_id FROM postings
+                         WHERE term = 'merge')
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
+def _solr_mlt_qp(spark, sf):
+    """{!mlt maxqt=5 mindf=2}0 (MLTQParserPlugin.java): doc 0's top
+    tf*idf terms OR-queried under BM25, source doc excluded."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    out = solr_qparser(s, "{!mlt maxqt=5 mindf=2}0")
+    return _quantize_topk(out, 10)
+
+
+_register("solr_mlt_qp", _solr_mlt_qp, f"""
+WITH {FT_BASE},
+mine AS (SELECT term, tf::DOUBLE AS tf FROM postings WHERE doc_id = 0),
+sel AS (
+  SELECT m.term,
+         CAST(floor(m.tf * ln(1 + cs.n / (ts.df + 1)) * 1000000) AS BIGINT)
+           AS score_q
+  FROM mine m JOIN tstats ts USING (term) CROSS JOIN cstats cs
+  WHERE ts.df >= 2
+),
+mlt AS (
+  SELECT term FROM sel
+  QUALIFY row_number() OVER (ORDER BY score_q DESC, term) <= 5
+),
+sc2 AS (
+  SELECT p.doc_id, {_BM25_S} AS s
+  FROM postings p JOIN mlt USING (term)
+  JOIN tstats ts USING (term) JOIN doclen dl USING (doc_id)
+  CROSS JOIN cstats cs
+),
+agg AS (
+  SELECT doc_id, CAST(floor(sum(s) * 1000000) AS BIGINT) AS score_q
+  FROM sc2 WHERE doc_id <> 0 GROUP BY doc_id
+)
+{_topk_sql("SELECT * FROM agg", 10)}
 """)

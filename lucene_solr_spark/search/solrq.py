@@ -22,6 +22,13 @@ onto existing engine operators:
                              constant score 1.0
   {!terms f=F}v1,v2,...      TermsQParserPlugin.java: field value in
                              a comma-separated set, constant score
+  {!bool must=.. should=..   BoolQParserPlugin.java: explicit boolean
+        must_not=..}         composition of sub-queries (one string
+                             per occur; must+should = ReqOptSumScorer
+                             shape)
+  {!mlt maxqt=.. mindf=..}id MLTQParserPlugin.java: MoreLikeThis —
+                             pick the doc's top tf*idf terms, OR-query
+                             them, exclude the source doc
 
 Only the single indexed text field exists, so f= must be 'text' for
 term/prefix; join, collapse, func, boost, frange and terms take their
@@ -273,4 +280,43 @@ def solr_qparser(searcher, s: str,
                              "a doc_attrs frame")
         return (doc_attrs.where(F.col(field).cast("string").isin(vals))
                 .select("docid", F.lit(1.0).alias("score")))
+    if name == "bool":
+        # BoolQParserPlugin.java: must/should/must_not params each
+        # hold a sub-query string. must+should composes as the
+        # ReqOptSumScorer shape (required score, optional added when
+        # it co-matches); must_not wraps the result in an exclusion.
+        must = A.parse_query(params["must"]) if "must" in params else None
+        should = (A.parse_query(params["should"])
+                  if "should" in params else None)
+        if must is not None and should is not None:
+            node = A.ReqOptQ(must, should)
+        elif must is not None:
+            node = must
+        elif should is not None:
+            node = should
+        else:
+            raise ValueError("{!bool} needs must= and/or should=")
+        if "must_not" in params:
+            node = A.NotQ(node, A.parse_query(params["must_not"]))
+        return searcher.matches(node)
+    if name == "mlt":
+        # MLTQParserPlugin.java: body is the source docid; interesting
+        # terms ranked by tf*idf (MoreLikeThis.java), OR-queried,
+        # source doc excluded. The <= maxqt selected terms transit the
+        # driver — MLT is inherently two-phase (term selection, then
+        # query), like the reference's.
+        from lucene_solr_spark.operators.searchext import (
+            more_like_this_terms)
+
+        doc = int(rest)
+        max_terms = int(params.get("maxqt", 10))
+        min_df = int(params.get("mindf", 2))
+        terms = [r["term"] for r in more_like_this_terms(
+            searcher.index, doc, max_terms, min_df).collect()]
+        if not terms:
+            return (searcher.index.docs.select("docid")
+                    .where(F.lit(False))
+                    .withColumn("score", F.lit(0.0)))
+        m = searcher.matches(A.OrQ(tuple(A.TermQ(t) for t in terms)))
+        return m.where(F.col("docid") != doc)
     raise ValueError(f"unknown QParser dialect {name!r}")

@@ -2573,6 +2573,49 @@ ORDER BY c_custkey
 """)
 
 
+# concave L-shaped shell with a rectangular hole — the general
+# (non-convex, holed) planar polygon path
+_POLY_SHELL = [(30.0, -10.0), (30.0, 30.0), (45.0, 30.0),
+               (45.0, 10.0), (60.0, 10.0), (60.0, -10.0)]
+_POLY_HOLE = [(35.0, -5.0), (35.0, 5.0), (40.0, 5.0), (40.0, -5.0)]
+
+
+def _ring_sql(ring) -> str:
+    """The even-odd crossing parity of spatial._ray_cast_cond as SQL:
+    XOR chain (boolean <>) over straddling edges."""
+    expr = "FALSE"
+    n = len(ring)
+    for i in range(n):
+        a_lat, a_lon = ring[i]
+        b_lat, b_lon = ring[(i + 1) % n]
+        if a_lat == b_lat:
+            continue
+        edge = (f"((({a_lat} > {_GEO_LAT}) <> ({b_lat} > {_GEO_LAT}))"
+                f" AND ({_GEO_LON} < ({b_lon - a_lon})"
+                f" * ({_GEO_LAT} - {a_lat}) / ({b_lat - a_lat})"
+                f" + {a_lon}))")
+        expr = f"({expr} <> {edge})"
+    return expr
+
+
+def _geo_polygon_holes(spark, sf):
+    """General planar polygon with a hole (core/geo/Polygon.java,
+    LatLonPointInPolygonQuery): concave L-shaped shell, rectangular
+    hole, even-odd ray casting."""
+    from lucene_solr_spark.operators.spatial import polygon_query
+
+    g = _geo_frame(spark, sf)
+    return (polygon_query(g, _POLY_SHELL, [_POLY_HOLE])
+            .select("c_custkey").orderBy("c_custkey"))
+
+
+_register("geo_polygon_holes", _geo_polygon_holes, f"""
+SELECT c_custkey FROM customer
+WHERE {_ring_sql(_POLY_SHELL)} AND NOT {_ring_sql(_POLY_HOLE)}
+ORDER BY c_custkey
+""")
+
+
 # ---- SQ8 quantized vector search -------------------------------------------
 
 def _ann_sq8(spark, sf):

@@ -102,15 +102,57 @@ def nearest(df: DataFrame, lat: float, lon: float, k: int,
             .withColumn("rank", F.row_number().over(w).cast("long")))
 
 
+def _ray_cast_cond(ring: list[tuple[float, float]], lat_col: str,
+                   lon_col: str) -> Column:
+    """Even-odd crossing parity of a westward ray from the point
+    against one ring (the PNPOLY form of Polygon.java's contains()
+    crossing count): an edge contributes a crossing iff it straddles
+    the point's latitude and its longitude-intercept at that latitude
+    lies east of the point. Parity folds as a boolean XOR chain —
+    pure column arithmetic, identical in any SQL engine."""
+    if len(ring) < 3:
+        raise ValueError("ring needs >= 3 vertices")
+    cond = F.lit(False)
+    n = len(ring)
+    p_lat, p_lon = F.col(lat_col), F.col(lon_col)
+    for i in range(n):
+        a_lat, a_lon = ring[i]
+        b_lat, b_lon = ring[(i + 1) % n]
+        if a_lat == b_lat:
+            continue  # parallel to the ray: never straddles
+        straddles = (F.lit(a_lat) > p_lat) != (F.lit(b_lat) > p_lat)
+        xint = (F.lit(b_lon - a_lon) * (p_lat - F.lit(a_lat))
+                / F.lit(b_lat - a_lat) + F.lit(a_lon))
+        cond = cond != (straddles & (p_lon < xint))  # boolean XOR
+    return cond
+
+
+def polygon_query(df: DataFrame, shell: list[tuple[float, float]],
+                  holes: list[list[tuple[float, float]]] = (),
+                  lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """General PLANAR polygon containment with holes
+    (core/geo/Polygon.java + document/LatLonPointInPolygonQuery):
+    inside the shell by even-odd ray casting AND outside every hole.
+    Arbitrary (also concave) rings, any vertex order. Stays planar —
+    the reference's geodesic edge interpolation (Polygon2D's lat/lon
+    crossing refinement) is out of scope, documented; for the
+    sub-degree edges of typical filters the planar/geodesic gap is
+    below the coordinate lattice."""
+    cond = _ray_cast_cond(shell, lat_col, lon_col)
+    for h in holes:
+        cond = cond & ~_ray_cast_cond(h, lat_col, lon_col)
+    return df.where(cond)
+
+
 def convex_polygon_query(df: DataFrame, vertices: list[tuple[float, float]],
                          lat_col: str = "lat",
                          lon_col: str = "lon") -> DataFrame:
-    """Convex-polygon containment (the planar-convex subset of
-    LatLonPoint.newPolygonQuery — geodesic general polygons with holes
-    stay out of scope): vertices as (lat, lon) in counter-clockwise
-    order; a point is inside iff every edge's cross product
-    (b-a) x (p-a) >= 0. Pure arithmetic inequalities — they reach the
-    scan, and the same expressions run in any SQL engine."""
+    """Convex-polygon containment (the planar-convex fast path of
+    LatLonPoint.newPolygonQuery; general/concave rings and holes go
+    through polygon_query's ray casting): vertices as (lat, lon) in
+    counter-clockwise order; a point is inside iff every edge's cross
+    product (b-a) x (p-a) >= 0. Pure arithmetic inequalities — they
+    reach the scan, and the same expressions run in any SQL engine."""
     if len(vertices) < 3:
         raise ValueError("polygon needs >= 3 vertices")
     cond = None

@@ -171,3 +171,50 @@ def test_sq8_probe_never_reads_float_column(spark, emb, ann_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "embedding" not in plan, plan
     assert "codes" in plan
+
+
+def test_polygon_holes_matches_numpy_raycast(spark):
+    """polygon_query (even-odd ray casting with holes) agrees with an
+    independent numpy PNPOLY on a random lattice, and reduces to
+    convex_polygon_query on a convex ring."""
+    import numpy as np
+
+    from lucene_solr_spark.operators.spatial import (
+        convex_polygon_query, polygon_query)
+
+    rng = np.random.default_rng(7)
+    lat = np.round(rng.uniform(25, 65, 400), 2)
+    lon = np.round(rng.uniform(-20, 40, 400), 2)
+    df = spark.createDataFrame(
+        [(int(i), float(a), float(o)) for i, (a, o) in
+         enumerate(zip(lat, lon))], "id long, lat double, lon double")
+
+    def pnpoly(ring, plat, plon):
+        inside = np.zeros(len(plat), dtype=bool)
+        n = len(ring)
+        for i in range(n):
+            a_lat, a_lon = ring[i]
+            b_lat, b_lon = ring[(i + 1) % n]
+            if a_lat == b_lat:
+                continue
+            strad = (a_lat > plat) != (b_lat > plat)
+            xint = ((b_lon - a_lon) * (plat - a_lat)
+                    / (b_lat - a_lat) + a_lon)
+            inside ^= strad & (plon < xint)
+        return inside
+
+    shell = [(30.0, -10.0), (30.0, 30.0), (45.0, 30.0),
+             (45.0, 10.0), (60.0, 10.0), (60.0, -10.0)]
+    hole = [(35.0, -5.0), (35.0, 5.0), (40.0, 5.0), (40.0, -5.0)]
+    want = set(np.flatnonzero(
+        pnpoly(shell, lat, lon) & ~pnpoly(hole, lat, lon)).tolist())
+    got = {r["id"] for r in
+           polygon_query(df, shell, [hole]).select("id").collect()}
+    assert got == want and 0 < len(got) < 400
+
+    convex = [(35.0, -12.0), (35.0, 25.0), (60.0, 30.0), (60.0, -15.0)]
+    a = {r["id"] for r in
+         convex_polygon_query(df, convex).select("id").collect()}
+    b = {r["id"] for r in
+         polygon_query(df, convex).select("id").collect()}
+    assert a == b

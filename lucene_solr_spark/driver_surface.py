@@ -1019,24 +1019,29 @@ from lucene_solr_spark import driver_surface_ext  # noqa: E402,F401
 # greens. Everything else follows in registration order.
 
 DRIVER_PRIORITY = [
-    # (a) round-2 registrations with no driver verdict yet
-    "dedup_embedding", "ft_boost_function", "mm_frames", "nb_classify",
-    "span_containing", "span_within", "text_token_bpe", "cardinality_hll",
-    # (b) new in round 3
-    "ft_dfr", "ft_ib", "ft_dfi", "seg_function_query", "seg_sort_dv",
-    "shortest_path_paths", "ft_multiphrase_rpt", "suggest_analyzing",
-    "ft_qparser_mix", "index_sorted_topk", "term_automaton",
-    "geo_box", "geo_distance", "geo_nearest", "ft_func_breadth",
-    "ft_whitespace_term", "jdbc_stream", "solr_collapse_qp", "solr_join_qp", "geo_polygon", "ann_sq8", "ann_sq8_rerank",
-    # (c) flagship: segment index + block-max WAND (float32-exact oracles)
+    # (a) new or re-pointed in round 4: the two-phase phrase kernel,
+    # multi-field qf, persisted SQ8 layout, deterministic HLL (clears
+    # the r3 no_oracle row), persisted suggester, executor-striped
+    # JDBC, contract-fixed whitespace oracle, six QParser ValueSource/
+    # bool/mlt dialects, polygons with holes
+    "seg_phrase_hot", "seg_phrase", "ft_multifield_qf",
+    "ft_multifield_bool", "ann_sq8", "ann_sq8_rerank", "cardinality_hll",
+    "suggest_analyzing", "jdbc_stream", "ft_whitespace_term",
+    "solr_func_qp", "solr_boost_qp", "solr_frange_qp", "solr_terms_qp",
+    "solr_bool_qp", "solr_mlt_qp", "geo_polygon_holes",
+    # (b) flagship: segment index + block-max WAND (float32-exact
+    # oracles) — permanent regression guard on the scoring kernel
     "seg_bm25_wand", "seg_bm25_and", "seg_bm25_msm", "seg_bm25_not",
-    "seg_and_match", "seg_or_match", "seg_phrase",
-    # (d) regression sample across operator families
-    "hashjoin_stream", "rollup_stream", "stats_stream", "events_hourly",
-    "synonym", "req_opt", "spellcheck", "more_like_this",
-    "highlight",
-    "blockjoin_parent", "point_range",
-    "knn_classify", "ft_phrase_sloppy",
+    "seg_and_match", "seg_or_match", "seg_function_query", "seg_sort_dv",
+    # (c) r1-era rotation (no driver verdict since round 1)
+    "ft_term", "ft_bool_and", "ft_bool_or_msm", "ft_bool_not",
+    "ft_phrase", "ft_bm25_or", "facet_terms", "facet_pivot",
+    "innerjoin_stream", "fetch_stream", "leftouter_join",
+    "dedup_exact", "dedup_minhash", "export_sorted", "group_topk",
+    # (d) r2/r3 regression sample across operator families
+    "ft_edismax", "percolate", "rerank", "diversified_topk",
+    "blended_term", "term_automaton", "shortest_path_paths",
+    "events_sessionize", "stats_percentile", "geo_distance",
 ]
 
 

@@ -1099,8 +1099,10 @@ class WandSearcher:
         metadata rows (tiny) duplicated per shard and payload reads
         shared via the OS page cache. Default: auto —
         ceil(parallelism / live segments), so a big batch uses the
-        whole cluster. Non-WAND-shaped queries are not accepted here
-        (use search()).
+        whole cluster. Accepts WAND shapes AND exact/sloppy PhraseQ
+        (routed to the two-phase phrase kernel inside the same
+        segment task); other shapes are not accepted here (use
+        search()).
         """
         self._check_snapshot()
         n_seg = max(1, len(self.si.live_segments()))
@@ -1109,14 +1111,22 @@ class WandSearcher:
             query_shards = max(1, -(-par // n_seg))  # ceil
         query_shards = max(1, min(int(query_shards), len(queries)))
         parsed: dict[str, tuple[list[str], int, list[str]]] = {}
+        phrase_specs: dict[str, tuple[list[str], int, float]] = {}
         for qid, q in queries.items():
             if isinstance(q, str):
                 q = A.parse_query(q)
-            shape = self._flat_terms(q.rewrite())
+            q = q.rewrite()
+            if isinstance(q, A.PhraseQ):
+                phrase_specs[qid] = (list(q.terms), int(q.slop),
+                                     float(q.boost))
+                continue
+            shape = self._flat_terms(q)
             if shape is None:
                 raise ValueError(f"query {qid!r} is not WAND-shaped")
             parsed[qid] = shape
-        all_terms = sorted({t for s in parsed.values() for t in s[0] + s[2]})
+        all_terms = sorted(
+            {t for s in parsed.values() for t in s[0] + s[2]}
+            | {t for ts, _, _ in phrase_specs.values() for t in ts})
         if not all_terms:
             return self.si.spark.createDataFrame(
                 [], "qid string, docid long, score float, rank int")
@@ -1128,6 +1138,18 @@ class WandSearcher:
                   sorted({t for t in negs if dfs[t] > 0}))
             for qid, (terms, msm, negs) in parsed.items()
         }
+        # phrase weight = f32(boost * f32(sum idf over slots) * (k1+1)),
+        # exactly _search_phrase's; phrases with a missing term match
+        # nothing and drop out of the plan here
+        phrase_plan = {
+            qid: (terms, slop,
+                  np.float32(boost)
+                  * np.float32(float(sum(self.bm25.idf(dfs[t])
+                                         for t in terms)))
+                  * np.float32(self._k1 + 1.0))
+            for qid, (terms, slop, boost) in phrase_specs.items()
+            if all(dfs[t] > 0 for t in set(terms))
+        }
         bm25 = self.bm25
         k_ = int(k)
         idx_path = self.si.path
@@ -1136,10 +1158,13 @@ class WandSearcher:
         # each metadata row is exploded only to the shards whose
         # queries use its term (no blanket duplication)
         shard_of = {qid: i % query_shards
-                    for i, qid in enumerate(sorted(plan))}
+                    for i, qid in enumerate(sorted(plan) + sorted(phrase_plan))}
         term_shards: dict[str, set[int]] = {}
         for qid, (terms, msm, negs) in plan.items():
             for t in terms + negs:
+                term_shards.setdefault(t, set()).add(shard_of[qid])
+        for qid, (terms, slop, weight) in phrase_plan.items():
+            for t in terms:
                 term_shards.setdefault(t, set()).add(shard_of[qid])
 
         def per_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1161,6 +1186,16 @@ class WandSearcher:
                     exclude = np.unique(np.concatenate(neg_parts))
                 d, s = wand_topk(postings, weights, norms, doc_base, bm25,
                                  k=k_, msm=msm, exclude=exclude)
+                out_q.extend([qid] * len(d))
+                out_d.append(d)
+                out_s.append(s)
+            for qid, (terms, slop, weight) in phrase_plan.items():
+                if shard_of[qid] != shard:
+                    continue
+                if any(t not in eps for t in set(terms)):
+                    continue
+                d, s = phrase_topk(terms, eps, weight, norms, doc_base,
+                                   bm25, k=k_, slop=slop)
                 out_q.extend([qid] * len(d))
                 out_d.append(d)
                 out_s.append(s)

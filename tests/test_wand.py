@@ -221,13 +221,17 @@ def test_kernel_exclude():
 
 
 def test_search_many_matches_individual(seg_index):
-    """Batched multi-query execution == per-query execution exactly."""
+    """Batched multi-query execution == per-query execution exactly —
+    including exact and sloppy phrases routed to the two-phase kernel
+    inside the same segment task (round 4)."""
     ws = WandSearcher(seg_index)
     batch = {
         "q1": "t000001 AND t000002",
         "q2": "t000001 OR t000002",
         "q3": "t000100",
         "q4": "t000000 NOT t000001",
+        "q5": '"t000001 t000002"',
+        "q6": '"t000001 t000002"~2',
     }
     many = ws.search_many(batch, k=10)
     got = {}
@@ -241,9 +245,11 @@ def test_search_many_matches_individual(seg_index):
 
 
 def test_search_many_rejects_non_wand(seg_index):
+    from lucene_solr_spark.search import ast as A
+
     ws = WandSearcher(seg_index)
     with pytest.raises(ValueError):
-        ws.search_many({"p": '"t000001 t000002"'})
+        ws.search_many({"p": A.SpanNearQ("t000001", "t000002", slop=1)})
 
 
 def test_impact_frontier_tightens_bounds_safely():

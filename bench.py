@@ -205,6 +205,11 @@ def bench_wand_large(spark, n_docs: int = 500_000,
         "wl_term_tail": "t004999",
         "wl_and3_hot": "t000000 AND t000001 AND t000002",
         "wl_or3": "t000000 OR t000400 OR t004999",
+        # two-phase phrase kernel at production segment size: hot+hot
+        # and hot+rare — the rare term leads the conjunction, so cost
+        # tracks O(df_rare), not the head term's full postings
+        "wl_phrase_hot": '"t000000 t000001"',
+        "wl_phrase_mixed": '"t000000 t004999"',
     }
     for name, q in big_qset.items():
         times[name] = _min_of(lambda: ws.search(q, k=10).collect(),

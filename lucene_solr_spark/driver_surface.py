@@ -1024,7 +1024,7 @@ DRIVER_PRIORITY = [
     # the r3 no_oracle row), persisted suggester, executor-striped
     # JDBC, contract-fixed whitespace oracle, six QParser ValueSource/
     # bool/mlt dialects, polygons with holes
-    "seg_phrase_hot", "seg_phrase", "ft_multifield_qf",
+    "seg_phrase_hot", "seg_phrase", "seg_multiphrase", "ft_multifield_qf",
     "ft_multifield_bool", "ann_sq8", "ann_sq8_rerank", "cardinality_hll",
     "suggest_analyzing", "jdbc_stream", "ft_whitespace_term",
     "solr_func_qp", "solr_boost_qp", "solr_frange_qp", "solr_terms_qp",
@@ -1040,7 +1040,7 @@ DRIVER_PRIORITY = [
     "dedup_exact", "dedup_minhash", "export_sorted", "group_topk",
     # (d) r2/r3 regression sample across operator families
     "ft_edismax", "percolate", "rerank", "diversified_topk",
-    "blended_term", "term_automaton", "shortest_path_paths",
+    "term_automaton", "shortest_path_paths",
     "events_sessionize", "stats_percentile", "geo_distance",
 ]
 

@@ -1076,6 +1076,67 @@ def _seg_phrase_hot(spark, sf):
 _register("seg_phrase_hot", _seg_phrase_hot, _f32_phrase_sql("table", "hash"))
 
 
+from lucene_solr_spark.oracle_f32 import (  # noqa: E402
+    NT_SQL as _NT_SQL,
+    K1P1_F32 as _K1P1_F32,
+    ONE_MINUS_B_F32 as _ONE_MINUS_B_F32,
+)
+
+
+def _seg_multiphrase(spark, sf):
+    """MultiPhraseQuery via the segment-native two-phase slot-union
+    kernel (wand.multiphrase_topk — per-slot UnionPostingsEnum docid
+    union, ConjunctionDISI across slots, lazy per-group .pos fetch for
+    intersection docs only; search/MultiPhraseQuery.java's scorer
+    discipline): slot 0 accepts hash OR merge, slot 1 requires join.
+    Float32-exact top-10 vs the bit-exact f32 oracle (idf summed over
+    all three terms in sorted order)."""
+    return _wand_quantized(
+        spark, sf, A.MultiPhraseQ((("hash", "merge"), ("join",))))
+
+
+_register("seg_multiphrase", _seg_multiphrase, f"""
+WITH {FT_BASE},
+nt(lo, hi, v) AS {_NT_SQL},
+favg AS (SELECT (sttf / n)::FLOAT AS avgdl FROM cstats),
+fcache AS (
+  SELECT dl.doc_id,
+         (1.2::FLOAT * ({_ONE_MINUS_B_F32}
+            + ((0.75::FLOAT * nt.v::FLOAT) / fa.avgdl))) AS c
+  FROM doclen dl JOIN nt ON dl.doclen BETWEEN nt.lo AND nt.hi
+  CROSS JOIN favg fa
+),
+ph AS (
+  SELECT s0.doc_id, count(*)::BIGINT AS pfreq
+  FROM (SELECT DISTINCT doc_id, pos FROM tokf
+        WHERE term IN ('hash','merge')) s0
+  JOIN (SELECT doc_id, pos FROM tokf WHERE term='join') s1
+    ON s0.doc_id = s1.doc_id AND s1.pos = s0.pos + 1
+  GROUP BY s0.doc_id
+),
+fw AS (
+  -- f32(f32(boost) * f32(idf_sum64) * f32(k1+1)); idf_sum64 sums in
+  -- sorted distinct-term order: hash + join + merge (left fold)
+  SELECT ((1.0::FLOAT * (
+      (SELECT ln(1+(cs.n - ts.df + 0.5)/(ts.df + 0.5))
+       FROM tstats ts, cstats cs WHERE ts.term='hash')
+    + (SELECT ln(1+(cs.n - ts.df + 0.5)/(ts.df + 0.5))
+       FROM tstats ts, cstats cs WHERE ts.term='join')
+    + (SELECT ln(1+(cs.n - ts.df + 0.5)/(ts.df + 0.5))
+       FROM tstats ts, cstats cs WHERE ts.term='merge'))::FLOAT)
+    * {_K1P1_F32}) AS w
+),
+agg AS (
+  SELECT ph.doc_id,
+         CAST(floor(((fw.w * ph.pfreq::FLOAT)
+                     / (ph.pfreq::FLOAT + fc.c))::DOUBLE * 1000000)
+              AS BIGINT) AS score_q
+  FROM ph JOIN fcache fc USING (doc_id) CROSS JOIN fw
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
 # ---- §2.3 CommonTermsQuery / BoostingQuery, §2.4 graph, cube, sessions ----
 
 def _common_terms(spark, sf):

@@ -205,6 +205,43 @@ def _sloppy_phrase_freq(rebased: list, slop: int,
     return freq
 
 
+def multiphrase_rpt_groups(
+        slots, slop: int) -> tuple[list[list[int]] | None, bool]:
+    """Repeat detection over MultiPhrase slots (SloppyPhraseScorer.
+    repeatingTerms + gatherRptGroups' multi-term path): slots sharing
+    ANY repeating term form one group (connected components of the
+    slot/term bipartite graph, unionTermGroups); ``multi_term`` when a
+    grouped slot holds several terms. Shared by the flat evaluator and
+    the segment-native kernel so both stay in lockstep."""
+    from collections import Counter
+
+    term_cnt = Counter(t for slot in slots for t in set(slot))
+    rpt_terms = {t for t, c in term_cnt.items() if c > 1}
+    groups: list[list[int]] | None = None
+    multi_term = False
+    if rpt_terms and slop > 0:
+        parent = list(range(len(slots)))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for t in rpt_terms:
+            members = [i for i, s in enumerate(slots) if t in s]
+            for m in members[1:]:
+                parent[find(m)] = find(members[0])
+        comps: dict[int, list[int]] = {}
+        for i, s in enumerate(slots):
+            if rpt_terms & set(s):
+                comps.setdefault(find(i), []).append(i)
+        groups = [sorted(g) for g in comps.values() if len(g) > 1] or None
+        if groups:
+            multi_term = any(len(slots[i]) > 1 for g in groups for i in g)
+    return groups, multi_term
+
+
 def _collect_terms(q: A.Query) -> set[str]:
     if isinstance(q, A.TermQ):
         return {q.term}
@@ -830,39 +867,7 @@ class Searcher:
         joined = reduce(lambda a, b: a.join(b, "docid"), slot_frames)
         arrs = F.array(*[F.col(f"_p{i}") for i in range(len(q.slots))])
         slop = int(q.slop)
-
-        # Repeat detection (SloppyPhraseScorer.repeatingTerms +
-        # gatherRptGroups' multi-term path): slots sharing ANY
-        # repeating term form one group (connected components of the
-        # slot/term bipartite graph, unionTermGroups); multi_term when
-        # a grouped slot holds several terms.
-        from collections import Counter
-
-        term_cnt = Counter(t for slot in q.slots for t in set(slot))
-        rpt_terms = {t for t, c in term_cnt.items() if c > 1}
-        groups: list[list[int]] | None = None
-        multi_term = False
-        if rpt_terms and slop > 0:
-            parent = list(range(len(q.slots)))
-
-            def find(x: int) -> int:
-                while parent[x] != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
-
-            for t in rpt_terms:
-                members = [i for i, s in enumerate(q.slots) if t in s]
-                for m in members[1:]:
-                    parent[find(m)] = find(members[0])
-            comps: dict[int, list[int]] = {}
-            for i, s in enumerate(q.slots):
-                if rpt_terms & set(s):
-                    comps.setdefault(find(i), []).append(i)
-            groups = [sorted(g) for g in comps.values() if len(g) > 1] or None
-            if groups:
-                multi_term = any(len(q.slots[i]) > 1
-                                 for g in groups for i in g)
+        groups, multi_term = multiphrase_rpt_groups(q.slots, slop)
 
         if slop == 0:
             @pandas_udf("double")

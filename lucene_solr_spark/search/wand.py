@@ -553,6 +553,222 @@ def phrase_topk(
     return top_docs, top_scores
 
 
+def _term_block_grid(ep) -> np.ndarray:
+    """Block boundary table of a posting (last docid per logical
+    block), resolving the posting's own last doc without decoding."""
+    if ep.singleton_docid is not None:
+        last = ep.singleton_docid
+    elif getattr(ep, "last_doc", -1) >= 0:
+        last = int(ep.last_doc)
+    elif ep.has_tail:
+        last = int(_decode_block_cached(ep, ep.n_full_blocks)[0][-1])
+    else:
+        last = int(ep.skip_last_doc[-1])
+    return block_last_docs(ep, last)
+
+
+def multiphrase_topk(
+    slots: list[tuple[str, ...]],
+    postings: dict[str, "object"],
+    weight: np.float32,
+    norms: np.ndarray,
+    doc_base: int,
+    bm25: BM25,
+    k: int,
+    slop: int = 0,
+    groups: list[list[int]] | None = None,
+    multi_term: bool = False,
+    stats: WandStats | None = None,
+    collect_freqs: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Segment-native two-phase MultiPhrase kernel — phrase_topk
+    generalized to OR-per-position slots (search/MultiPhraseQuery.java's
+    UnionPostingsEnum over each slot, driven by the same
+    ConjunctionDISI + TwoPhaseIterator discipline as the exact kernel):
+
+    phase 1: interval sweep over the merged block grid of every slot
+    term; an interval is live only where EVERY SLOT has at least one
+    active term. Surviving intervals decode blocks cheapest-slot-first;
+    a slot's docid set is the union of its active terms' docids, and
+    slots intersect ConjunctionDISI-style.
+
+    phase 2: per intersection doc, each slot's position set is the
+    sorted union of its terms' positions (terms consulted only where
+    they contain the doc; .pos payloads fetched lazily per group) —
+    vectorized intersect for slop=0, the SloppyPhraseScorer traversal
+    with the caller-supplied rptGroups for slop>0 (groups/multi_term
+    from executor.multiphrase_rpt_groups, the same inputs the flat
+    evaluator uses, so scores duel bit-equal).
+
+    Pruning: per-interval bound = f32 BM25 of (tf_bound, min active
+    block-max norm byte) where tf_bound is min-over-slots of the
+    slot's summed block-max tfs for slop=0 (an exact occurrence
+    consumes >= 1 position of every slot) or the all-slot sum for
+    slop>0 (sloppy freq adds <= 1 per PhrasePositions advance;
+    advances <= total slot-union positions). Monotone in tf and norm
+    byte, so skipped intervals cannot beat theta.
+
+    weight: f32(boost * f32(sum idf over ALL DISTINCT slot terms) *
+    (k1+1)) — the flat _eval_multi_phrase weight.
+    """
+    n_slots = len(slots)
+    slot_terms = [[t for t in slot if t in postings] for slot in slots]
+    if n_slots == 0 or any(not st for st in slot_terms):
+        if collect_freqs:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    uniq = sorted({t for st in slot_terms for t in st})
+    grids = {t: _term_block_grid(postings[t]) for t in uniq}
+
+    bounds = np.unique(np.concatenate([grids[t] for t in uniq]))
+    n_int = len(bounds)
+    jd: dict[str, np.ndarray] = {}
+    okd: dict[str, np.ndarray] = {}
+    nb_min = np.full(n_int, 255, dtype=np.int64)
+    slot_act = np.ones(n_int, dtype=bool)
+    slot_tf = np.zeros((n_slots, n_int), dtype=np.int64)
+    for t in uniq:
+        j = np.searchsorted(grids[t], bounds, side="left")
+        jd[t] = j
+        okd[t] = j < len(grids[t])
+    for s, sterms in enumerate(slot_terms):
+        act_s = np.zeros(n_int, dtype=bool)
+        for t in sterms:
+            ok = okd[t]
+            act_s |= ok
+            bm_tf = np.asarray(postings[t].blockmax_tf, dtype=np.int64)
+            bm_nb = np.asarray(postings[t].blockmax_norm, dtype=np.int64)
+            slot_tf[s][ok] += bm_tf[jd[t][ok]]
+            nb_min[ok] = np.minimum(nb_min[ok], bm_nb[jd[t][ok]])
+        slot_act &= act_s
+    tf_bound = (slot_tf.min(axis=0) if slop == 0
+                else slot_tf.sum(axis=0))
+
+    st = stats if stats is not None else WandStats()
+    st.blocks_total += sum(len(grids[t]) for t in uniq)
+    st.intervals_total += n_int
+
+    ub32 = bm25.score(np.full(n_int, np.float32(weight), np.float32),
+                      tf_bound, nb_min)
+    cand_idx = np.nonzero(slot_act)[0]
+    by_cost = sorted(range(n_slots),
+                     key=lambda s: sum(postings[t].ndocs
+                                       for t in slot_terms[s]))
+    decoded: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
+    if slop > 0:
+        from lucene_solr_spark.search.executor import _sloppy_phrase_freq
+
+    def _slice(t: str, i: int, lo: int, hi: int) -> np.ndarray:
+        key = (t, int(jd[t][i]))
+        if key not in decoded:
+            decoded[key] = _decode_block_cached(postings[t], key[1])
+            st.blocks_decoded += 1
+        docs_j = decoded[key][0]
+        a = np.searchsorted(docs_j, lo, side="right")
+        b = np.searchsorted(docs_j, hi, side="right")
+        return docs_j[a:b]
+
+    top_docs = np.empty(0, np.int64)
+    top_scores = np.empty(0, np.float32)
+    theta = np.float32(-np.inf)
+    out_d: list[np.ndarray] = []
+    out_f: list[np.ndarray] = []
+
+    for i in cand_idx:
+        hi = int(bounds[i])
+        lo = int(bounds[i - 1]) if i > 0 else -1
+        full = len(top_scores) >= k
+        if not collect_freqs and full and ub32[i] <= theta:
+            continue
+
+        # phase 1: slot-union docid conjunction, cheapest slot first
+        inter: np.ndarray | None = None
+        for s in by_cost:
+            parts = [d for t in slot_terms[s] if okd[t][i]
+                     for d in (_slice(t, i, lo, hi),) if len(d)]
+            if not parts:
+                inter = None
+                break
+            d_u = (parts[0] if len(parts) == 1
+                   else np.unique(np.concatenate(parts)))
+            inter = d_u if inter is None else np.intersect1d(
+                inter, d_u, assume_unique=True)
+            if len(inter) == 0:
+                inter = None
+                break
+        if inter is None or len(inter) == 0:
+            continue
+        st.intervals_scored += 1
+
+        # phase 2: per-slot position unions on the intersection only
+        nd = len(inter)
+        pos_by_slot: list[list[np.ndarray | None]] = []
+        for s in range(n_slots):
+            per_doc: list[np.ndarray | None] = [None] * nd
+            for t in slot_terms[s]:
+                if not okd[t][i]:
+                    continue
+                d_t = _slice(t, i, lo, hi)
+                mask = np.isin(inter, d_t, assume_unique=True)
+                if not mask.any():
+                    continue
+                plists = _positions_for(postings[t], inter[mask])
+                for oi, arr in zip(np.nonzero(mask)[0], plists):
+                    cur = per_doc[oi]
+                    per_doc[oi] = (arr if cur is None
+                                   else np.union1d(cur, arr))
+            pos_by_slot.append(per_doc)
+
+        freqs = np.zeros(nd, dtype=np.float64)
+        for di in range(nd):
+            plists = [pos_by_slot[s][di] for s in range(n_slots)]
+            if any(p is None for p in plists):
+                continue
+            if slop == 0:
+                base: np.ndarray | None = None
+                for off, arr in enumerate(plists):
+                    a2 = arr - off
+                    base = a2 if base is None else np.intersect1d(
+                        base, a2, assume_unique=True)
+                    if base.size == 0:
+                        break
+                freqs[di] = float(base.size)
+            else:
+                rebased = [arr - off for off, arr in enumerate(plists)]
+                freqs[di] = _sloppy_phrase_freq(rebased, slop, groups,
+                                                multi_term)
+        mask = freqs > 0
+        if not mask.any():
+            continue
+        cand_d = inter[mask]
+        f = freqs[mask]
+        if collect_freqs:
+            out_d.append(cand_d)
+            out_f.append(f)
+            continue
+
+        nb = norms[cand_d - doc_base]
+        cand_s = bm25.score(
+            np.full(len(cand_d), np.float32(weight), np.float32), f, nb)
+        if full and len(cand_s):
+            keep = cand_s > theta
+            cand_d, cand_s = cand_d[keep], cand_s[keep]
+        if len(cand_d) == 0:
+            continue
+        md = np.concatenate([top_docs, cand_d])
+        ms = np.concatenate([top_scores, cand_s])
+        order = np.lexsort((md, -ms.astype(np.float64)))[:k]
+        top_docs, top_scores = md[order], ms[order]
+        if len(top_scores) >= k:
+            theta = top_scores[-1]
+
+    if collect_freqs:
+        if not out_d:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return np.concatenate(out_d), np.concatenate(out_f)
+    return top_docs, top_scores
+
+
 # --- Spark orchestration ----------------------------------------------------
 
 
@@ -894,6 +1110,8 @@ class WandSearcher:
         if isinstance(q, A.PhraseQ):
             # segment-native two-phase phrase path (no full decode)
             return self._search_phrase(q, k)
+        if isinstance(q, A.MultiPhraseQ):
+            return self._search_multiphrase(q, k)
         shape = self._flat_terms(q)
         if shape is None:
             # fallback: exhaustive over decoded postings; positions are
@@ -1055,6 +1273,49 @@ class WandSearcher:
                   * np.float32(self._k1 + 1.0))
         per_seg = self._phrase_plan(terms, q.slop, k, weight,
                                     collect_freqs=False)
+        top = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        return top.withColumn("rank", F.row_number().over(w))
+
+    def _search_multiphrase(self, q: A.MultiPhraseQ, k: int) -> DataFrame:
+        """MultiPhraseQ over the segment index via the two-phase
+        slot-union kernel (multiphrase_topk) — same scores as the flat
+        _eval_multi_phrase (duel-tested): weight = f32(boost *
+        f32(sum idf over ALL distinct slot terms) * (k1+1)), rptGroups
+        from the shared multiphrase_rpt_groups."""
+        from lucene_solr_spark.search.executor import multiphrase_rpt_groups
+
+        all_terms = sorted({t for slot in q.slots for t in slot})
+        dfs = self._global_df(all_terms)
+        if any(all(dfs[t] == 0 for t in slot) for slot in q.slots):
+            return self.si.spark.createDataFrame(
+                [], "docid long, score float, rank int")
+        idf_sum64 = float(sum(self.bm25.idf(dfs[t]) for t in all_terms))
+        weight = (np.float32(q.boost) * np.float32(idf_sum64)
+                  * np.float32(self._k1 + 1.0))
+        groups, multi_term = multiphrase_rpt_groups(q.slots, q.slop)
+
+        bm25 = self.bm25
+        k_ = int(k)
+        slop_ = int(q.slop)
+        idx_path = self.si.path
+        slots_ = [tuple(s) for s in q.slots]
+        present = sorted({t for t in all_terms if dfs[t] > 0})
+
+        def per_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(key[0])
+            norms, doc_base = _load_seg_norms(idx_path, sid)
+            eps = _grouped_postings(idx_path, sid, pdf)
+            d, s = multiphrase_topk(slots_, eps, weight, norms, doc_base,
+                                    bm25, k=k_, slop=slop_, groups=groups,
+                                    multi_term=multi_term)
+            return pd.DataFrame({"docid": d, "score": s})
+
+        rows = (self.si.postings
+                .where(F.col("term").isin(present))
+                .select(*METADATA_COLS))
+        per_seg = rows.groupBy("seg_id").applyInPandas(
+            per_segment, schema="docid long, score float")
         top = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("docid"))
         return top.withColumn("rank", F.row_number().over(w))

@@ -361,6 +361,49 @@ def test_phrase_plan_no_full_decode(seg_index):
     assert "MapInPandas" not in plan
 
 
+MULTIPHRASES = [
+    (("t000000", "t000001"), ("t000002",)),      # synonym head slot
+    (("t000001",), ("t000002", "t000100")),      # synonym trailing slot
+    (("t000001", "t000002"), ("t000001",)),      # repeated term across slots
+    (("t000000",), ("t000000", "t000001")),      # repeat + multi-term slot
+    (("t000001",), ("missingterm", "t000002")),  # dead synonym in a slot
+]
+
+
+@pytest.mark.parametrize("slop", [0, 2])
+@pytest.mark.parametrize("slots", MULTIPHRASES)
+def test_multiphrase_duels_flat(seg_index, flat_searcher, slots, slop):
+    """MultiPhraseQ over the segment index runs the two-phase
+    slot-union kernel and duels bit-equal with the flat executor —
+    including shared-term slots (the multi-term rptGroups path)."""
+    from lucene_solr_spark.search import ast as A
+
+    q = A.MultiPhraseQ(tuple(slots), slop=slop)
+    a = _rows(WandSearcher(seg_index).search(q, k=10))
+    b = _rows(flat_searcher.search(q, k=10))
+    assert a == b, f"{slots} slop={slop}: wand={a[:3]} flat={b[:3]}"
+
+
+def test_multiphrase_dead_slot_is_empty(seg_index, flat_searcher):
+    from lucene_solr_spark.search import ast as A
+
+    q = A.MultiPhraseQ((("t000001",), ("missingterm",)))
+    assert WandSearcher(seg_index).search(q, k=10).count() == 0
+    assert flat_searcher.search(q, k=10).count() == 0
+
+
+def test_multiphrase_plan_no_full_decode(seg_index):
+    """The multiphrase plan ships metadata-only rows to applyInPandas —
+    no as_flat_tables mapInPandas full decode anywhere in the plan."""
+    from lucene_solr_spark.search import ast as A
+
+    df = WandSearcher(seg_index).search(
+        A.MultiPhraseQ((("t000000", "t000001"), ("t000002",))), k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" not in plan
+
+
 def test_phrase_freqs_matches_flat(seg_index, flat_searcher):
     from lucene_solr_spark.search import ast as A
 

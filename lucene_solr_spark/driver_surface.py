@@ -1029,6 +1029,11 @@ DRIVER_PRIORITY = [
     "suggest_analyzing", "jdbc_stream", "ft_whitespace_term",
     "solr_func_qp", "solr_boost_qp", "solr_frange_qp", "solr_terms_qp",
     "solr_bool_qp", "solr_mlt_qp", "geo_polygon_holes",
+    # (a2) round-4 session 2: dialect batch 2 ({!field}/{!raw}/
+    # {!switch}/{!maxscore}, block join, graph, geofilt/bbox,
+    # surround/complexphrase) + the segment-native MultiPhrase kernel
+    "solr_qparser_mix2", "solr_block_qp", "solr_graph_qp",
+    "solr_geo_qp", "solr_phrase_qp",
     # (b) flagship: segment index + block-max WAND (float32-exact
     # oracles) — permanent regression guard on the scoring kernel
     "seg_bm25_wand", "seg_bm25_and", "seg_bm25_msm", "seg_bm25_not",
@@ -1039,9 +1044,8 @@ DRIVER_PRIORITY = [
     "innerjoin_stream", "fetch_stream", "leftouter_join",
     "dedup_exact", "dedup_minhash", "export_sorted", "group_topk",
     # (d) r2/r3 regression sample across operator families
-    "ft_edismax", "percolate", "rerank", "diversified_topk",
-    "term_automaton", "shortest_path_paths",
-    "events_sessionize", "stats_percentile", "geo_distance",
+    "ft_edismax", "term_automaton", "shortest_path_paths",
+    "events_sessionize",
 ]
 
 

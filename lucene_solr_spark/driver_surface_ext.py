@@ -3071,3 +3071,276 @@ agg AS (
 )
 {_topk_sql("SELECT * FROM agg", 10)}
 """)
+
+
+# ---- round-4 QParser dialect batch 2 ----------------------------------------
+
+def _solr_qparser_mix2(spark, sf):
+    """Four dialects in one verdict — {!field} (FieldQParserPlugin:
+    analyzed value -> phrase), {!raw} (RawQParserPlugin: unanalyzed
+    term), {!switch} (SwitchQParserPlugin: value-dispatched
+    sub-query), {!maxscore} (MaxScoreQParserPlugin: SHOULD groups
+    score max-of-clauses): per-dialect match count + summed quantized
+    sql-mode score."""
+    from functools import reduce
+
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    reqs = {
+        "field": "{!field f=text}Hash Join",
+        "raw": "{!raw f=text v=hash}",
+        "switch": "{!switch case.a=hash case.b=join default=scan}b",
+        "maxscore": "{!maxscore}hash OR join",
+    }
+    outs = [solr_qparser(s, req).select(
+        F.lit(tag).alias("dialect"),
+        F.floor(F.col("score") * Q).cast("long").alias("sq"))
+        for tag, req in reqs.items()]
+    u = reduce(lambda a, b: a.unionByName(b), outs)
+    return (u.groupBy("dialect")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("sq").alias("sum_score_q"))
+            .orderBy("dialect"))
+
+
+_register("solr_qparser_mix2", _solr_qparser_mix2, f"""
+WITH {FT_BASE},
+{_ft_scored(['hash', 'join'])},
+ph AS (
+  SELECT p1.doc_id, count(*)::DOUBLE AS pf
+  FROM (SELECT doc_id, pos FROM tokf WHERE term='hash') p1
+  JOIN (SELECT doc_id, pos FROM tokf WHERE term='join') p2
+    ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+  GROUP BY p1.doc_id
+),
+idfs AS (
+  SELECT (SELECT ln(1+(cs.n - ts.df + 0.5)/(ts.df + 0.5))
+          FROM tstats ts, cstats cs WHERE ts.term='hash')
+       + (SELECT ln(1+(cs.n - ts.df + 0.5)/(ts.df + 0.5))
+          FROM tstats ts, cstats cs WHERE ts.term='join') AS idf_sum
+),
+phs AS (
+  SELECT ph.doc_id,
+         CAST(floor((i.idf_sum * 2.2) * ph.pf
+              / (ph.pf + 1.2 * (0.25 + 0.75 * dl.doclen / (cs.sttf / cs.n)))
+              * 1000000) AS BIGINT) AS sq
+  FROM ph JOIN doclen dl USING (doc_id) CROSS JOIN cstats cs CROSS JOIN idfs i
+),
+hashq AS (SELECT doc_id, CAST(floor(s * 1000000) AS BIGINT) AS sq
+          FROM scored WHERE term='hash'),
+joinq AS (SELECT doc_id, CAST(floor(s * 1000000) AS BIGINT) AS sq
+          FROM scored WHERE term='join'),
+mx AS (
+  SELECT doc_id, CAST(floor(max(s) * 1000000) AS BIGINT) AS sq
+  FROM scored GROUP BY doc_id
+),
+u AS (
+  SELECT 'field' AS dialect, sq FROM phs
+  UNION ALL SELECT 'raw', sq FROM hashq
+  UNION ALL SELECT 'switch', sq FROM joinq
+  UNION ALL SELECT 'maxscore', sq FROM mx
+)
+SELECT dialect, count(*)::BIGINT AS n_docs, sum(sq)::BIGINT AS sum_score_q
+FROM u GROUP BY dialect ORDER BY dialect
+""")
+
+
+def _block_attrs(spark, sf):
+    """_root_-style block table: every run of 4 docids is one block,
+    rooted at the lowest (doc_id - doc_id % 4)."""
+    return (_load(spark, sf, "documents")
+            .select(F.col("doc_id").alias("docid"),
+                    (F.col("doc_id") - F.col("doc_id") % 4)
+                    .alias("root_id")))
+
+
+def _solr_block_qp(spark, sf):
+    """{!parent which=..}childq / {!child of=..}parentq (BlockJoin
+    Parent/ChildQParser over _root_ mechanics): parents = block roots
+    with a non-root child matching the phrase AND themselves matching
+    the which= prefix filter; children = non-root docs of blocks whose
+    root-mapped match passes both of= and the body query."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    attrs = _block_attrs(spark, sf)
+    par = solr_qparser(
+        s, "{!parent which='{!prefix f=text v=ta}'}\"hash join\"", attrs)
+    chd = solr_qparser(
+        s, "{!child of='{!term f=text v=scan}'}merge", attrs)
+    return (par.select(F.lit("parent").alias("side"),
+                       F.col("docid").alias("doc_id"))
+            .unionByName(chd.select(F.lit("child").alias("side"),
+                                    F.col("docid").alias("doc_id")))
+            .orderBy("side", "doc_id"))
+
+
+_register("solr_block_qp", _solr_block_qp, f"""
+WITH {FT_BASE},
+ph AS (
+  SELECT DISTINCT p1.doc_id
+  FROM (SELECT doc_id, pos FROM tokf WHERE term='hash') p1
+  JOIN (SELECT doc_id, pos FROM tokf WHERE term='join') p2
+    ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+),
+tadocs AS (SELECT DISTINCT doc_id FROM tokf WHERE term LIKE 'ta%'),
+hit_roots AS (
+  SELECT DISTINCT (doc_id - doc_id % 4) AS doc_id FROM ph
+  WHERE doc_id % 4 <> 0
+),
+parents AS (SELECT doc_id FROM hit_roots INTERSECT
+            SELECT doc_id FROM tadocs),
+pmatch AS (
+  SELECT DISTINCT doc_id FROM tokf WHERE term='merge'
+  INTERSECT SELECT DISTINCT doc_id FROM tokf WHERE term='scan'
+),
+children AS (
+  SELECT d.doc_id FROM documents d
+  JOIN pmatch p ON (d.doc_id - d.doc_id % 4) = p.doc_id
+  WHERE d.doc_id % 4 <> 0
+)
+SELECT 'parent' AS side, doc_id FROM parents
+UNION ALL SELECT 'child' AS side, doc_id FROM children
+ORDER BY side, doc_id
+""")
+
+
+def _solr_graph_qp(spark, sf):
+    """{!graph from=f to=t maxDepth=2} (GraphQParserPlugin.java):
+    frontier traversal from the phrase matches over a derived edge
+    space (f = doc_id mod 37, t = (3*doc_id + 1) mod 37) — a doc's
+    from-values select the next frontier's to-values."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    attrs = (_load(spark, sf, "documents")
+             .select(F.col("doc_id").alias("docid"),
+                     (F.col("doc_id") % 37).alias("f"),
+                     ((F.col("doc_id") * 3 + 1) % 37).alias("t")))
+    out = solr_qparser(s, '{!graph from=f to=t maxDepth=2}"hash join"',
+                       attrs)
+    return out.select(F.col("docid").alias("doc_id")).orderBy("doc_id")
+
+
+_register("solr_graph_qp", _solr_graph_qp, f"""
+WITH {FT_BASE},
+v0 AS (
+  SELECT DISTINCT p1.doc_id
+  FROM (SELECT doc_id, pos FROM tokf WHERE term='hash') p1
+  JOIN (SELECT doc_id, pos FROM tokf WHERE term='join') p2
+    ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+),
+f0 AS (SELECT DISTINCT doc_id % 37 AS v FROM v0),
+n1 AS (
+  SELECT d.doc_id FROM documents d JOIN f0 ON (d.doc_id * 3 + 1) % 37 = f0.v
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM v0)
+),
+f1 AS (SELECT DISTINCT doc_id % 37 AS v FROM n1),
+n2 AS (
+  SELECT d.doc_id FROM documents d JOIN f1 ON (d.doc_id * 3 + 1) % 37 = f1.v
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM v0)
+    AND d.doc_id NOT IN (SELECT doc_id FROM n1)
+)
+SELECT doc_id FROM v0
+UNION SELECT doc_id FROM n1
+UNION SELECT doc_id FROM n2
+ORDER BY doc_id
+""")
+
+
+_QP_LAT = "((doc_id * 7) % 120 - 60 + 0.25)"
+_QP_LON = "((doc_id * 13) % 300 - 150 + 0.25)"
+# the {!geofilt}/{!bbox} circle: pt=10,20 d=2500km; bbox literals from
+# the SAME _bbox_of_circle the dialect calls, inlined at import time
+from lucene_solr_spark.operators.spatial import (  # noqa: E402
+    _bbox_of_circle as _qp_bbox_fn,
+)
+
+_QP_BBOX = _qp_bbox_fn(10.0, 20.0, 2_500_000.0)
+
+
+def _solr_geo_qp(spark, sf):
+    """{!geofilt} / {!bbox} (SpatialFilterQParser over the LatLonPoint
+    operators): exact haversine radius vs the circle's bounding box,
+    over coordinates derived from doc_id."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    attrs = (_load(spark, sf, "documents")
+             .select(F.col("doc_id").alias("docid"),
+                     ((F.col("doc_id") * 7) % 120 - 60 + F.lit(0.25))
+                     .cast("double").alias("loc_lat"),
+                     ((F.col("doc_id") * 13) % 300 - 150 + F.lit(0.25))
+                     .cast("double").alias("loc_lon")))
+    geo = solr_qparser(None, "{!geofilt sfield=loc pt=10.0,20.0 d=2500}",
+                       attrs)
+    box = solr_qparser(None, "{!bbox sfield=loc pt=10.0,20.0 d=2500}",
+                       attrs)
+    return (geo.select(F.lit("geofilt").alias("shape"),
+                       F.col("docid").alias("doc_id"))
+            .unionByName(box.select(F.lit("bbox").alias("shape"),
+                                    F.col("docid").alias("doc_id")))
+            .orderBy("shape", "doc_id"))
+
+
+_register("solr_geo_qp", _solr_geo_qp, f"""
+WITH pts AS (
+  SELECT doc_id, {_QP_LAT}::DOUBLE AS lat, {_QP_LON}::DOUBLE AS lon
+  FROM documents
+),
+geo AS (
+  SELECT doc_id FROM pts
+  WHERE lat >= {_QP_BBOX[0]!r} AND lat <= {_QP_BBOX[1]!r}
+    AND lon >= {_QP_BBOX[2]!r} AND lon <= {_QP_BBOX[3]!r}
+    AND {_HAVERSINE_SQL.format(lat1='lat', lon1='lon',
+                               lat2='10.0', lon2='20.0')} <= 2500000.0
+),
+box AS (
+  SELECT doc_id FROM pts
+  WHERE lat >= {_QP_BBOX[0]!r} AND lat <= {_QP_BBOX[1]!r}
+    AND lon >= {_QP_BBOX[2]!r} AND lon <= {_QP_BBOX[3]!r}
+)
+SELECT 'geofilt' AS shape, doc_id FROM geo
+UNION ALL SELECT 'bbox' AS shape, doc_id FROM box
+ORDER BY shape, doc_id
+""")
+
+
+def _solr_phrase_qp(spark, sf):
+    """{!surround}3W(hash, join) (SurroundQParserPlugin: W distance
+    operator -> ordered SpanNear, slop = n-1) and
+    {!complexphrase}"table s*" (ComplexPhraseQParserPlugin: the
+    wildcard token expands against the term dictionary into a
+    MultiPhrase slot): per-dialect matching doc ids."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    sur = solr_qparser(s, "{!surround}3W(hash, join)")
+    cpx = solr_qparser(s, '{!complexphrase}"table s*"')
+    return (sur.select(F.lit("surround").alias("dialect"),
+                       F.col("docid").alias("doc_id"))
+            .unionByName(cpx.select(F.lit("complexphrase").alias("dialect"),
+                                    F.col("docid").alias("doc_id")))
+            .orderBy("dialect", "doc_id"))
+
+
+_register("solr_phrase_qp", _solr_phrase_qp, f"""
+WITH {FT_BASE},
+sur AS (
+  SELECT DISTINCT p1.doc_id
+  FROM (SELECT doc_id, pos FROM tokf WHERE term='hash') p1
+  JOIN (SELECT doc_id, pos FROM tokf WHERE term='join') p2
+    ON p1.doc_id = p2.doc_id
+   AND p2.pos > p1.pos AND p2.pos <= p1.pos + 3
+),
+cpx AS (
+  SELECT DISTINCT s0.doc_id
+  FROM (SELECT doc_id, pos FROM tokf WHERE term='table') s0
+  JOIN (SELECT DISTINCT doc_id, pos FROM tokf WHERE term LIKE 's%') s1
+    ON s0.doc_id = s1.doc_id AND s1.pos = s0.pos + 1
+)
+SELECT 'surround' AS dialect, doc_id FROM sur
+UNION ALL SELECT 'complexphrase' AS dialect, doc_id FROM cpx
+ORDER BY dialect, doc_id
+""")
+

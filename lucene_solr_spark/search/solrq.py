@@ -29,10 +29,46 @@ onto existing engine operators:
   {!mlt maxqt=.. mindf=..}id MLTQParserPlugin.java: MoreLikeThis —
                              pick the doc's top tf*idf terms, OR-query
                              them, exclude the source doc
+  {!field f=F}some text      FieldQParserPlugin.java: analyze the
+                             value with the index analyzer — one token
+                             becomes a TermQuery, several a PhraseQuery
+                             (ps= sets the slop). Stop-filtered
+                             position gaps collapse to consecutive
+                             slots (documented deviation).
+  {!raw f=F v=V}             RawQParserPlugin.java: the value is the
+                             term, NO analysis.
+  {!switch case=.. case.X=.. SwitchQParserPlugin.java: dispatch to the
+        default=..}V         sub-query string selected by the value.
+  {!maxscore}q               MaxScoreQParserPlugin.java: like lucene
+                             but SHOULD groups score max-of-clauses
+                             (OrQ subtrees become tie=0 DisMaxQ).
+  {!complexphrase}"a b*"~n   ComplexPhraseQParserPlugin.java: phrase
+                             whose wildcard tokens expand against the
+                             term dictionary into MultiPhrase slots.
+  {!surround}3W(a,b) / 3N    SurroundQParserPlugin.java subset: W/N
+                             distance operators over two terms map to
+                             ordered/unordered SpanNear (slop = n-1);
+                             no analysis, constant score.
+  {!parent which=<pq>}cq     BlockJoinParentQParser: parents (block
+                             roots, the _root_ mechanics) with >= 1
+                             child matching cq; ScoreMode.None.
+  {!child of=<pq>}pq2        BlockJoinChildQParser: children of
+                             parents matching both queries.
+  {!graph from=A to=B        GraphQParserPlugin.java: frontier
+        maxDepth=N}q         traversal from q's matches following
+                             to-value -> from-value edges.
+  {!geofilt sfield=L pt=     SpatialFilterQParser / geofilt: exact
+        la,lo d=km}          haversine radius filter (bbox prefilter).
+  {!bbox sfield=L pt= d=}    bbox: the circle's bounding box.
+  {!rerank reRankQuery=<q>   ReRankQParserPlugin.java: top
+        reRankDocs=N         reRankDocs of the main query get
+        reRankWeight=W}q     + W * rerank score added.
 
 Only the single indexed text field exists, so f= must be 'text' for
-term/prefix; join, collapse, func, boost, frange and terms take their
-doc attributes from a (docid, field...) frame — the doc-values role.
+term/prefix/field/raw; join, collapse, func, boost, frange, terms,
+parent/child (root=), graph (from=/to=) and geofilt/bbox (sfield=)
+take their doc attributes from a (docid, field...) frame — the
+doc-values role.
 
 ValueSource expressions (ValueSourceParser.java registry subset):
   sum(a,b,..) product(a,b,..) sub(a,b) div(a,b) recip(x,m,a,b)
@@ -55,17 +91,24 @@ from pyspark.sql.window import Window
 
 from lucene_solr_spark.search import ast as A
 
-_LOCAL_RE = re.compile(r'^\{!(\w+)((?:\s+\w+=(?:"[^"]*"|\S+?))*)\}(.*)$')
-_PARAM_RE = re.compile(r'(\w+)=("[^"]*"|\S+)')
+_LOCAL_RE = re.compile(
+    r'^\{!(\w+)((?:\s+[\w.]+=(?:"[^"]*"|\'[^\']*\'|\S+?))*)\}(.*)$')
+_PARAM_RE = re.compile(r'([\w.]+)=("[^"]*"|\'[^\']*\'|\S+)')
 
 
 def parse_local_params(s: str):
     """'{!name a=1 b=x}rest' -> (name, {a: '1', b: 'x'}, 'rest');
-    (None, {}, s) when there is no local-params prefix."""
+    (None, {}, s) when there is no local-params prefix. Values quote
+    with " or ' (QueryParsing.parseLocalParams accepts both), letting
+    nested sub-query strings carry spaces and braces."""
     m = _LOCAL_RE.match(s.strip())
     if not m:
         return None, {}, s
-    params = {k: v.strip('"') for k, v in _PARAM_RE.findall(m.group(2))}
+    params = {}
+    for k, v in _PARAM_RE.findall(m.group(2)):
+        if len(v) >= 2 and v[0] == v[-1] and v[0] in "\"'":
+            v = v[1:-1]
+        params[k] = v
     return m.group(1), params, m.group(3).strip()
 
 
@@ -319,4 +362,206 @@ def solr_qparser(searcher, s: str,
                     .withColumn("score", F.lit(0.0)))
         m = searcher.matches(A.OrQ(tuple(A.TermQ(t) for t in terms)))
         return m.where(F.col("docid") != doc)
+    if name == "field":
+        # FieldQParserPlugin.java: value through the index analyzer;
+        # 1 token -> TermQuery, else PhraseQuery (ps= slop).
+        from lucene_solr_spark.analysis.standard import analyze
+
+        field = params.get("f", "text")
+        if field != "text":
+            raise ValueError(f"unknown field {field!r}")
+        toks = [t for t, _ in analyze(params.get("v", rest))]
+        if not toks:
+            return _empty(searcher)
+        node = (A.TermQ(toks[0]) if len(toks) == 1
+                else A.PhraseQ(tuple(toks), slop=int(params.get("ps", 0))))
+        return searcher.matches(node)
+    if name == "raw":
+        # RawQParserPlugin.java: the value IS the term, no analysis.
+        field = params.get("f", "text")
+        if field != "text":
+            raise ValueError(f"unknown field {field!r}")
+        return searcher.matches(A.TermQ(params.get("v", rest)))
+    if name == "switch":
+        # SwitchQParserPlugin.java: the value selects a sub-query.
+        v = (params.get("v", rest) or "").strip()
+        target = params.get(f"case.{v}") if v else params.get("case")
+        if target is None:
+            target = params.get("default")
+        if target is None:
+            raise ValueError(f"{{!switch}}: no case for {v!r} and "
+                             "no default=")
+        return solr_qparser(searcher, target, doc_attrs)
+    if name == "maxscore":
+        # MaxScoreQParserPlugin.java: SHOULD groups take the max
+        # clause score instead of the sum -> every OrQ subtree
+        # becomes a tie_breaker=0 DisjunctionMaxQuery.
+        def to_max(node: A.Query) -> A.Query:
+            if isinstance(node, A.OrQ) and node.min_should_match <= 1:
+                return A.DisMaxQ(tuple(to_max(c) for c in node.clauses))
+            if isinstance(node, A.AndQ):
+                return A.AndQ(tuple(to_max(c) for c in node.clauses))
+            if isinstance(node, A.NotQ):
+                return A.NotQ(to_max(node.positive), to_max(node.negative))
+            if isinstance(node, A.ReqOptQ):
+                return A.ReqOptQ(to_max(node.required),
+                                 to_max(node.optional))
+            return node
+
+        return searcher.matches(to_max(A.parse_query(rest)))
+    if name == "complexphrase":
+        # ComplexPhraseQParserPlugin.java: quoted phrase whose
+        # wildcard tokens expand against the term dictionary
+        # (maxBooleanClauses-capped) into MultiPhrase slots.
+        m = re.fullmatch(r'\s*"([^"]*)"(?:~(\d+))?\s*',
+                         params.get("v", rest))
+        if not m:
+            raise ValueError("{!complexphrase} body must be a quoted "
+                             "phrase with optional ~slop")
+        words = [w.lower() for w in m.group(1).split()]
+        slop = int(m.group(2) or 0)
+        if not words:
+            return _empty(searcher)
+        slots = []
+        for w in words:
+            if "*" in w or "?" in w:
+                pred = F.col("term").rlike(A.WildcardQ(w).to_regex())
+                exp = [r["term"] for r in
+                       searcher.index.term_stats.where(pred)
+                       .select("term").orderBy("term").limit(1024)
+                       .collect()]
+                if not exp:
+                    return _empty(searcher)
+                slots.append(tuple(exp))
+            else:
+                slots.append((w,))
+        if len(slots) == 1:
+            node = (A.TermQ(slots[0][0]) if len(slots[0]) == 1
+                    else A.SynonymQ(slots[0]))
+            return searcher.matches(node)
+        return searcher.matches(A.MultiPhraseQ(tuple(slots), slop=slop))
+    if name == "surround":
+        # SurroundQParserPlugin.java subset: <n>W(a,b) ordered /
+        # <n>N(a,b) unordered distance operators over two terms ->
+        # SpanNear with slop = n-1 (surround's n counts positions
+        # inclusively; 1W = adjacent). No analysis, constant score.
+        m = re.fullmatch(r'\s*(\d*)([WwNn])\s*\(\s*([^,\s]+)\s*,'
+                         r'\s*([^,\s)]+)\s*\)\s*', rest)
+        if not m:
+            raise ValueError("{!surround} supports <n>W(a,b) / "
+                             "<n>N(a,b) over two terms")
+        n = int(m.group(1) or 1)
+        return searcher.matches(A.SpanNearQ(
+            m.group(3), m.group(4), slop=n - 1,
+            in_order=m.group(2) in ("W", "w")))
+    if name in ("parent", "child"):
+        # BlockJoinParentQParser / BlockJoinChildQParser: block
+        # structure via a _root_-style column (param root=, default
+        # root_id) mapping every doc to its block root docid.
+        if doc_attrs is None:
+            raise ValueError(f"{{!{name}}} needs a doc_attrs frame")
+        root_col = params.get("root", "root_id")
+        blocks = doc_attrs.select("docid", F.col(root_col).alias("_root"))
+        if name == "parent":
+            if "which" not in params:
+                raise ValueError("{!parent} needs which=<parent query>")
+            parents = solr_qparser(searcher, params["which"], doc_attrs) \
+                .select("docid")
+            kids = searcher.matches(A.parse_query(rest)).select("docid")
+            hit_roots = (blocks.join(kids, "docid")
+                         .where(F.col("docid") != F.col("_root"))
+                         .select(F.col("_root").alias("docid")).distinct())
+            return (hit_roots.join(parents, "docid")
+                    .withColumn("score", F.lit(1.0)))
+        if "of" not in params:
+            raise ValueError("{!child} needs of=<parent query>")
+        all_parents = solr_qparser(searcher, params["of"], doc_attrs) \
+            .select("docid")
+        matched = (searcher.matches(A.parse_query(rest)).select("docid")
+                   .join(all_parents, "docid"))
+        return (blocks.join(matched.withColumnRenamed("docid", "_root"),
+                            "_root")
+                .where(F.col("docid") != F.col("_root"))
+                .select("docid").withColumn("score", F.lit(1.0)))
+    if name == "graph":
+        # GraphQParserPlugin.java: roots = matches of q; repeatedly
+        # follow edges (a frontier doc's from= values select docs
+        # whose to= value matches) until fixpoint or maxDepth.
+        # returnRoot=true default. Frontier joins only — no collect.
+        if doc_attrs is None:
+            raise ValueError("{!graph} needs a doc_attrs frame")
+        frm, to = params["from"], params["to"]
+        max_depth = int(params.get("maxDepth", -1))
+        return_root = params.get("returnRoot", "true") == "true"
+        edges = doc_attrs.select("docid", F.col(frm).alias("_f"),
+                                 F.col(to).alias("_t"))
+        roots = searcher.matches(A.parse_query(rest)).select("docid")
+        visited = roots
+        frontier = roots
+        depth = 0
+        while max_depth < 0 or depth < max_depth:
+            vals = (edges.join(frontier, "docid")
+                    .select(F.col("_f").alias("_t")).distinct())
+            nxt = (edges.join(F.broadcast(vals), "_t")
+                   .select("docid").distinct()
+                   .join(visited, "docid", "left_anti"))
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+            depth += 1
+        out = visited if return_root else visited.join(
+            roots, "docid", "left_anti")
+        return out.withColumn("score", F.lit(1.0))
+    if name in ("geofilt", "bbox"):
+        # SpatialFilterQParser (geofilt/bbox): sfield=L reads columns
+        # L_lat / L_lon off doc_attrs; d= is kilometers (Solr's unit).
+        # geofilt = exact haversine radius (bbox prefilter inside
+        # distance_query); bbox = the circle's bounding box only.
+        from lucene_solr_spark.operators.spatial import (
+            _bbox_of_circle, box_query, distance_query)
+
+        if doc_attrs is None:
+            raise ValueError(f"{{!{name}}} needs a doc_attrs frame")
+        sfield = params["sfield"]
+        lat_s, lon_s = params["pt"].split(",")
+        lat, lon = float(lat_s), float(lon_s)
+        radius_m = float(params["d"]) * 1000.0
+        g = doc_attrs.select("docid",
+                             F.col(f"{sfield}_lat").alias("lat"),
+                             F.col(f"{sfield}_lon").alias("lon"))
+        if name == "geofilt":
+            hits = distance_query(g, lat, lon, radius_m)
+        else:
+            min_lat, max_lat, min_lon, max_lon = _bbox_of_circle(
+                lat, lon, radius_m)
+            hits = box_query(g, min_lat, max_lat, min_lon, max_lon)
+        return hits.select("docid").withColumn("score", F.lit(1.0))
+    if name == "rerank":
+        # ReRankQParserPlugin.java: run the main query; the top
+        # reRankDocs (by score desc, docid asc) get reRankWeight *
+        # rerank-query score ADDED; docs past the window keep their
+        # first-pass score.
+        if "reRankQuery" not in params:
+            raise ValueError("{!rerank} needs reRankQuery=")
+        n = int(params.get("reRankDocs", 200))
+        wgt = float(params.get("reRankWeight", 2.0))
+        main = searcher.matches(A.parse_query(rest))
+        rr = (solr_qparser(searcher, params["reRankQuery"], doc_attrs)
+              .withColumnRenamed("score", "_rr"))
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        ranked = main.withColumn("_rn", F.row_number().over(w))
+        return (ranked.join(rr, "docid", "left")
+                .select("docid",
+                        F.when(
+                            (F.col("_rn") <= n) & F.col("_rr").isNotNull(),
+                            F.col("score").cast("double")
+                            + F.lit(wgt) * F.col("_rr").cast("double"))
+                        .otherwise(F.col("score").cast("double"))
+                        .alias("score")))
     raise ValueError(f"unknown QParser dialect {name!r}")
+
+
+def _empty(searcher) -> DataFrame:
+    return (searcher.index.docs.select("docid")
+            .where(F.lit(False)).withColumn("score", F.lit(0.0)))

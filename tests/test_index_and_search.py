@@ -526,6 +526,126 @@ def test_value_source_eval_and_frange(spark):
     assert sorted(r["docid"] for r in tm.collect()) == [1, 3]
 
 
+def test_qparser_dialect_batch2(spark, tiny_index):
+    """Round-4 dialect batch: {!field} {!raw} {!switch} {!maxscore}
+    {!complexphrase} {!surround} {!parent} {!child} {!graph}
+    {!geofilt} {!bbox} {!rerank} — each must match the engine
+    operator it dispatches onto."""
+    import numpy as np
+
+    from lucene_solr_spark.search import ast as A
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(tiny_index, mode="lucene")
+
+    def docs(df):
+        return sorted(r["docid"] for r in df.select("docid").collect())
+
+    def scored(df):
+        return sorted((r["docid"], np.float32(r["score"]))
+                      for r in df.collect())
+
+    # {!field}: analyzed value -> TermQ / PhraseQ (case-folded)
+    assert scored(solr_qparser(s, "{!field f=text}T000001")) == \
+        scored(s.matches(A.TermQ("t000001")))
+    assert scored(solr_qparser(s, "{!field f=text}t000001 t000002")) == \
+        scored(s.matches(A.PhraseQ(("t000001", "t000002"))))
+    # {!raw}: NO analysis — uppercase value matches nothing
+    assert docs(solr_qparser(s, "{!raw f=text v=T000001}")) == []
+    assert scored(solr_qparser(s, "{!raw f=text v=t000001}")) == \
+        scored(s.matches(A.TermQ("t000001")))
+    # {!switch}
+    got = solr_qparser(
+        s, "{!switch case.on=t000001 default=t000002}on")
+    assert scored(got) == scored(s.matches(A.TermQ("t000001")))
+    got = solr_qparser(
+        s, "{!switch case.on=t000001 default=t000002}off")
+    assert scored(got) == scored(s.matches(A.TermQ("t000002")))
+    # {!maxscore}: OR groups become tie=0 DisMax
+    assert scored(solr_qparser(s, "{!maxscore}t000001 OR t000002")) == \
+        scored(s.matches(A.DisMaxQ((A.TermQ("t000001"),
+                                    A.TermQ("t000002")))))
+    # {!complexphrase}: wildcard slot expands against the dictionary
+    exp = [r["term"] for r in tiny_index.term_stats
+           .where(F.col("term").rlike("^t00000.$"))
+           .select("term").orderBy("term").collect()]
+    assert len(exp) > 1
+    assert scored(solr_qparser(s, '{!complexphrase}"t000001 t00000?"')) \
+        == scored(s.matches(A.MultiPhraseQ((("t000001",), tuple(exp)))))
+    # {!surround}: 2W -> ordered SpanNear slop=1; 2N -> unordered
+    assert docs(solr_qparser(s, "{!surround}2W(t000001, t000002)")) == \
+        docs(s.matches(A.SpanNearQ("t000001", "t000002", slop=1,
+                                   in_order=True)))
+    assert docs(solr_qparser(s, "{!surround}2N(t000001, t000002)")) == \
+        docs(s.matches(A.SpanNearQ("t000001", "t000002", slop=1,
+                                   in_order=False)))
+
+    # block/graph/geo attrs: roots every 4 docids; a 2-chain edge
+    # graph over docid mod groups; lat/lon spread on a grid
+    all_docs = [r["docid"] for r in tiny_index.docs.select("docid").collect()]
+    attrs = spark.createDataFrame(
+        [(d, d - d % 4, d % 10, (d + 1) % 10,
+          float((d * 7) % 120 - 60), float((d * 13) % 300 - 150))
+         for d in all_docs],
+        "docid long, root_id long, f long, t long, "
+        "loc_lat double, loc_lon double")
+
+    # {!parent}: roots with >=1 matching non-root child, themselves
+    # matching which=
+    kids = set(docs(s.matches(A.TermQ("t000001"))))
+    roots_with_kid = sorted({d - d % 4 for d in kids if d % 4 != 0})
+    assert docs(solr_qparser(
+        s, "{!parent which='{!prefix f=text v=t}'}t000001",
+        attrs)) == roots_with_kid
+    # {!child}: children (docid != root) whose root matches both the
+    # of= parent filter and the body query
+    m2 = set(docs(s.matches(A.TermQ("t000002"))))
+    expect_children = sorted(d for d in all_docs
+                             if d - d % 4 in m2 and d % 4 != 0)
+    assert docs(solr_qparser(
+        s, "{!child of='{!prefix f=text v=t}'}t000002", attrs)) == \
+        expect_children
+    # {!graph}: 1-hop from docs whose f-value reaches their t-value
+    roots = docs(s.matches(A.TermQ("t000100")))
+    got1 = set(docs(solr_qparser(s, "{!graph from=f to=t maxDepth=1}t000100",
+                                 attrs)))
+    fvals = {d % 10 for d in roots}
+    expect1 = set(roots) | {d for d in all_docs if (d + 1) % 10 in fvals}
+    assert got1 == expect1
+    # returnRoot=false drops the seed set
+    got_nr = set(docs(solr_qparser(
+        s, "{!graph from=f to=t maxDepth=1 returnRoot=false}t000100", attrs)))
+    assert got_nr == expect1 - set(roots)
+
+    # {!geofilt} / {!bbox}: haversine radius vs bounding box
+    from lucene_solr_spark.operators.spatial import haversine_meters
+    d_expr = haversine_meters(F.col("loc_lat"), F.col("loc_lon"),
+                              F.lit(10.0), F.lit(20.0))
+    exact = sorted(r["docid"] for r in attrs
+                   .where(d_expr <= 3_000_000.0).collect())
+    assert docs(solr_qparser(
+        s, "{!geofilt sfield=loc pt=10.0,20.0 d=3000}", attrs)) == exact
+    bbox = set(docs(solr_qparser(
+        s, "{!bbox sfield=loc pt=10.0,20.0 d=3000}", attrs)))
+    assert set(exact) <= bbox
+
+    # {!rerank}: additive rescoring of the top window
+    main = {r["docid"]: r["score"]
+            for r in s.matches(A.TermQ("t000001")).collect()}
+    rr = {r["docid"]: r["score"]
+          for r in s.matches(A.TermQ("t000002")).collect()}
+    top5 = sorted(main, key=lambda d: (-main[d], d))[:5]
+    want = {d: (float(main[d]) + 3.0 * float(rr[d])
+                if d in rr and d in top5 else float(main[d]))
+            for d in main}
+    got = {r["docid"]: r["score"] for r in solr_qparser(
+        s, "{!rerank reRankQuery=t000002 reRankDocs=5 "
+           "reRankWeight=3.0}t000001").collect()}
+    assert got.keys() == want.keys()
+    assert all(abs(got[d] - want[d]) < 1e-6 for d in got)
+
+
 def test_flat_search_many_equals_singles(tiny_index):
     """Flat-engine batched serving: search_many (one shared
     scored-terms frame) returns exactly the per-query search()

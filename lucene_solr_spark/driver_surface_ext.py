@@ -3344,3 +3344,43 @@ UNION ALL SELECT 'complexphrase' AS dialect, doc_id FROM cpx
 ORDER BY dialect, doc_id
 """)
 
+
+def _solr_stats_vs_qp(spark, sf):
+    """Index-stats ValueSources (ValueSourceParser.java docfreq/idf/
+    termfreq/totaltermfreq registrations + StrDistanceFunction):
+    {!func} scoring every doc by termfreq('hash') * idf('hash') +
+    strdist(lang, 'en', edit), top-25 quantized."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    attrs = (_load(spark, sf, "documents")
+             .select(F.col("doc_id").alias("docid"), "lang"))
+    out = solr_qparser(
+        s, "{!func}sum(product(termfreq(text,hash),idf(text,hash)),"
+           "strdist(lang,'en',edit))", attrs)
+    m = out.select(F.col("docid").alias("doc_id"),
+                   F.floor(F.col("score") * Q).cast("long")
+                   .alias("score_q"))
+    return _rank_topk(m, 25)
+
+
+_register("solr_stats_vs_qp", _solr_stats_vs_qp, f"""
+WITH {FT_BASE},
+tf_h AS (SELECT doc_id, tf::DOUBLE AS tf FROM postings WHERE term='hash'),
+idfv AS (SELECT ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) AS v
+         FROM tstats ts, cstats cs WHERE ts.term='hash'),
+vals AS (
+  SELECT d.doc_id,
+         ((coalesce(t.tf, 0.0) * i.v)
+          + (1.0 - levenshtein(d.lang, 'en')::DOUBLE
+             / greatest(length(d.lang), 2)::DOUBLE)) AS s
+  FROM documents d LEFT JOIN tf_h t USING (doc_id) CROSS JOIN idfv i
+),
+agg AS (
+  SELECT doc_id, CAST(floor(s * 1000000) AS BIGINT) AS score_q FROM vals
+)
+SELECT doc_id, score_q,
+       row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank
+FROM agg QUALIFY rank <= 25
+""")
+

@@ -259,7 +259,14 @@ def _collect_terms(q: A.Query) -> set[str]:
         return _collect_terms(q.required) | _collect_terms(q.optional)
     if isinstance(q, A.ConstQ):
         return _collect_terms(q.inner)
-    # SynonymQ / SpanNearQ score themselves from postings directly
+    # closed-set leaves that score from their own terms' postings
+    # (per-term df and coll_stats are index-global regardless of a
+    # term-restricted decode, so restriction preserves scores)
+    if isinstance(q, (A.SynonymQ, A.BlendedTermQ)):
+        return set(q.terms)
+    if isinstance(q, A.SpanNearQ):
+        return {q.first, q.second}
+    # MultiTermQ / MatchAllQ expand against the dictionary
     return set()
 
 

@@ -79,12 +79,33 @@ the global (min,max) pre-pass exactly like ScaleFloatFunction's
 createWeight. Arithmetic folds left in the written argument order, so
 a SQL oracle writing the same expression reproduces the doubles
 bit-for-bit.
+
+Index-stats ValueSources (need a searcher; ValueSourceParser.java's
+docfreq/idf/termfreq/totaltermfreq/sumtotaltermfreq/maxdoc/numdocs
+registrations):
+  docfreq(text,T)           constant: the term's df
+  idf(text,T)               constant: ln(1+(N-df+0.5)/(df+0.5)) — the
+                            engine's BM25 idf (IDFValueSource routes
+                            through the similarity)
+  termfreq(text,T)          PER-DOC tf of T (0 when absent) — joined
+                            onto the attrs frame by
+                            augment_value_source_frame (the
+                            TFValueSource postings walk)
+  totaltermfreq(text,T)     constant: the term's ttf
+  sumtotaltermfreq(text)    constant: collection sum_ttf
+  maxdoc() / numdocs()      constant: doc count (no deletes here)
+  strdist(a,b,edit)         1 - levenshtein/max(len) in float64
+                            (StrDistanceFunction with
+                            LevenshteinDistance; the reference rounds
+                            through float32 — sub-ulp deviation,
+                            absorbed by quantized oracles)
 """
 
 from __future__ import annotations
 
 import re
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -114,7 +135,8 @@ def parse_local_params(s: str):
 
 # ---- ValueSource expression parser -----------------------------------------
 
-_VS_TOKEN = re.compile(r'\s*([A-Za-z_]\w*|-?\d+\.?\d*(?:[eE]-?\d+)?|[(),])')
+_VS_TOKEN = re.compile(
+    r"\s*([A-Za-z_]\w*|-?\d+\.?\d*(?:[eE]-?\d+)?|'[^']*'|[(),])")
 
 
 def parse_value_source(expr: str):
@@ -142,6 +164,8 @@ def parse_value_source(expr: str):
         pos += 1
         if re.fullmatch(r'-?\d+\.?\d*(?:[eE]-?\d+)?', t):
             return ("num", float(t))
+        if t.startswith("'") and t.endswith("'"):
+            return ("str", t[1:-1])
         if peek() == "(":
             pos += 1  # consume '('
             args = []
@@ -168,14 +192,63 @@ def parse_value_source(expr: str):
 
 _VS_ARITY = {"sub": 2, "div": 2, "recip": 4, "linear": 3, "scale": 3,
              "sqrt": 1, "abs": 1, "ln": 1, "log": 1, "exp": 1,
-             "pow": 2, "max": 2, "min": 2}
+             "pow": 2, "max": 2, "min": 2,
+             "docfreq": 2, "idf": 2, "termfreq": 2, "totaltermfreq": 2,
+             "sumtotaltermfreq": 1, "maxdoc": 0, "numdocs": 0,
+             "strdist": 3}
+
+_VS_NEEDS_SEARCHER = ("docfreq", "idf", "termfreq", "totaltermfreq",
+                      "sumtotaltermfreq", "maxdoc", "numdocs")
 
 
-def value_source_column(node, doc_attrs: DataFrame) -> F.Column:
+def _vs_name_arg(node, fn: str) -> str:
+    """Term/field argument of an index-stats function: a bare
+    identifier or a quoted string."""
+    if node[0] in ("field", "str"):
+        return node[1]
+    raise ValueError(f"{fn}() takes a term/field name, got {node!r}")
+
+
+def collect_termfreq_terms(node) -> list[str]:
+    """Terms referenced by termfreq(text, T) calls in the AST."""
+    out: list[str] = []
+    if node[0] == "call":
+        if node[1] == "termfreq" and len(node[2]) == 2:
+            out.append(_vs_name_arg(node[2][1], "termfreq"))
+        for a in node[2]:
+            out.extend(collect_termfreq_terms(a))
+    return out
+
+
+def augment_value_source_frame(node, doc_attrs: DataFrame,
+                               searcher) -> DataFrame:
+    """Join a per-doc ``_tf_<term>`` column for every termfreq(text,T)
+    in the AST — the TFValueSource postings walk, expressed as one
+    left join per distinct term (docs without the term read 0)."""
+    terms = sorted(set(collect_termfreq_terms(node)))
+    if not terms:
+        return doc_attrs
+    if searcher is None:
+        raise ValueError("termfreq() needs a searcher")
+    for t in terms:
+        col = f"_tf_{t}"
+        if col in doc_attrs.columns:
+            continue
+        tfs = (searcher.index.postings.where(F.col("term") == t)
+               .select("docid", F.col("tf").alias(col)))
+        doc_attrs = doc_attrs.join(tfs, "docid", "left")
+    return doc_attrs
+
+
+def value_source_column(node, doc_attrs: DataFrame,
+                        searcher=None) -> F.Column:
     """Evaluate a parsed ValueSource AST to a Spark Column over the
     doc_attrs frame. scale() triggers one (min,max) aggregate on
     doc_attrs — the ScaleFloatFunction.createWeight two-pass shape.
-    All arithmetic is double-precision in the written fold order."""
+    Index-stats functions resolve through ``searcher`` (constants fold
+    driver-side; termfreq reads the ``_tf_<term>`` column joined by
+    augment_value_source_frame). All arithmetic is double-precision in
+    the written fold order."""
     kind = node[0]
     if kind == "num":
         return F.lit(float(node[1]))
@@ -183,11 +256,53 @@ def value_source_column(node, doc_attrs: DataFrame) -> F.Column:
         if doc_attrs is None or node[1] not in doc_attrs.columns:
             raise ValueError(f"unknown value-source field {node[1]!r}")
         return F.col(node[1]).cast("double")
+    if kind == "str":
+        return F.lit(node[1])
     name, args = node[1], node[2]
     if name in _VS_ARITY and len(args) != _VS_ARITY[name]:
         raise ValueError(f"{name}() takes {_VS_ARITY[name]} args")
+    if name in _VS_NEEDS_SEARCHER:
+        if searcher is None:
+            raise ValueError(f"{name}() needs a searcher")
+        if name in ("maxdoc", "numdocs"):
+            return F.lit(float(searcher.index.coll_stats["doc_count"]))
+        if name == "sumtotaltermfreq":
+            if _vs_name_arg(args[0], name) != "text":
+                raise ValueError("only the 'text' field is indexed")
+            return F.lit(float(searcher.index.coll_stats["sum_ttf"]))
+        if _vs_name_arg(args[0], name) != "text":
+            raise ValueError("only the 'text' field is indexed")
+        term = _vs_name_arg(args[1], name)
+        if name == "termfreq":
+            col = f"_tf_{term}"
+            if doc_attrs is None or col not in doc_attrs.columns:
+                raise ValueError(
+                    "termfreq() needs augment_value_source_frame first")
+            return F.coalesce(F.col(col), F.lit(0)).cast("double")
+        df_t = searcher._df_for({term})[term]
+        if name == "docfreq":
+            return F.lit(float(df_t))
+        if name == "idf":
+            n = float(searcher.index.coll_stats["doc_count"])
+            return F.lit(float(np.log(
+                1.0 + (n - df_t + 0.5) / (df_t + 0.5))))
+        # totaltermfreq
+        row = (searcher.index.term_stats.where(F.col("term") == term)
+               .select("ttf").collect())
+        return F.lit(float(row[0]["ttf"]) if row else 0.0)
+    if name == "strdist":
+        method = _vs_name_arg(args[2], "strdist")
+        if method != "edit":
+            raise ValueError("strdist: only the 'edit' method is "
+                             "implemented")
+        a = (F.col(_vs_name_arg(args[0], "strdist"))
+             if args[0][0] == "field" else F.lit(args[0][1]))
+        b = (F.col(_vs_name_arg(args[1], "strdist"))
+             if args[1][0] == "field" else F.lit(args[1][1]))
+        return (F.lit(1.0) - F.levenshtein(a, b).cast("double")
+                / F.greatest(F.length(a), F.length(b)).cast("double"))
     if name == "scale":
-        src = value_source_column(args[0], doc_attrs)
+        src = value_source_column(args[0], doc_attrs, searcher)
         if args[1][0] != "num" or args[2][0] != "num":
             raise ValueError("scale() bounds must be numeric literals")
         lo, hi = float(args[1][1]), float(args[2][1])
@@ -196,7 +311,7 @@ def value_source_column(node, doc_attrs: DataFrame) -> F.Column:
         mn, mx = float(row["mn"]), float(row["mx"])
         span = (mx - mn) or 1.0
         return (src - F.lit(mn)) / F.lit(span) * F.lit(hi - lo) + F.lit(lo)
-    cols = [value_source_column(a, doc_attrs) for a in args]
+    cols = [value_source_column(a, doc_attrs, searcher) for a in args]
     if name == "sum":
         out = cols[0]
         for c in cols[1:]:
@@ -277,7 +392,9 @@ def solr_qparser(searcher, s: str,
         # the attrs frame scored by the expression (matches-all).
         if doc_attrs is None:
             raise ValueError("{!func} needs a doc_attrs frame")
-        col = value_source_column(parse_value_source(rest), doc_attrs)
+        node = parse_value_source(rest)
+        doc_attrs = augment_value_source_frame(node, doc_attrs, searcher)
+        col = value_source_column(node, doc_attrs, searcher)
         return doc_attrs.select("docid", col.alias("score"))
     if name == "boost":
         # BoostQParserPlugin.java / queries/function/BoostedQuery:
@@ -286,8 +403,9 @@ def solr_qparser(searcher, s: str,
             raise ValueError("{!boost} needs a doc_attrs frame")
         if "b" not in params:
             raise ValueError("{!boost} needs b=<value source>")
-        col = value_source_column(parse_value_source(params["b"]),
-                                  doc_attrs)
+        node = parse_value_source(params["b"])
+        doc_attrs = augment_value_source_frame(node, doc_attrs, searcher)
+        col = value_source_column(node, doc_attrs, searcher)
         m = searcher.matches(A.parse_query(rest))
         return (m.join(doc_attrs, "docid")
                 .select("docid", (F.col("score") * col).alias("score")))
@@ -296,7 +414,9 @@ def solr_qparser(searcher, s: str,
         # ValueSourceRangeFilter over the expression, constant score.
         if doc_attrs is None:
             raise ValueError("{!frange} needs a doc_attrs frame")
-        col = value_source_column(parse_value_source(rest), doc_attrs)
+        node = parse_value_source(rest)
+        doc_attrs = augment_value_source_frame(node, doc_attrs, searcher)
+        col = value_source_column(node, doc_attrs, searcher)
         cond = F.lit(True)
         if "l" in params:
             lo = F.lit(float(params["l"]))

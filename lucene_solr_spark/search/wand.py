@@ -1137,10 +1137,12 @@ class WandSearcher:
                 n, (A.PhraseQ, A.MultiPhraseQ, A.SpanNearQ,
                     A.TermAutomatonQ)))
             # term-restricted decode is only valid when the term set is
-            # closed (multi-term queries expand against the dictionary)
+            # closed (multi-term queries expand against the dictionary;
+            # Synonym/Blended/SpanNear leaves are closed — their terms
+            # come back from _collect_terms, and df/coll stats stay
+            # index-global under restriction)
             expands = scan(q, lambda n: isinstance(
-                n, (A.MultiTermQ, A.SynonymQ, A.MatchAllQ, A.SpanNearQ,
-                    A.BlendedTermQ)))
+                n, (A.MultiTermQ, A.MatchAllQ)))
             from lucene_solr_spark.search.executor import _collect_terms
 
             qterms = None if expands else (sorted(_collect_terms(q)) or None)

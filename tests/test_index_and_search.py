@@ -526,6 +526,53 @@ def test_value_source_eval_and_frange(spark):
     assert sorted(r["docid"] for r in tm.collect()) == [1, 3]
 
 
+def test_value_source_index_stats(spark, tiny_index):
+    """Index-stats ValueSources: docfreq/idf/termfreq/totaltermfreq/
+    sumtotaltermfreq/maxdoc/numdocs fold index statistics into the
+    expression; strdist(edit) = 1 - levenshtein/maxlen."""
+    import numpy as np
+
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(tiny_index, mode="sql")
+    attrs = tiny_index.docs.select("docid")
+    n = float(tiny_index.coll_stats["doc_count"])
+    row = (tiny_index.term_stats.where(F.col("term") == "t000001")
+           .select("df", "ttf").collect()[0])
+    df_t, ttf_t = float(row["df"]), float(row["ttf"])
+
+    out = solr_qparser(
+        s, "{!func}sum(docfreq(text,t000001),maxdoc(),"
+           "totaltermfreq(text,t000001),sumtotaltermfreq(text))",
+        attrs)
+    v = out.select("score").first()["score"]
+    assert v == df_t + n + ttf_t + float(tiny_index.coll_stats["sum_ttf"])
+
+    idf = float(np.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5)))
+    got = solr_qparser(s, "{!func}idf(text,t000001)", attrs) \
+        .select("score").first()["score"]
+    assert got == idf
+
+    # termfreq: per-doc tf, 0 where absent
+    tf_map = {r["docid"]: r["tf"] for r in tiny_index.postings
+              .where(F.col("term") == "t000001")
+              .select("docid", "tf").collect()}
+    got_tf = {r["docid"]: r["score"] for r in solr_qparser(
+        s, "{!func}termfreq(text,t000001)", attrs).collect()}
+    assert all(got_tf[d] == float(tf_map.get(d, 0)) for d in got_tf)
+    assert len(got_tf) == int(n)
+
+    # strdist over a derived column
+    a2 = attrs.withColumn("tag", F.concat(F.lit("doc"),
+                                          F.col("docid").cast("string")))
+    got_sd = solr_qparser(s, "{!func}strdist(tag,'doc1',edit)", a2)
+    vals = {r["docid"]: r["score"] for r in got_sd.collect()}
+    import math
+    assert math.isclose(vals[1], 1.0)          # 'doc1' vs 'doc1'
+    assert math.isclose(vals[12], 1.0 - 1.0 / 5.0)  # 'doc12' 1 edit
+
+
 def test_qparser_dialect_batch2(spark, tiny_index):
     """Round-4 dialect batch: {!field} {!raw} {!switch} {!maxscore}
     {!complexphrase} {!surround} {!parent} {!child} {!graph}

@@ -384,6 +384,27 @@ def test_multiphrase_duels_flat(seg_index, flat_searcher, slots, slop):
     assert a == b, f"{slots} slop={slop}: wand={a[:3]} flat={b[:3]}"
 
 
+def test_closed_leaf_fallback_duels_and_restricts(seg_index, flat_searcher):
+    """Synonym/Blended/SpanNear over the segment index go through the
+    exhaustive fallback with a TERM-RESTRICTED decode (closed term
+    sets) — results duel the flat executor and the plan filters the
+    postings scan on the query terms instead of decoding the whole
+    dictionary."""
+    from lucene_solr_spark.search import ast as A
+
+    ws = WandSearcher(seg_index)
+    shapes = [A.SynonymQ(("t000001", "t000002")),
+              A.BlendedTermQ(("t000001", "t000100")),
+              A.SpanNearQ("t000001", "t000002", slop=2)]
+    for q in shapes:
+        a = _rows(ws.search(q, k=10))
+        b = _rows(flat_searcher.search(q, k=10))
+        assert a == b, type(q).__name__
+    plan = (ws.search(shapes[0], k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "t000001" in plan  # the term filter reached the scan side
+
+
 def test_multiphrase_dead_slot_is_empty(seg_index, flat_searcher):
     from lucene_solr_spark.search import ast as A
 

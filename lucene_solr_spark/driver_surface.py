@@ -1044,12 +1044,13 @@ DRIVER_PRIORITY = [
     "innerjoin_stream", "fetch_stream", "leftouter_join",
     "dedup_exact", "dedup_minhash", "export_sorted", "group_topk",
     # (a3) round-4 session 3: index-stats ValueSources (termfreq/idf/
-    # docfreq/ttf/strdist in the {!func} grammar)
-    "solr_stats_vs_qp",
+    # docfreq/ttf/strdist in the {!func} grammar) + the segment-native
+    # two-phase span kernel
+    "solr_stats_vs_qp", "seg_span_near",
     # (d) r2/r3 regression sample across operator families
-    # (ft_edismax rotated out — its machinery is in-window via
-    # ft_multifield_qf; r2-green on record)
-    "term_automaton", "shortest_path_paths", "events_sessionize",
+    # (ft_edismax and events_sessionize rotated out — both r2-green on
+    # record; edismax machinery is in-window via ft_multifield_qf)
+    "term_automaton", "shortest_path_paths",
 ]
 
 

@@ -3384,3 +3384,34 @@ SELECT doc_id, score_q,
 FROM agg QUALIFY rank <= 25
 """)
 
+
+def _seg_span_near(spark, sf):
+    """SpanNearQ via the segment-native two-phase span kernel
+    (wand.span_near_topk — AND-mode block-grid sweep, .pos fetched
+    lazily for intersection docs, constant-score early termination;
+    search/spans/SpanNearQuery.java semantics): unordered 'hash'/
+    'join' within slop 3, boost 1.5, first 25 docids. Plan-asserted
+    no-full-decode in tests/test_wand.py."""
+    from lucene_solr_spark.search.wand import WandSearcher
+
+    si = _seg_index(spark, sf)
+    q = A.SpanNearQ("hash", "join", slop=3, in_order=False, boost=1.5)
+    out = WandSearcher(si).search(q, k=25)
+    return out.select(F.col("docid").alias("doc_id"),
+                      F.floor(F.col("score") * Q).cast("long")
+                      .alias("score_q"), "rank")
+
+
+_register("seg_span_near", _seg_span_near, f"""
+WITH {FT_BASE},
+m AS (
+  SELECT DISTINCT p1.doc_id
+  FROM (SELECT doc_id, pos FROM tokf WHERE term='hash') p1
+  JOIN (SELECT doc_id, pos FROM tokf WHERE term='join') p2
+    ON p1.doc_id = p2.doc_id
+   AND p2.pos <> p1.pos AND abs(p2.pos - p1.pos) <= 4
+)
+SELECT doc_id, CAST(1500000 AS BIGINT) AS score_q,
+       row_number() OVER (ORDER BY doc_id) AS rank
+FROM m QUALIFY rank <= 25
+""")

@@ -553,6 +553,119 @@ def phrase_topk(
     return top_docs, top_scores
 
 
+def span_near_topk(
+    first: str,
+    second: str,
+    postings: dict[str, "object"],
+    boost: float,
+    k: int,
+    slop: int = 0,
+    in_order: bool = True,
+    stats: WandStats | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Segment-native two-phase SpanNear kernel (search/spans/
+    SpanNearQuery.java semantics, the flat executor's pair condition):
+    a doc matches when some occurrence pair satisfies
+    0 < p2 - p1 <= slop + 1 (in_order) or 0 < |p2 - p1| <= slop + 1
+    (unordered).
+
+    phase 1: AND-mode interval sweep over the two terms' merged block
+    grid — identical discipline to phrase_topk (intervals live only
+    where BOTH terms have an active block; cheapest block decodes
+    first, docids intersect). phase 2: .pos payloads are fetched
+    lazily per group for intersection docs only; the pair test is a
+    vectorized double-searchsorted, no per-position Python loop.
+
+    The score is CONSTANT (float32(boost), the flat executor's span
+    score), so theta pruning degenerates to early termination: matches
+    arrive in ascending docid order and equal scores lose the
+    (score desc, docid asc) tie-break to earlier docids, so the sweep
+    stops after the first k matches — O(first-k) block decodes for
+    head terms instead of O(df).
+
+    Returns (docids, float32 scores) — at most k, ascending docid.
+    """
+    if first not in postings or second not in postings:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    uniq = sorted({first, second})
+    eps = [postings[t] for t in uniq]
+    m = len(uniq)
+    last_docs = [_term_block_grid(ep) for ep in eps]
+    bounds = np.unique(np.concatenate(last_docs))
+    n_int = len(bounds)
+    jmat = np.empty((m, n_int), dtype=np.int64)
+    active = np.zeros(n_int, dtype=np.int32)
+    for ti in range(m):
+        j = np.searchsorted(last_docs[ti], bounds, side="left")
+        jmat[ti] = j
+        active[j < len(last_docs[ti])] += 1
+
+    st = stats if stats is not None else WandStats()
+    st.blocks_total += sum(len(x) for x in last_docs)
+    st.intervals_total += n_int
+    cand_idx = np.nonzero(active == m)[0]
+    by_cost = sorted(range(m), key=lambda ti: eps[ti].ndocs)
+    decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    win = slop + 1
+    hits: list[np.ndarray] = []
+    n_hits = 0
+
+    for i in cand_idx:
+        if n_hits >= k:
+            break
+        hi = int(bounds[i])
+        lo = int(bounds[i - 1]) if i > 0 else -1
+        inter: np.ndarray | None = None
+        for ti in by_cost:
+            j = int(jmat[ti, i])
+            key = (ti, j)
+            if key not in decoded:
+                decoded[key] = _decode_block_cached(eps[ti], j)
+                st.blocks_decoded += 1
+            docs_j = decoded[key][0]
+            a = np.searchsorted(docs_j, lo, side="right")
+            b = np.searchsorted(docs_j, hi, side="right")
+            d = docs_j[a:b]
+            if len(d) == 0:
+                inter = None
+                break
+            inter = d if inter is None else np.intersect1d(
+                inter, d, assume_unique=True)
+            if len(inter) == 0:
+                inter = None
+                break
+        if inter is None or len(inter) == 0:
+            continue
+        st.intervals_scored += 1
+        # self-pair guard: first == second still needs two distinct
+        # occurrences, which the y != x / y > x conditions encode
+        p1s = _positions_for(postings[first], inter)
+        p2s = (p1s if second == first
+               else _positions_for(postings[second], inter))
+        keep = np.zeros(len(inter), dtype=bool)
+        for di in range(len(inter)):
+            p1, p2 = p1s[di], p2s[di]
+            # in-order: exists y in (x, x + win]
+            lo_i = np.searchsorted(p2, p1, side="right")
+            hi_i = np.searchsorted(p2, p1 + win, side="right")
+            ok = bool((hi_i > lo_i).any())
+            if not ok and not in_order:
+                # reverse: exists y in [x - win, x)
+                lo_r = np.searchsorted(p2, p1 - win, side="left")
+                hi_r = np.searchsorted(p2, p1, side="left")
+                ok = bool((hi_r > lo_r).any())
+            keep[di] = ok
+        matched = inter[keep]
+        if len(matched):
+            hits.append(matched)
+            n_hits += len(matched)
+
+    if not hits:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    d = np.concatenate(hits)[:k]
+    return d, np.full(len(d), np.float32(boost), np.float32)
+
+
 def _term_block_grid(ep) -> np.ndarray:
     """Block boundary table of a posting (last docid per logical
     block), resolving the posting's own last doc without decoding."""
@@ -1112,6 +1225,8 @@ class WandSearcher:
             return self._search_phrase(q, k)
         if isinstance(q, A.MultiPhraseQ):
             return self._search_multiphrase(q, k)
+        if isinstance(q, A.SpanNearQ):
+            return self._search_span_near(q, k)
         shape = self._flat_terms(q)
         if shape is None:
             # fallback: exhaustive over decoded postings; positions are
@@ -1315,6 +1430,39 @@ class WandSearcher:
 
         rows = (self.si.postings
                 .where(F.col("term").isin(present))
+                .select(*METADATA_COLS))
+        per_seg = rows.groupBy("seg_id").applyInPandas(
+            per_segment, schema="docid long, score float")
+        top = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        return top.withColumn("rank", F.row_number().over(w))
+
+    def _search_span_near(self, q: A.SpanNearQ, k: int) -> DataFrame:
+        """Top-level SpanNearQ over the segment index via the two-phase
+        span kernel (span_near_topk) — no full posting decode; the
+        constant score makes per-segment early termination exact (k
+        lowest docids win the tie-break). Same matches and scores as
+        the flat executor's _eval_span_near (duel-tested)."""
+        dfs = self._global_df(sorted({q.first, q.second}))
+        if any(v == 0 for v in dfs.values()):
+            return self.si.spark.createDataFrame(
+                [], "docid long, score float, rank int")
+        k_ = int(k)
+        slop_ = int(q.slop)
+        in_order_ = bool(q.in_order)
+        boost_ = float(np.float32(q.boost))
+        idx_path = self.si.path
+        first_, second_ = q.first, q.second
+
+        def per_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(key[0])
+            eps = _grouped_postings(idx_path, sid, pdf)
+            d, s = span_near_topk(first_, second_, eps, boost_, k=k_,
+                                  slop=slop_, in_order=in_order_)
+            return pd.DataFrame({"docid": d, "score": s})
+
+        rows = (self.si.postings
+                .where(F.col("term").isin(sorted({first_, second_})))
                 .select(*METADATA_COLS))
         per_seg = rows.groupBy("seg_id").applyInPandas(
             per_segment, schema="docid long, score float")

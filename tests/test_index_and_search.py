@@ -693,6 +693,74 @@ def test_qparser_dialect_batch2(spark, tiny_index):
     assert all(abs(got[d] - want[d]) < 1e-6 for d in got)
 
 
+def test_qparser_dialect_batch3(spark, tiny_index):
+    """Round-4 dialect batch 3: {!knn} {!hash} {!rank} — vector
+    search, the parallel-stream hash partitioner, and FeatureField
+    rank functions, each checked against an independent computation.
+    ({!dismax} is covered in test_multifield.py — it needs fields.)"""
+    import hashlib
+    import math
+
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(tiny_index, mode="lucene")
+    docids = sorted(r["docid"] for r in
+                    tiny_index.docs.select("docid").collect())[:20]
+
+    # {!knn}: cosine top-k over a literal vector column
+    vecs = {d: [float((d * 7 + i * 3) % 11) - 5.0 for i in range(4)]
+            for d in docids}
+    attrs = spark.createDataFrame(
+        [(d, vecs[d]) for d in docids], "docid long, emb array<double>")
+    qv = [1.0, -2.0, 0.5, 3.0]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb)
+
+    want = sorted(docids, key=lambda d: (-cos(vecs[d], qv), d))[:5]
+    got = solr_qparser(
+        s, "{!knn f=emb topK=5}[1.0, -2.0, 0.5, 3.0]", attrs).collect()
+    assert [r["docid"] for r in
+            sorted(got, key=lambda r: (-r["score"], r["docid"]))] == want
+    for r in got:
+        assert abs(r["score"] - cos(vecs[r["docid"]], qv)) < 1e-9
+
+    # {!hash}: partitions are disjoint, exhaustive, and reproduce the
+    # md5-first-8-hex-digits hash
+    key_attrs = attrs.withColumn("k", F.col("docid").cast("string"))
+    parts = [set(r["docid"] for r in solr_qparser(
+        s, f"{{!hash workers=3 worker={w} partitionKeys=k}}",
+        key_attrs).collect()) for w in range(3)]
+    assert set().union(*parts) == set(docids)
+    assert sum(len(p) for p in parts) == len(docids)
+    for w, p in enumerate(parts):
+        for d in p:
+            hx = hashlib.md5(str(d).encode()).hexdigest()[:8]
+            assert int(hx, 16) % 3 == w
+
+    # {!rank}: FeatureField satu / log / linear
+    feat = attrs.withColumn("pr", (F.col("docid") % 5).cast("double"))
+    vals = {d: float(d % 5) for d in docids}
+    live = {d: v for d, v in vals.items() if v > 0}
+    got_satu = {r["docid"]: r["score"] for r in solr_qparser(
+        s, "{!rank f=pr function=satu pivot=2.0 weight=1.5}",
+        feat).collect()}
+    assert got_satu.keys() == live.keys()
+    assert all(abs(got_satu[d] - 1.5 * v / (v + 2.0)) < 1e-12
+               for d, v in live.items())
+    got_log = {r["docid"]: r["score"] for r in solr_qparser(
+        s, "{!rank f=pr function=log scalingFactor=1.0}", feat).collect()}
+    assert all(abs(got_log[d] - math.log(1.0 + v)) < 1e-12
+               for d, v in live.items())
+    got_lin = {r["docid"]: r["score"] for r in solr_qparser(
+        s, "{!rank f=pr function=linear weight=2.0}", feat).collect()}
+    assert all(abs(got_lin[d] - 2.0 * v) < 1e-12 for d, v in live.items())
+
+
 def test_flat_search_many_equals_singles(tiny_index):
     """Flat-engine batched serving: search_many (one shared
     scored-terms frame) returns exactly the per-query search()

@@ -175,6 +175,22 @@ def test_edismax_qf_scores(mf_index, title_index, body_index):
     assert len(got) == min(1000, len(exp_rows))
 
 
+def test_dismax_qparser_dialect(mf_index):
+    """{!dismax qf=... tie=... mm=...} builds exactly the edismax_qf
+    node (DisMaxQParser.java's main-query shape) and scores through
+    the MultiFieldSearcher bit-equal to the direct AST route."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    ms = MultiFieldSearcher(mf_index, default_field="body")
+    want = _rows(ms.matches(edismax_qf(
+        "t000000 t000005", {"title": 2.0, "body": 1.0},
+        tie_breaker=0.1, min_should_match=1)))
+    got = _rows(solr_qparser(
+        ms, '{!dismax qf="title^2 body" tie=0.1 mm=1}t000000 t000005'))
+    assert sorted(got) == sorted(want)
+    assert len(got) > 0
+
+
 def test_single_scan_build(mf_index):
     """Both fields' postings project the SAME persisted analyzed frame
     (one corpus scan), visible as InMemoryTableScan in both plans."""

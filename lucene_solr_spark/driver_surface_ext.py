@@ -3538,3 +3538,47 @@ agg AS (
 )
 {_topk_sql("SELECT * FROM agg", 10)}
 """)
+
+def _ft_func_bool(spark, sf):
+    """Boolean/conditional ValueSources (ValueSourceParser.java's
+    if/exists/def/map/not/and/or + comparison registrations): one
+    {!func} expression over documents combining def/exists/if/map/
+    gt/and/not, top-25 quantized."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    attrs = (_load(spark, sf, "documents")
+             .select(F.col("doc_id").alias("docid"),
+                     F.col("n_chars").cast("double").alias("nc"),
+                     F.when(F.col("lang") == "en",
+                            F.col("n_chars").cast("double")).alias("nv")))
+    out = solr_qparser(
+        s, "{!func}sum(def(nv,-5),if(exists(nv),10,0),"
+           "map(nc,0,500,0,1),"
+           "product(3,and(gt(nc,200),not(eq(nc,500)))))", attrs)
+    m = out.select(F.col("docid").alias("doc_id"),
+                   F.floor(F.col("score") * Q).cast("long")
+                   .alias("score_q"))
+    return _rank_topk(m, 25)
+
+
+_register("ft_func_bool", _ft_func_bool, """
+WITH vals AS (
+  SELECT doc_id,
+         (coalesce(CASE WHEN lang='en' THEN n_chars::DOUBLE END, -5.0)
+          + (CASE WHEN lang='en' THEN 10.0 ELSE 0.0 END)
+          + (CASE WHEN n_chars::DOUBLE BETWEEN 0 AND 500
+                  THEN 0.0 ELSE 1.0 END)
+          + 3.0 * (CASE WHEN n_chars::DOUBLE > 200
+                        AND NOT (n_chars::DOUBLE = 500)
+                        THEN 1.0 ELSE 0.0 END)) AS sc
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, CAST(floor(sc * 1000000) AS BIGINT) AS score_q
+  FROM vals
+)
+SELECT doc_id, score_q,
+       row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank
+FROM agg QUALIFY rank <= 25
+""")

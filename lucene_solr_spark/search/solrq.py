@@ -195,7 +195,13 @@ _VS_ARITY = {"sub": 2, "div": 2, "recip": 4, "linear": 3, "scale": 3,
              "pow": 2, "max": 2, "min": 2,
              "docfreq": 2, "idf": 2, "termfreq": 2, "totaltermfreq": 2,
              "sumtotaltermfreq": 1, "maxdoc": 0, "numdocs": 0,
-             "strdist": 3}
+             "strdist": 3,
+             # boolean/conditional family (ValueSourceParser.java's
+             # if/exists/def/map/not/and/or/xor + comparison parsers;
+             # booleans surface as 1.0/0.0 doubles, non-zero = true)
+             "if": 3, "exists": 1, "def": 2, "not": 1,
+             "and": 2, "or": 2, "xor": 2,
+             "gt": 2, "lt": 2, "gte": 2, "lte": 2, "eq": 2}
 
 _VS_NEEDS_SEARCHER = ("docfreq", "idf", "termfreq", "totaltermfreq",
                       "sumtotaltermfreq", "maxdoc", "numdocs")
@@ -348,6 +354,33 @@ def value_source_column(node, doc_attrs: DataFrame,
         return F.greatest(cols[0], cols[1])
     if name == "min":
         return F.least(cols[0], cols[1])
+    # boolean/conditional family: booleans are 1.0/0.0, non-zero = true
+    # (SimpleBoolFunction/IfFunction semantics from ValueSourceParser)
+    if name == "if":
+        return F.when(cols[0] != 0, cols[1]).otherwise(cols[2])
+    if name == "exists":
+        return F.when(cols[0].isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+    if name == "def":
+        return F.coalesce(cols[0], cols[1])
+    if name == "not":
+        return F.when(cols[0] != 0, F.lit(0.0)).otherwise(F.lit(1.0))
+    if name in ("and", "or", "xor"):
+        a, b = cols[0] != 0, cols[1] != 0
+        c = {"and": a & b, "or": a | b, "xor": a != b}[name]
+        return F.when(c, F.lit(1.0)).otherwise(F.lit(0.0))
+    if name in ("gt", "lt", "gte", "lte", "eq"):
+        c = {"gt": cols[0] > cols[1], "lt": cols[0] < cols[1],
+             "gte": cols[0] >= cols[1], "lte": cols[0] <= cols[1],
+             "eq": cols[0] == cols[1]}[name]
+        return F.when(c, F.lit(1.0)).otherwise(F.lit(0.0))
+    if name == "map":
+        # map(v,min,max,target[,def]): v in [min,max] -> target,
+        # else def (or v unchanged) — MapFloatFunction
+        if len(args) not in (4, 5):
+            raise ValueError("map() takes 4 or 5 args")
+        v, lo, hi, tgt = cols[:4]
+        other = cols[4] if len(cols) == 5 else v
+        return F.when((v >= lo) & (v <= hi), tgt).otherwise(other)
     raise ValueError(f"unknown value-source function {name!r}")
 
 

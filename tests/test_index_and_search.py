@@ -573,6 +573,45 @@ def test_value_source_index_stats(spark, tiny_index):
     assert math.isclose(vals[12], 1.0 - 1.0 / 5.0)  # 'doc12' 1 edit
 
 
+def test_value_source_bool_family(spark, tiny_index):
+    """Boolean/conditional ValueSources (if/exists/def/map/not/and/
+    or/xor + comparisons): booleans are 1.0/0.0, non-zero = true."""
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(tiny_index, mode="sql")
+    attrs = (tiny_index.docs.select("docid").limit(10)
+             .withColumn("v", F.col("docid").cast("double"))
+             .withColumn("nv", F.when(F.col("docid") % 2 == 0,
+                                      F.col("docid").cast("double"))))
+
+    def vals(expr, a=attrs):
+        return {r["docid"]: r["score"] for r in
+                solr_qparser(s, "{!func}" + expr, a).collect()}
+
+    got = vals("if(gt(v,4),100,sum(v,1))")
+    assert all(vv == (100.0 if d > 4 else d + 1.0)
+               for d, vv in got.items())
+    got = vals("exists(nv)")
+    assert all(vv == (1.0 if d % 2 == 0 else 0.0)
+               for d, vv in got.items())
+    got = vals("def(nv,-1)")
+    assert all(vv == (float(d) if d % 2 == 0 else -1.0)
+               for d, vv in got.items())
+    got = vals("map(v,2,5,0)")
+    assert all(vv == (0.0 if 2 <= d <= 5 else float(d))
+               for d, vv in got.items())
+    got = vals("map(v,2,5,0,99)")
+    assert all(vv == (0.0 if 2 <= d <= 5 else 99.0)
+               for d, vv in got.items())
+    got = vals("xor(gte(v,3),lte(v,6))")
+    assert all(vv == (1.0 if ((d >= 3) != (d <= 6)) else 0.0)
+               for d, vv in got.items())
+    got = vals("and(not(eq(v,3)),or(lt(v,2),gt(v,8)))")
+    assert all(vv == (1.0 if (d != 3 and (d < 2 or d > 8)) else 0.0)
+               for d, vv in got.items())
+
+
 def test_qparser_dialect_batch2(spark, tiny_index):
     """Round-4 dialect batch: {!field} {!raw} {!switch} {!maxscore}
     {!complexphrase} {!surround} {!parent} {!child} {!graph}

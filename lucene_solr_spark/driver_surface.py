@@ -1051,11 +1051,12 @@ DRIVER_PRIORITY = [
     # two-phase span kernel, and QParser dialect batch 3
     # ({!knn}/{!hash}/{!rank} + {!dismax} over the multi-field engine)
     "solr_stats_vs_qp", "seg_span_near", "solr_qparser_mix3",
-    "solr_dismax_qp",
+    "solr_dismax_qp", "ltr_rerank",
     # (d) r2/r3 regression sample across operator families
-    # (ft_edismax and events_sessionize rotated out — both r2-green on
-    # record; edismax machinery is in-window via ft_multifield_qf)
-    "term_automaton", "shortest_path_paths",
+    # (ft_edismax, events_sessionize, term_automaton rotated out — all
+    # driver-green on record; edismax machinery is in-window via
+    # ft_multifield_qf)
+    "shortest_path_paths",
 ]
 
 

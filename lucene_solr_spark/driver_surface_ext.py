@@ -3582,3 +3582,50 @@ SELECT doc_id, score_q,
        row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank
 FROM agg QUALIFY rank <= 25
 """)
+
+def _ltr_rerank_q(spark, sf):
+    """LTR rerank (solr/contrib/ltr: LTRScoringQuery + LinearModel +
+    OriginalScoreFeature/SolrFeature): first pass 'hash OR join', then
+    a linear model over originalScore / termfreq(text,scan) /
+    if(lt(nc,900),1,0) rescores the window (sized past every match so
+    the cross-engine check covers the full model arithmetic; window
+    mechanics are pytest-gated in tests/test_ltr.py). Top-20
+    quantized."""
+    from lucene_solr_spark.operators.ltr import ltr_rerank
+
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    attrs = (_load(spark, sf, "documents")
+             .select(F.col("doc_id").alias("docid"),
+                     F.col("n_chars").cast("double").alias("nc")))
+    features = {"orig": "originalScore",
+                "short": "if(lt(nc,900),1,0)",
+                "tf_scan": "termfreq(text,scan)"}
+    weights = {"orig": 0.4, "short": 2.5, "tf_scan": 0.8}
+    out = ltr_rerank(s, A.OrQ((A.TermQ("hash"), A.TermQ("join"))),
+                     attrs, features, weights=weights,
+                     rerank_docs=10_000_000)
+    m = out.select(F.col("docid").alias("doc_id"),
+                   F.floor(F.col("score") * Q).cast("long")
+                   .alias("score_q"))
+    return _rank_topk(m, 20)
+
+
+_register("ltr_rerank", _ltr_rerank_q, f"""
+WITH {FT_BASE}, {_ft_scored(['hash', 'join'])},
+fp AS (SELECT doc_id, sum(s) AS sc FROM scored GROUP BY doc_id),
+tfs AS (SELECT doc_id, tf::DOUBLE AS tf FROM postings WHERE term='scan'),
+model AS (
+  SELECT f.doc_id,
+         ((0.4 * f.sc)
+          + (2.5 * (CASE WHEN d.n_chars::DOUBLE < 900.0
+                         THEN 1.0 ELSE 0.0 END))
+          + (0.8 * coalesce(t.tf, 0.0))) AS m
+  FROM fp f JOIN documents d USING (doc_id)
+  LEFT JOIN tfs t USING (doc_id)
+),
+agg AS (
+  SELECT doc_id, CAST(floor(m * 1000000) AS BIGINT) AS score_q
+  FROM model
+)
+{_topk_sql("SELECT * FROM agg", 20)}
+""")

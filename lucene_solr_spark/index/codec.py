@@ -764,8 +764,12 @@ class GroupedPosting:
                 raise ValueError("index was built without positions")
             pos = np.cumsum(read_vints_arr(blob)[: int(self.blockmax_tf[0])])
             return [pos] * len(docids)
-        glast = np.fromiter((int(r["grp_last_doc"]) for r in self._rows),
-                            dtype=np.int64, count=len(self._rows))
+        glast = getattr(self, "_glast", None)
+        if glast is None:
+            glast = np.fromiter(
+                (int(r["grp_last_doc"]) for r in self._rows),
+                dtype=np.int64, count=len(self._rows))
+            self._glast = glast
         gi = np.searchsorted(glast, docids, side="left")
         for g in np.unique(gi):
             g = int(g)
@@ -787,3 +791,66 @@ class GroupedPosting:
                 s, t = int(starts[ii]), int(gtfs[ii])
                 out[oi] = np.cumsum(vals[s:s + t])
         return out
+
+    def positions_flat(self, docids: np.ndarray) -> tuple[np.ndarray,
+                                                          np.ndarray]:
+        """Flattened positions of the requested docids as
+        (idx_rep, positions) — idx_rep[i] indexes into ``docids``.
+        Same lazy per-group .pos IO as positions_for, but the per-doc
+        delta-cumsum is one segmented cumsum over the whole batch (no
+        per-doc Python loop) — the bulk shape the exact-phrase verify
+        wants, where per-doc list materialization dominated."""
+        if self.pos_fetch is None:
+            raise ValueError("GroupedPosting has no pos_fetch attached")
+        docids = np.asarray(docids, dtype=np.int64)
+        n = len(docids)
+        if self.singleton_docid is not None:
+            blob = self.pos_fetch(int(self._rows[0]["grp_id"]))
+            if not blob:
+                raise ValueError("index was built without positions")
+            pos = np.cumsum(read_vints_arr(blob)[: int(self.blockmax_tf[0])])
+            return (np.repeat(np.arange(n, dtype=np.int64), len(pos)),
+                    np.tile(pos, n))
+        glast = getattr(self, "_glast", None)
+        if glast is None:
+            glast = np.fromiter(
+                (int(r["grp_last_doc"]) for r in self._rows),
+                dtype=np.int64, count=len(self._rows))
+            self._glast = glast
+        gi = np.searchsorted(glast, docids, side="left")
+        parts_idx: list[np.ndarray] = []
+        parts_pos: list[np.ndarray] = []
+        for g in np.unique(gi):
+            g = int(g)
+            cached = self._pos_cache.get(g)
+            if cached is None:
+                gdocs, gtfs = decode_posting(self._group_ep(g))
+                blob = self.pos_fetch(int(self._rows[g]["grp_id"]))
+                if not blob:
+                    raise ValueError("index was built without positions")
+                vals = read_vints_arr(blob)
+                starts = np.concatenate(([0], np.cumsum(gtfs)))
+                cached = (gdocs, gtfs, vals, starts)
+                self._pos_cache[g] = cached
+            gdocs, gtfs, vals, starts = cached
+            sel = np.nonzero(gi == g)[0]
+            idxs = np.searchsorted(gdocs, docids[sel])
+            lens = np.asarray(gtfs, dtype=np.int64)[idxs]
+            tot = int(lens.sum())
+            if tot == 0:
+                continue
+            doc_start = np.cumsum(lens) - lens
+            ramp = np.arange(tot, dtype=np.int64) - np.repeat(doc_start,
+                                                              lens)
+            src = np.repeat(np.asarray(starts, dtype=np.int64)[idxs],
+                            lens) + ramp
+            deltas = np.asarray(vals, dtype=np.int64)[src]
+            c = np.cumsum(deltas)
+            shift = np.where(doc_start > 0, c[doc_start - 1], 0)
+            parts_idx.append(np.repeat(sel, lens))
+            parts_pos.append(c - np.repeat(shift, lens))
+        if not parts_idx:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        # groups ascend with docid ranges, so concatenated idx stays
+        # ascending (sel ranges are contiguous per group)
+        return np.concatenate(parts_idx), np.concatenate(parts_pos)

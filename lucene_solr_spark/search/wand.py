@@ -336,6 +336,21 @@ def wand_topk(
     return top_docs, top_scores
 
 
+def _positions_flat(ep, docids: np.ndarray) -> tuple[np.ndarray,
+                                                     np.ndarray]:
+    """Flat (idx_rep, positions) dispatch: GroupedPosting has the
+    vectorized segmented-cumsum path; anything else flattens the
+    per-doc lists."""
+    if hasattr(ep, "positions_flat"):
+        return ep.positions_flat(docids)
+    lists = _positions_for(ep, docids)
+    lens = np.fromiter((len(p) for p in lists), np.int64, len(lists))
+    idx = np.repeat(np.arange(len(lists), dtype=np.int64), lens)
+    pos = (np.concatenate(lists) if lists
+           else np.empty(0, np.int64))
+    return idx, pos.astype(np.int64, copy=False)
+
+
 def _positions_for(ep, docids: np.ndarray) -> list[np.ndarray]:
     """positions_for dispatch: GroupedPosting fetches its .pos payload
     lazily per group; a plain EncodedPosting (kernel-level tests)
@@ -503,20 +518,33 @@ def phrase_topk(
         st.intervals_scored += 1
 
         # phase 2: positions verify on the intersection only
-        pos_by_term = {t: _positions_for(postings[t], inter) for t in uniq}
         nd = len(inter)
         freqs = np.zeros(nd, dtype=np.float64)
         if slop == 0:
-            for di in range(nd):
-                base: np.ndarray | None = None
-                for off, t in enumerate(terms):
-                    arr = pos_by_term[t][di] - off
-                    base = arr if base is None else np.intersect1d(
-                        base, arr, assume_unique=True)
-                    if base.size == 0:
-                        break
-                freqs[di] = float(base.size)
+            # vectorized across ALL intersection docs at once: fold
+            # per-slot compound keys (doc_index << 33 | rebased
+            # position) through one sorted intersect per slot — no
+            # per-doc Python loop (hot-hot phrases have large
+            # intersections; per-doc work was the phase-2 bottleneck).
+            # Keys are unique (positions unique per doc) and sorted
+            # (docs ascend, rebased positions ascend within a doc).
+            max_off = len(terms)
+            flat = {t: _positions_flat(postings[t], inter) for t in uniq}
+            base: np.ndarray | None = None
+            for off, t in enumerate(terms):
+                di_rep, pos = flat[t]
+                keys = (di_rep << 33) | (pos - off + max_off)
+                base = keys if base is None else np.intersect1d(
+                    base, keys, assume_unique=True)
+                if base.size == 0:
+                    break
+            if base is not None and base.size:
+                di_surv, counts = np.unique(base >> 33,
+                                            return_counts=True)
+                freqs[di_surv] = counts.astype(np.float64)
         else:
+            pos_by_term = {t: _positions_for(postings[t], inter)
+                           for t in uniq}
             for di in range(nd):
                 rebased = [pos_by_term[t][di] - off
                            for off, t in enumerate(terms)]
@@ -885,6 +913,16 @@ def multiphrase_topk(
 # --- Spark orchestration ----------------------------------------------------
 
 
+# Hash width for the POSITIONAL kernel task grids (phrase /
+# multiphrase / span plans): segment ids are FEW (8-64) — hashed into
+# the default shuffle width (2x cores) two segments collide in one
+# task ~35% of the time and their kernels run serially (measured ~2x
+# wall on hot-hot phrases, whose kernels are the most expensive).
+# 128 buckets cut the collision odds to ~20% with negligible AQE
+# overhead; the cheap WAND/batched paths keep the default width (the
+# extra exchange planning costs more than a rare collision there).
+KERNEL_HASH_PARTITIONS = 128
+
 METADATA_COLS = ("seg_id", "term", "df", "ttf", "singleton_docid",
                  "skip_last_doc", "skip_doc_off", "skip_tf_off",
                  "bm_tf", "bm_norm", "tail_offset",
@@ -1008,10 +1046,19 @@ def _make_pos_fetcher(idx_path: str, seg_id: int, readahead: int = 2):
     ExactPhraseScorer): per-(term, group) point reads of the pos_enc
     column only — docs/tfs payloads are NOT re-read, and groups whose
     docs never reach the phrase's docid intersection cost no IO.
-    Shares the worker-global payload LRU under a "pos"-tagged key."""
+    Shares the worker-global payload LRU under a "pos"-tagged key.
+
+    Adaptive readahead: the phrase sweep requests a term's groups in
+    ascending order, so after the THIRD miss on the same term the
+    intersection has proven dense there — the remaining groups are
+    fetched in ONE read (a hot-hot phrase pays ~2 reads per term
+    instead of one ~30 ms parquet point read per group). Rare-led
+    phrases touch < 3 groups of the head term and stay fully lazy, so
+    the O(df_rare) IO bound is preserved."""
     import pyarrow.parquet as pq
 
     cache: dict[tuple[str, int], bytes] = {}
+    misses: dict[str, int] = {}
 
     def fetch_pos(term: str, grp: int) -> bytes:
         key = (term, grp)
@@ -1021,11 +1068,14 @@ def _make_pos_fetcher(idx_path: str, seg_id: int, readahead: int = 2):
             if hit is not None:
                 cache[key] = hit
                 return hit
+            misses[term] = misses.get(term, 0) + 1
+            filters = [("term", "==", term), ("grp_id", ">=", grp)]
+            if misses[term] < 3:
+                filters.append(("grp_id", "<", grp + readahead))
             t = pq.read_table(
                 f"{idx_path}/postings/seg_id={seg_id}",
                 columns=["term", "grp_id", "pos_enc"],
-                filters=[("term", "==", term), ("grp_id", ">=", grp),
-                         ("grp_id", "<", grp + readahead)])
+                filters=filters)
             for tm, g, p in zip(t["term"].to_pylist(),
                                 t["grp_id"].to_pylist(),
                                 t["pos_enc"].to_pylist()):
@@ -1372,6 +1422,8 @@ class WandSearcher:
                 .select(*METADATA_COLS))
         schema = ("docid long, pfreq double" if collect_freqs
                   else "docid long, score float")
+        rows = rows.repartition(KERNEL_HASH_PARTITIONS,
+                                F.col("seg_id"))
         return rows.groupBy("seg_id").applyInPandas(per_segment,
                                                     schema=schema)
 
@@ -1431,8 +1483,10 @@ class WandSearcher:
         rows = (self.si.postings
                 .where(F.col("term").isin(present))
                 .select(*METADATA_COLS))
-        per_seg = rows.groupBy("seg_id").applyInPandas(
-            per_segment, schema="docid long, score float")
+        per_seg = (rows
+                   .repartition(KERNEL_HASH_PARTITIONS, F.col("seg_id"))
+                   .groupBy("seg_id").applyInPandas(
+                       per_segment, schema="docid long, score float"))
         top = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("docid"))
         return top.withColumn("rank", F.row_number().over(w))
@@ -1464,8 +1518,10 @@ class WandSearcher:
         rows = (self.si.postings
                 .where(F.col("term").isin(sorted({first_, second_})))
                 .select(*METADATA_COLS))
-        per_seg = rows.groupBy("seg_id").applyInPandas(
-            per_segment, schema="docid long, score float")
+        per_seg = (rows
+                   .repartition(KERNEL_HASH_PARTITIONS, F.col("seg_id"))
+                   .groupBy("seg_id").applyInPandas(
+                       per_segment, schema="docid long, score float"))
         top = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("docid"))
         return top.withColumn("rank", F.row_number().over(w))

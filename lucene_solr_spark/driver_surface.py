@@ -1045,13 +1045,13 @@ DRIVER_PRIORITY = [
     "ft_term", "ft_bool_and", "ft_bool_or_msm", "ft_bool_not",
     "ft_phrase", "ft_bm25_or", "facet_terms",
     "innerjoin_stream", "leftouter_join",
-    "dedup_exact", "dedup_minhash", "export_sorted", "group_topk",
+    "dedup_exact", "export_sorted", "group_topk",
     # (a3) round-4 session 3: index-stats ValueSources (termfreq/idf/
     # docfreq/ttf/strdist in the {!func} grammar), the segment-native
     # two-phase span kernel, and QParser dialect batch 3
     # ({!knn}/{!hash}/{!rank} + {!dismax} over the multi-field engine)
     "solr_stats_vs_qp", "seg_span_near", "solr_qparser_mix3",
-    "solr_dismax_qp", "ltr_rerank",
+    "solr_dismax_qp", "ltr_rerank", "solr_qparser_mix4",
     # (d) r2/r3 regression sample across operator families
     # (ft_edismax, events_sessionize, term_automaton rotated out — all
     # driver-green on record; edismax machinery is in-window via

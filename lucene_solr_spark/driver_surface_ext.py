@@ -3629,3 +3629,124 @@ agg AS (
 )
 {_topk_sql("SELECT * FROM agg", 20)}
 """)
+
+def _solr_qparser_mix4(spark, sf):
+    """Dialect batch 4 in one verdict — {!simple} (SimpleQueryParser
+    subset), {!xmlparser} (CoreParser XML query trees), {!graphterms}
+    (df-capped term set), {!igain} (information-gain term ranking over
+    a labeled set). Per dialect: row count + a quantized metric."""
+    from functools import reduce
+
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+
+    def agg_scored(df, tag):
+        return (df.select(F.floor(F.col("score") * Q).cast("long")
+                          .alias("q"))
+                .agg(F.lit(tag).alias("dialect"),
+                     F.count(F.lit(1)).alias("n_rows"),
+                     F.sum("q").alias("metric_q")))
+
+    simple_row = agg_scored(
+        solr_qparser(s, "{!simple q.op=AND}hash scan"), "simple")
+    xmlq = ("<BooleanQuery>"
+            "<Clause occurs='must'><TermQuery>join</TermQuery></Clause>"
+            "<Clause occurs='mustNot'><TermQuery>scan</TermQuery>"
+            "</Clause></BooleanQuery>")
+    xml_row = agg_scored(solr_qparser(s, "{!xmlparser}" + xmlq), "xml")
+
+    cap = int(s.index.term_stats
+              .where(F.col("term").isin(["hash", "join"]))
+              .agg(F.min("df")).collect()[0][0])
+    gt_row = (solr_qparser(s, f"{{!graphterms maxDocFreq={cap}}}hash,join")
+              .agg(F.lit("graphterms").alias("dialect"),
+                   F.count(F.lit(1)).alias("n_rows"),
+                   F.sum("docid").alias("metric_q")))
+
+    labeled = (_load(spark, sf, "documents")
+               .select(F.col("doc_id").alias("docid"),
+                       (F.col("doc_id") % 3 == 0).cast("int")
+                       .alias("outcome")))
+    ig = solr_qparser(s, "{!igain numTerms=1000000}", labeled)
+    ig_q = (ig.select("term",
+                      F.floor(F.col("score") * Q).cast("long").alias("q"))
+            .orderBy(F.desc("q"), F.asc("term")).limit(8))
+    ig_row = ig_q.agg(F.lit("igain").alias("dialect"),
+                      F.count(F.lit(1)).alias("n_rows"),
+                      F.sum("q").alias("metric_q"))
+    u = reduce(lambda a, b: a.unionByName(b),
+               [simple_row, xml_row, gt_row, ig_row])
+    return u.orderBy("dialect")
+
+
+_ENT = ("(CASE WHEN {n} > 0 THEN -("
+        "(CASE WHEN ({p})/({n}) > 0 THEN (({p})/({n}))*ln(({p})/({n}))"
+        " ELSE 0.0 END)"
+        " + (CASE WHEN 1.0-({p})/({n}) > 0 THEN"
+        " (1.0-({p})/({n}))*ln(1.0-({p})/({n})) ELSE 0.0 END))"
+        " ELSE 0.0 END)")
+
+_register("solr_qparser_mix4", _solr_qparser_mix4, f"""
+WITH {FT_BASE}, {_ft_scored(['hash', 'scan', 'join'])},
+simple_agg AS (
+  SELECT doc_id, sum(s) AS sc FROM scored
+  WHERE term IN ('hash','scan') GROUP BY doc_id HAVING count(*) = 2
+),
+simple_row AS (
+  SELECT 'simple' AS dialect, count(*)::BIGINT AS n_rows,
+         sum(CAST(floor(sc * 1000000) AS BIGINT))::BIGINT AS metric_q
+  FROM simple_agg
+),
+xml_agg AS (
+  SELECT doc_id, sum(s) AS sc FROM scored WHERE term = 'join'
+    AND doc_id NOT IN (SELECT doc_id FROM postings WHERE term='scan')
+  GROUP BY doc_id
+),
+xml_row AS (
+  SELECT 'xml' AS dialect, count(*)::BIGINT AS n_rows,
+         sum(CAST(floor(sc * 1000000) AS BIGINT))::BIGINT AS metric_q
+  FROM xml_agg
+),
+gt AS (
+  SELECT DISTINCT p.doc_id FROM postings p JOIN tstats ts USING (term)
+  WHERE p.term IN ('hash','join')
+    AND ts.df <= (SELECT min(df) FROM tstats
+                  WHERE term IN ('hash','join'))
+),
+gt_row AS (
+  SELECT 'graphterms' AS dialect, count(*)::BIGINT AS n_rows,
+         sum(doc_id)::BIGINT AS metric_q FROM gt
+),
+lab AS (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+tot AS (SELECT count(*)::DOUBLE AS n, sum(y)::DOUBLE AS p FROM lab),
+per AS (
+  SELECT p.term, count(*)::DOUBLE AS n1, sum(l.y)::DOUBLE AS p1
+  FROM postings p JOIN lab l USING (doc_id) GROUP BY p.term
+),
+ig AS (
+  SELECT per.term,
+         (({_ENT.format(p='tot.p', n='tot.n')}
+           - (per.n1 / tot.n) * {_ENT.format(p='per.p1', n='per.n1')})
+          - ((tot.n - per.n1) / tot.n)
+            * {_ENT.format(p='tot.p - per.p1', n='tot.n - per.n1')})
+         AS gain
+  FROM per CROSS JOIN tot
+),
+ig8 AS (
+  SELECT term, CAST(floor(gain * 1000000) AS BIGINT) AS q,
+         row_number() OVER (
+           ORDER BY CAST(floor(gain * 1000000) AS BIGINT) DESC, term)
+         AS rn
+  FROM ig QUALIFY rn <= 8
+),
+ig_row AS (
+  SELECT 'igain' AS dialect, count(*)::BIGINT AS n_rows,
+         sum(q)::BIGINT AS metric_q FROM ig8
+)
+SELECT * FROM simple_row UNION ALL SELECT * FROM xml_row
+UNION ALL SELECT * FROM gt_row UNION ALL SELECT * FROM ig_row
+ORDER BY dialect
+""")

@@ -113,7 +113,8 @@ from pyspark.sql.window import Window
 from lucene_solr_spark.search import ast as A
 
 _LOCAL_RE = re.compile(
-    r'^\{!(\w+)((?:\s+[\w.]+=(?:"[^"]*"|\'[^\']*\'|\S+?))*)\}(.*)$')
+    r'^\{!(\w+)((?:\s+[\w.]+=(?:"[^"]*"|\'[^\']*\'|\S+?))*)\}(.*)$',
+    re.DOTALL)  # bodies may span lines ({!xmlparser} XML trees)
 _PARAM_RE = re.compile(r'([\w.]+)=("[^"]*"|\'[^\']*\'|\S+)')
 
 
@@ -787,7 +788,243 @@ def solr_qparser(searcher, s: str,
             raise ValueError(f"{{!rank}} unknown function {fn!r}")
         return (doc_attrs.where(v > 0)
                 .select("docid", (F.lit(wgt) * e).alias("score")))
+    if name in ("query", "nested"):
+        # NestedQParserPlugin.java ({!query}): the body (or v=) is
+        # itself a full local-params request — dispatch recursively.
+        return solr_qparser(searcher, params.get("v", rest), doc_attrs)
+    if name == "graphterms":
+        # GraphTermsQParserPlugin.java: like {!terms} but terms whose
+        # df exceeds maxDocFreq are DROPPED (the graph-traversal
+        # frontier filter that keeps zipf-head hubs from exploding).
+        vals = [v.lower() for v in rest.split(",") if v]
+        max_df = int(params.get("maxDocFreq", 2 ** 31 - 1))
+        stats = (searcher.index.term_stats
+                 .where(F.col("term").isin(vals))
+                 .where(F.col("df") <= max_df)
+                 .select("term").collect())
+        keep = tuple(sorted(r["term"] for r in stats))
+        if not keep:
+            return _empty(searcher)
+        return (searcher.matches(A.TermInSetQ(keep))
+                .select("docid", F.lit(1.0).alias("score")))
+    if name == "simple":
+        # SimpleQParserPlugin.java -> queryparser/simple/
+        # SimpleQueryParser.java: +|- connectives, "phrase"~N,
+        # trailing-* prefix, term~N fuzzy, parens; whitespace = the
+        # q.op default (OR). Never throws on odd syntax by contract —
+        # we keep the subset grammar strict enough to be testable.
+        node = _parse_simple(rest, params.get("q.op", "OR"))
+        return searcher.matches(node)
+    if name == "xmlparser":
+        # XmlQParserPlugin.java -> queryparser/xml/CoreParser.java:
+        # the body is an XML query tree; element builders map onto the
+        # same AST the string parsers build.
+        return searcher.matches(parse_xml_query(rest))
+    if name == "igain":
+        # IGainTermsQParserPlugin.java (the `features` streaming
+        # expression's trainer): over a labeled training set
+        # (doc_attrs: docid, outcome 0/1), score each candidate term
+        # by information gain of term-presence w.r.t. the outcome,
+        # returning the top numTerms as (term rows, score = gain).
+        # Entropy terms use natural log; xlogx(0) = 0.
+        if doc_attrs is None:
+            raise ValueError("{!igain} needs a doc_attrs frame "
+                             "(docid, outcome)")
+        n_terms = int(params.get("numTerms", 10))
+        labeled = doc_attrs.select("docid",
+                                   F.col("outcome").cast("double")
+                                   .alias("_y"))
+        joined = (searcher.index.postings
+                  .join(labeled, "docid")
+                  .groupBy("term")
+                  .agg(F.count(F.lit(1)).alias("_n1"),
+                       F.sum("_y").alias("_p1")))
+        tot = labeled.agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("_y").alias("p")).collect()[0]
+        n_all, p_all = float(tot["n"]), float(tot["p"])
+
+        def xlogx(x):
+            return F.when(x > 0, x * F.log(x)).otherwise(F.lit(0.0))
+
+        def entropy(p, n):
+            # H of a (pos=p, total=n) split, in nats; 0 for empty
+            q_ = (p / n)
+            return F.when(n > 0, -(xlogx(q_) + xlogx(1.0 - q_))) \
+                    .otherwise(F.lit(0.0))
+
+        h_all = entropy(F.lit(p_all), F.lit(n_all))
+        n1 = F.col("_n1").cast("double")
+        p1 = F.col("_p1")
+        n0 = F.lit(n_all) - n1
+        p0 = F.lit(p_all) - p1
+        gain = (h_all - (n1 / F.lit(n_all)) * entropy(p1, n1)
+                - (n0 / F.lit(n_all)) * entropy(p0, n0))
+        scored = joined.select(F.col("term"), gain.alias("score"))
+        return (scored.orderBy(F.desc("score"), F.asc("term"))
+                .limit(n_terms))
     raise ValueError(f"unknown QParser dialect {name!r}")
+
+
+# ---- SimpleQueryParser subset ----------------------------------------------
+
+def _parse_simple(s: str, default_op: str = "OR") -> "A.Query":
+    """queryparser/simple/SimpleQueryParser.java subset: tokens are
+    terms / "phrases"~N / trailing-* prefixes / term~N fuzzies /
+    parenthesized groups, connected by + (AND), | (OR), whitespace
+    (the default op), with - negating the next clause."""
+    toks = re.findall(r'"[^"]*"(?:~\d+)?|[()|+-]|[^\s()|+-]+', s)
+    pos = 0
+
+    def parse_clause():
+        nonlocal pos
+        neg = False
+        while pos < len(toks) and toks[pos] == "-":
+            neg = not neg
+            pos += 1
+        if pos >= len(toks):
+            raise ValueError("dangling operator")
+        t = toks[pos]
+        pos += 1
+        if t == "(":
+            node = parse_or()
+            if pos < len(toks) and toks[pos] == ")":
+                pos += 1
+            return node, neg
+        if t.startswith('"'):
+            m = re.fullmatch(r'"([^"]*)"(?:~(\d+))?', t)
+            terms = tuple(w.lower() for w in m.group(1).split())
+            slop = int(m.group(2)) if m.group(2) else 0
+            return A.PhraseQ(terms, slop=slop), neg
+        if t.endswith("*") and len(t) > 1:
+            return A.PrefixQ(t[:-1].lower()), neg
+        fm = re.fullmatch(r"([^~]+)~(\d+)", t)
+        if fm:
+            return A.FuzzyQ(fm.group(1).lower(),
+                            max_edits=int(fm.group(2))), neg
+        return A.TermQ(t.lower()), neg
+
+    def combine(clauses, op):
+        pos_c = [c for c, neg in clauses if not neg]
+        neg_c = [c for c, neg in clauses if neg]
+        if not pos_c:
+            raise ValueError("purely negative query")
+        if len(pos_c) == 1:
+            node = pos_c[0]
+        elif op == "AND":
+            node = A.AndQ(tuple(pos_c))
+        else:
+            node = A.OrQ(tuple(pos_c))
+        for n in neg_c:
+            node = A.NotQ(node, n)
+        return node
+
+    def parse_and():
+        nonlocal pos
+        clauses = [parse_clause()]
+        while pos < len(toks) and toks[pos] not in (")", "|"):
+            if toks[pos] == "+":
+                pos += 1
+                clauses.append(parse_clause())
+            else:
+                if default_op == "AND":
+                    clauses.append(parse_clause())
+                else:
+                    break
+        return combine(clauses, "AND") if len(clauses) > 1 \
+            else combine(clauses, default_op)
+
+    def parse_or():
+        nonlocal pos
+        clauses = [(parse_and(), False)]
+        while pos < len(toks) and toks[pos] != ")":
+            if toks[pos] == "|":
+                pos += 1
+            clauses.append((parse_and(), False))
+        return combine(clauses, "OR")
+
+    node = parse_or()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens at {pos}: {toks[pos:]}")
+    return node
+
+
+# ---- XML query parser (CoreParser subset) ----------------------------------
+
+def parse_xml_query(xml: str) -> "A.Query":
+    """queryparser/xml/CoreParser.java subset: TermQuery /
+    BooleanQuery (Clause occurs=must|should|mustNot) / PhraseQuery /
+    MatchAllDocsQuery / DisjunctionMaxQuery / ConstantScoreQuery /
+    PrefixQuery / SpanNear(two SpanTerm children) elements map onto
+    the engine AST. The fieldName attribute must be 'text' (the
+    engine's single analyzed field) when present."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml)
+    return _xml_node(root)
+
+
+def _xml_field(el) -> None:
+    f = el.get("fieldName", "text")
+    if f != "text":
+        raise ValueError(f"unknown field {f!r}")
+
+
+def _xml_node(el) -> "A.Query":
+    tag = el.tag
+    boost = float(el.get("boost", 1.0))
+    if tag == "TermQuery":
+        _xml_field(el)
+        return A.TermQ(el.text.strip().lower(), boost=boost)
+    if tag == "PrefixQuery":
+        _xml_field(el)
+        return A.PrefixQ(el.text.strip().lower())
+    if tag == "PhraseQuery":
+        _xml_field(el)
+        slop = int(el.get("slop", 0))
+        terms = tuple(w.lower() for w in el.text.strip().split())
+        return A.PhraseQ(terms, slop=slop, boost=boost)
+    if tag == "MatchAllDocsQuery":
+        return A.MatchAllQ()
+    if tag == "ConstantScoreQuery":
+        return A.ConstQ(_xml_node(el[0]), boost=boost)
+    if tag == "DisjunctionMaxQuery":
+        tie = float(el.get("tieBreaker", 0.0))
+        return A.DisMaxQ(tuple(_xml_node(c) for c in el),
+                         tie_breaker=tie)
+    if tag == "BooleanQuery":
+        must, should, neg = [], [], []
+        for cl in el:
+            if cl.tag != "Clause":
+                raise ValueError(f"expected Clause, got {cl.tag}")
+            occurs = cl.get("occurs", "should")
+            node = _xml_node(cl[0])
+            {"must": must, "should": should,
+             "mustNot": neg, "filter": must}[occurs].append(node)
+        if must and should:
+            base = A.ReqOptQ(
+                must[0] if len(must) == 1 else A.AndQ(tuple(must)),
+                should[0] if len(should) == 1 else A.OrQ(tuple(should)))
+        elif must:
+            base = must[0] if len(must) == 1 else A.AndQ(tuple(must))
+        elif should:
+            base = should[0] if len(should) == 1 else A.OrQ(tuple(should))
+        else:
+            raise ValueError("BooleanQuery needs a positive clause")
+        for n in neg:
+            base = A.NotQ(base, n)
+        return base
+    if tag == "SpanNear":
+        kids = list(el)
+        if len(kids) != 2 or any(k.tag != "SpanTerm" for k in kids):
+            raise ValueError("SpanNear subset: exactly two SpanTerm "
+                             "children")
+        for k in kids:
+            _xml_field(k)
+        return A.SpanNearQ(kids[0].text.strip().lower(),
+                           kids[1].text.strip().lower(),
+                           slop=int(el.get("slop", 0)),
+                           in_order=el.get("inOrder", "true") == "true")
+    raise ValueError(f"unknown XML query element {tag!r}")
 
 
 def _empty(searcher) -> DataFrame:

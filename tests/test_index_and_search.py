@@ -800,6 +800,119 @@ def test_qparser_dialect_batch3(spark, tiny_index):
     assert all(abs(got_lin[d] - 2.0 * v) < 1e-12 for d, v in live.items())
 
 
+def test_qparser_dialect_batch4(spark, tiny_index):
+    """Round-4 dialect batch 4: {!query}/{!nested} recursion,
+    {!graphTerms} df-capped term set, {!simple} (SimpleQueryParser
+    subset), {!xmlparser} (CoreParser subset), {!igain} information
+    gain — each vs the engine operator or an independent Python
+    computation."""
+    import math
+
+    from lucene_solr_spark.search import ast as A
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(tiny_index, mode="lucene")
+
+    def scored(df):
+        return sorted((r["docid"], np.float32(r["score"]))
+                      for r in df.collect())
+
+    def docs(df):
+        return sorted(r["docid"] for r in df.select("docid").collect())
+
+    # {!query} / {!nested}: recursive dispatch
+    assert scored(solr_qparser(s, "{!query v='{!term f=text}t000001'}")) \
+        == scored(s.matches(A.TermQ("t000001")))
+
+    # {!graphTerms}: the zipf-head term is dropped by maxDocFreq
+    df_hi = tiny_index.term_stats.where(
+        F.col("term") == "t000000").first()["df"]
+    got = solr_qparser(
+        s, f"{{!graphterms maxDocFreq={df_hi - 1}}}t000000,t004999")
+    assert docs(got) == docs(s.matches(A.TermInSetQ(("t004999",))))
+    got_all = solr_qparser(
+        s, f"{{!graphterms maxDocFreq={df_hi}}}t000000,t004999")
+    assert docs(got_all) == docs(
+        s.matches(A.TermInSetQ(("t000000", "t004999"))))
+
+    # {!simple}: AND / OR / negation / phrase / prefix / fuzzy
+    assert scored(solr_qparser(s, "{!simple}t000001 + t000002")) == \
+        scored(s.matches(A.AndQ((A.TermQ("t000001"), A.TermQ("t000002")))))
+    assert scored(solr_qparser(s, "{!simple}t000001 | t000002")) == \
+        scored(s.matches(A.OrQ((A.TermQ("t000001"), A.TermQ("t000002")))))
+    assert scored(solr_qparser(s, "{!simple}t000001 t000002")) == \
+        scored(s.matches(A.OrQ((A.TermQ("t000001"), A.TermQ("t000002")))))
+    assert scored(solr_qparser(
+        s, "{!simple q.op=AND}t000001 t000002")) == \
+        scored(s.matches(A.AndQ((A.TermQ("t000001"), A.TermQ("t000002")))))
+    assert scored(solr_qparser(s, "{!simple}t000001 + -t000002")) == \
+        scored(s.matches(A.NotQ(A.TermQ("t000001"), A.TermQ("t000002"))))
+    assert scored(solr_qparser(s, '{!simple}"t000001 t000002"~1')) == \
+        scored(s.matches(A.PhraseQ(("t000001", "t000002"), slop=1)))
+    assert scored(solr_qparser(s, "{!simple}t00000*")) == \
+        scored(s.matches(A.PrefixQ("t00000")))
+    assert scored(solr_qparser(s, "{!simple}t000001~1")) == \
+        scored(s.matches(A.FuzzyQ("t000001", max_edits=1)))
+
+    # {!xmlparser}: boolean tree + phrase + spans
+    xmlq = """
+    <BooleanQuery>
+      <Clause occurs='must'><TermQuery>t000001</TermQuery></Clause>
+      <Clause occurs='should'>
+        <PhraseQuery slop='1'>t000001 t000002</PhraseQuery>
+      </Clause>
+      <Clause occurs='mustNot'><TermQuery>t004999</TermQuery></Clause>
+    </BooleanQuery>"""
+    want = A.NotQ(A.ReqOptQ(A.TermQ("t000001"),
+                            A.PhraseQ(("t000001", "t000002"), slop=1)),
+                  A.TermQ("t004999"))
+    assert scored(solr_qparser(s, "{!xmlparser}" + xmlq)) == \
+        scored(s.matches(want))
+    xspan = ("<SpanNear slop='2' inOrder='false'>"
+             "<SpanTerm>t000001</SpanTerm><SpanTerm>t000002</SpanTerm>"
+             "</SpanNear>")
+    assert scored(solr_qparser(s, "{!xmlparser}" + xspan)) == \
+        scored(s.matches(A.SpanNearQ("t000001", "t000002", slop=2,
+                                     in_order=False)))
+
+    # {!igain}: information gain vs a Python recomputation
+    labeled = (tiny_index.docs.select("docid")
+               .withColumn("outcome",
+                           (F.col("docid") % 3 == 0).cast("int")))
+    lab = {r["docid"]: int(r["outcome"]) for r in labeled.collect()}
+    got_ig = {r["term"]: r["score"] for r in solr_qparser(
+        s, "{!igain numTerms=5}", labeled).collect()}
+    post = tiny_index.postings.select("term", "docid").collect()
+    by_term: dict[str, set] = {}
+    for r in post:
+        by_term.setdefault(r["term"], set()).add(r["docid"])
+    n_all = len(lab)
+    p_all = sum(lab.values())
+
+    def ent(p, n):
+        if n == 0:
+            return 0.0
+        q = p / n
+        h = 0.0
+        for x in (q, 1 - q):
+            if x > 0:
+                h -= x * math.log(x)
+        return h
+
+    gains = {}
+    for t, dset in by_term.items():
+        n1 = len(dset)
+        p1 = sum(lab[d] for d in dset)
+        gains[t] = (ent(p_all, n_all)
+                    - n1 / n_all * ent(p1, n1)
+                    - (n_all - n1) / n_all * ent(p_all - p1, n_all - n1))
+    top = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert set(got_ig) == {t for t, _ in top}
+    for t, g in top:
+        assert abs(got_ig[t] - g) < 1e-12
+
+
 def test_flat_search_many_equals_singles(tiny_index):
     """Flat-engine batched serving: search_many (one shared
     scored-terms frame) returns exactly the per-query search()

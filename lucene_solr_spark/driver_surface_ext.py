@@ -3750,3 +3750,81 @@ SELECT * FROM simple_row UNION ALL SELECT * FROM xml_row
 UNION ALL SELECT * FROM gt_row UNION ALL SELECT * FROM ig_row
 ORDER BY dialect
 """)
+
+def _solr_tlogit_qp(spark, sf):
+    """{!tlogit} (TextLogisticRegressionQParserPlugin — the train()
+    streaming expression's per-iteration step): one batch
+    logistic-regression update over [1, idf*(1+ln tf)] vectors with
+    outcome = (doc_id even), plus |error| sum and confusion counts.
+    Deterministic batch variant (see solrq.py docstring)."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    labeled = (_load(spark, sf, "documents")
+               .select(F.col("doc_id").alias("docid"),
+                       (F.col("doc_id") % 2 == 0).cast("int")
+                       .alias("outcome")))
+    out = solr_qparser(
+        s, "{!tlogit terms=hash,join idfs=1.3,0.9 "
+           "weights=0.1,0.5,-0.4 alpha=0.02 threshold=0.5}", labeled)
+    return (out.select("name",
+                       F.floor(F.col("value") * Q).cast("long")
+                       .alias("value_q"))
+            .orderBy("name"))
+
+
+_register("solr_tlogit_qp", _solr_tlogit_qp, f"""
+WITH {FT_BASE},
+lab AS (SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+ta AS (SELECT doc_id, tf FROM postings WHERE term='hash'),
+tb AS (SELECT doc_id, tf FROM postings WHERE term='join'),
+v AS (
+  SELECT l.doc_id, l.y,
+         CASE WHEN a.tf IS NOT NULL
+              THEN 1.3 * (1.0 + ln(a.tf::DOUBLE)) ELSE 0.0 END AS f1,
+         CASE WHEN b.tf IS NOT NULL
+              THEN 0.9 * (1.0 + ln(b.tf::DOUBLE)) ELSE 0.0 END AS f2
+  FROM lab l LEFT JOIN ta a USING (doc_id) LEFT JOIN tb b USING (doc_id)
+  WHERE a.tf IS NOT NULL OR b.tf IS NOT NULL
+),
+sc AS (
+  SELECT doc_id, y, f1, f2,
+         1.0 / (1.0 + exp(-((0.1 + f1 * 0.5) + f2 * (-0.4)))) AS sig
+  FROM v
+),
+agg AS (
+  SELECT sum(abs(sig - y)) AS err,
+         sum(sig - y) AS g0,
+         sum((sig - y) * f1) AS g1,
+         sum((sig - y) * f2) AS g2,
+         sum(CASE WHEN y = 1.0 AND sig >= 0.5 THEN 1 ELSE 0 END)::DOUBLE
+           AS tp,
+         sum(CASE WHEN y = 0.0 AND sig >= 0.5 THEN 1 ELSE 0 END)::DOUBLE
+           AS fp,
+         sum(CASE WHEN y = 1.0 AND sig < 0.5 THEN 1 ELSE 0 END)::DOUBLE
+           AS fn,
+         sum(CASE WHEN y = 0.0 AND sig < 0.5 THEN 1 ELSE 0 END)::DOUBLE
+           AS tn
+  FROM sc
+)
+SELECT name, value_q FROM (
+  SELECT 'error' AS name,
+         CAST(floor(err * 1000000) AS BIGINT) AS value_q FROM agg
+  UNION ALL SELECT 'w_0',
+         CAST(floor((0.1 - 0.02 * g0) * 1000000) AS BIGINT) FROM agg
+  UNION ALL SELECT 'w_1',
+         CAST(floor((0.5 - 0.02 * g1) * 1000000) AS BIGINT) FROM agg
+  UNION ALL SELECT 'w_2',
+         CAST(floor((-0.4 - 0.02 * g2) * 1000000) AS BIGINT) FROM agg
+  UNION ALL SELECT 'tp',
+         CAST(floor(tp * 1000000) AS BIGINT) FROM agg
+  UNION ALL SELECT 'fp',
+         CAST(floor(fp * 1000000) AS BIGINT) FROM agg
+  UNION ALL SELECT 'fn',
+         CAST(floor(fn * 1000000) AS BIGINT) FROM agg
+  UNION ALL SELECT 'tn',
+         CAST(floor(tn * 1000000) AS BIGINT) FROM agg
+) ORDER BY name
+""")

@@ -391,7 +391,7 @@ def solr_qparser(searcher, s: str,
     ``doc_attrs``: (docid, <field> ...) frame supplying the join /
     collapse field values."""
     name, params, rest = parse_local_params(s)
-    if name in (None, "lucene", "edismax"):
+    if name in (None, "lucene", "oldlucene", "edismax"):
         return searcher.matches(A.parse_query(rest if rest else s))
     if name in ("term", "prefix"):
         field = params.get("f", "text")
@@ -862,6 +862,83 @@ def solr_qparser(searcher, s: str,
         scored = joined.select(F.col("term"), gain.alias("score"))
         return (scored.orderBy(F.desc("score"), F.asc("term"))
                 .limit(n_terms))
+    if name == "tlogit":
+        # TextLogisticRegressionQParserPlugin.java (the train()
+        # streaming expression's per-iteration trainer): docs
+        # containing >= 1 feature term get the vector
+        # [1, idf_i * (1 + ln tf_i) ...]; one logistic-regression
+        # step + |error| sum + confusion counts against the incoming
+        # weights. DEVIATION (documented): the reference updates
+        # weights per doc in HashMap iteration order — nondeterministic
+        # even single-node — so the Spark version takes the BATCH
+        # gradient step (all errors against the incoming weights),
+        # which is deterministic and distribution-friendly; totalError
+        # and the evaluation counts match the reference exactly (it
+        # computes them against the incoming weights too).
+        if doc_attrs is None:
+            raise ValueError("{!tlogit} needs a doc_attrs frame "
+                             "(docid, outcome)")
+        terms = [t for t in params["terms"].split(",") if t]
+        idfs = [float(x) for x in params["idfs"].split(",")]
+        if len(idfs) != len(terms):
+            raise ValueError("terms/idfs length mismatch")
+        n_w = len(terms) + 1
+        w_in = ([float(x) for x in params["weights"].split(",")]
+                if "weights" in params else [1.0] * n_w)
+        if len(w_in) != n_w:
+            raise ValueError("weights must have len(terms)+1 entries")
+        alpha = float(params.get("alpha", 0.01))
+        threshold = float(params.get("threshold", 0.5))
+        positive = int(params.get("positiveLabel", 1))
+
+        base = doc_attrs.select(
+            "docid",
+            (F.col("outcome").cast("int") == positive).cast("double")
+            .alias("_y"))
+        feats = base
+        for i, t in enumerate(terms):
+            tf = (searcher.index.postings.where(F.col("term") == t)
+                  .select("docid", F.col("tf").alias(f"_tf{i}")))
+            feats = feats.join(tf, "docid", "left")
+        fcols = [F.when(F.col(f"_tf{i}").isNotNull(),
+                        F.lit(idfs[i])
+                        * (F.lit(1.0)
+                           + F.log(F.col(f"_tf{i}").cast("double"))))
+                 .otherwise(F.lit(0.0)) for i in range(len(terms))]
+        # docVectors membership: docs with at least one feature term
+        any_t = F.greatest(*[F.col(f"_tf{i}").isNotNull().cast("int")
+                             for i in range(len(terms))]) == 1 \
+            if terms else F.lit(False)
+        feats = feats.where(any_t)
+        z = F.lit(w_in[0])
+        for i, fc in enumerate(fcols):
+            z = z + fc * F.lit(w_in[i + 1])
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = sig - F.col("_y")
+        pred = (sig >= F.lit(threshold)).cast("int")
+        aggs = [F.sum(F.abs(err)).alias("error"),
+                F.sum(err).alias("g0")]
+        aggs += [F.sum(err * fc).alias(f"g{i + 1}")
+                 for i, fc in enumerate(fcols)]
+        aggs += [
+            F.sum(((F.col("_y") == 1.0) & (pred == 1)).cast("long"))
+            .alias("tp"),
+            F.sum(((F.col("_y") == 0.0) & (pred == 1)).cast("long"))
+            .alias("fp"),
+            F.sum(((F.col("_y") == 1.0) & (pred == 0)).cast("long"))
+            .alias("fn"),
+            F.sum(((F.col("_y") == 0.0) & (pred == 0)).cast("long"))
+            .alias("tn"),
+        ]
+        row = feats.agg(*aggs).collect()[0]
+        out = [("error", float(row["error"] or 0.0))]
+        for i in range(n_w):
+            out.append((f"w_{i}",
+                        w_in[i] - alpha * float(row[f"g{i}"] or 0.0)))
+        for m in ("tp", "fp", "fn", "tn"):
+            out.append((m, float(row[m] or 0)))
+        return searcher.index.docs.sparkSession.createDataFrame(
+            out, "name string, value double")
     raise ValueError(f"unknown QParser dialect {name!r}")
 
 

@@ -913,6 +913,61 @@ def test_qparser_dialect_batch4(spark, tiny_index):
         assert abs(got_ig[t] - g) < 1e-12
 
 
+def test_tlogit_dialect(spark, tiny_index):
+    """{!tlogit}: one batch logistic-regression step over
+    [1, idf_i*(1+ln tf_i)] vectors — weights/error/confusion match an
+    independent Python recomputation (the reference's per-doc
+    HashMap-order SGD is nondeterministic; the batch step is the
+    documented deterministic variant)."""
+    import math
+
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(tiny_index, mode="sql")
+    labeled = (tiny_index.docs.select("docid")
+               .withColumn("outcome",
+                           (F.col("docid") % 2 == 0).cast("int")))
+    terms = ["t000001", "t000002"]
+    idfs = [1.5, 0.7]
+    got = {r["name"]: r["value"] for r in solr_qparser(
+        s, "{!tlogit terms=t000001,t000002 idfs=1.5,0.7 "
+           "weights=0.2,1.0,-0.5 alpha=0.05 threshold=0.5}",
+        labeled).collect()}
+
+    lab = {r["docid"]: int(r["outcome"]) for r in labeled.collect()}
+    tfs = {t: {r["docid"]: r["tf"] for r in tiny_index.postings
+               .where(F.col("term") == t).collect()} for t in terms}
+    docs = sorted(set(tfs[terms[0]]) | set(tfs[terms[1]]))
+    w = [0.2, 1.0, -0.5]
+    g = [0.0, 0.0, 0.0]
+    err_sum = 0.0
+    tp = fp = fn = tn = 0
+    for d in docs:
+        v = [1.0] + [idfs[i] * (1.0 + math.log(tfs[t][d]))
+                     if d in tfs[t] else 0.0
+                     for i, t in enumerate(terms)]
+        z = sum(vi * wi for vi, wi in zip(v, w))
+        sig = 1.0 / (1.0 + math.exp(-z))
+        y = lab[d]
+        err_sum += abs(sig - y)
+        pred = 1 if sig >= 0.5 else 0
+        if y and pred:
+            tp += 1
+        elif y and not pred:
+            fn += 1
+        elif pred:
+            fp += 1
+        else:
+            tn += 1
+        for i in range(3):
+            g[i] += (sig - y) * v[i]
+    assert abs(got["error"] - err_sum) < 1e-9
+    for i in range(3):
+        assert abs(got[f"w_{i}"] - (w[i] - 0.05 * g[i])) < 1e-9
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (tp, fp, fn, tn)
+
+
 def test_flat_search_many_equals_singles(tiny_index):
     """Flat-engine batched serving: search_many (one shared
     scored-terms frame) returns exactly the per-query search()

@@ -1043,9 +1043,12 @@ DRIVER_PRIORITY = [
     # their families stay represented by facet_terms / innerjoin +
     # leftouter, and the local gate re-validates them every run)
     "ft_term", "ft_bool_and", "ft_bool_or_msm", "ft_bool_not",
-    "ft_phrase", "ft_bm25_or", "facet_terms",
+    "ft_phrase", "ft_bm25_or",
     "innerjoin_stream", "leftouter_join",
     "dedup_exact", "export_sorted", "group_topk",
+    # facet family represented by the r4 nested JSON Facet evaluator
+    # (facet_terms is its strict subset; r1-green on record)
+    "json_facet_nested",
     # (a3) round-4 session 3: index-stats ValueSources (termfreq/idf/
     # docfreq/ttf/strdist in the {!func} grammar), the segment-native
     # two-phase span kernel, and QParser dialect batch 3

@@ -3828,3 +3828,57 @@ SELECT name, value_q FROM (
          CAST(floor(tn * 1000000) AS BIGINT) FROM agg
 ) ORDER BY name
 """)
+
+def _json_facet_nested(spark, sf):
+    """JSON Facet API nested buckets (FacetRequest.java /
+    FacetFieldProcessor.java): terms facet on lang (top 3 by count)
+    with avg(n_chars), nested terms subfacet on source (top 2 PER
+    lang bucket) with sum(n_chars) — flattened to one row per leaf
+    bucket, counts at both levels."""
+    from lucene_solr_spark.operators.facets import json_facet
+
+    docs = _load(spark, sf, "documents")
+    out = json_facet(docs, {
+        "type": "terms", "field": "lang", "limit": 3,
+        "metrics": {"avg_nc": "avg(n_chars)"},
+        "facet": {"by_src": {"type": "terms", "field": "source",
+                             "limit": 2,
+                             "metrics": {"sum_nc": "sum(n_chars)"}}}})
+    return (out.select("lang", "cnt_0",
+                       F.floor(F.col("avg_nc") * Q).cast("long")
+                       .alias("avg_nc_q"),
+                       "source", "cnt_1",
+                       F.col("sum_nc").cast("long").alias("sum_nc"))
+            .orderBy("lang", "source"))
+
+
+_register("json_facet_nested", _json_facet_nested, """
+WITH g0 AS (
+  SELECT lang, count(*)::BIGINT AS cnt_0,
+         CAST(floor(avg(n_chars::DOUBLE) * 1000000) AS BIGINT)
+           AS avg_nc_q
+  FROM documents GROUP BY lang
+),
+l0 AS (
+  SELECT * FROM (
+    SELECT g0.*, row_number() OVER (ORDER BY cnt_0 DESC, lang) AS rn
+    FROM g0
+  ) WHERE rn <= 3
+),
+g1 AS (
+  SELECT d.lang, d.source, count(*)::BIGINT AS cnt_1,
+         sum(d.n_chars)::BIGINT AS sum_nc
+  FROM documents d JOIN l0 USING (lang)
+  GROUP BY d.lang, d.source
+),
+l1 AS (
+  SELECT * FROM (
+    SELECT g1.*, row_number() OVER (PARTITION BY lang
+                                    ORDER BY cnt_1 DESC, source) AS rn
+    FROM g1
+  ) WHERE rn <= 2
+)
+SELECT l0.lang, l0.cnt_0, l0.avg_nc_q, l1.source, l1.cnt_1, l1.sum_nc
+FROM l0 JOIN l1 USING (lang)
+ORDER BY lang, source
+""")

@@ -22,6 +22,8 @@ groupBy / window operators:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -161,6 +163,105 @@ def group_top_k(df: DataFrame, group: str, order: list[Column], k: int = 1,
     w = Window.partitionBy(group).orderBy(*order)
     return df.withColumn(rank_col, F.row_number().over(w)).where(
         F.col(rank_col) <= k)
+
+
+_FACET_METRIC = {"sum": F.sum, "avg": F.avg, "min": F.min,
+                 "max": F.max, "unique": F.countDistinct}
+
+
+def _facet_metrics(metrics: dict) -> list[Column]:
+    """Compile {"name": "fn(field)"} metric specs (the JSON Facet
+    API's aggregation strings — FacetRequest.java's AggValueSource
+    parse) to Spark aggregate columns."""
+    out = []
+    for name, expr in metrics.items():
+        m = re.fullmatch(r"(\w+)\(([\w.]+)\)", expr.strip())
+        if not m or m.group(1) not in _FACET_METRIC:
+            raise ValueError(f"unsupported facet metric {expr!r}")
+        out.append(_FACET_METRIC[m.group(1)](F.col(m.group(2)))
+                   .alias(name))
+    return out
+
+
+def json_facet(df: DataFrame, spec: dict) -> DataFrame:
+    """JSON Facet API subset (solr/core/.../search/facet/
+    FacetRequest.java + FacetFieldProcessor.java): ONE root facet
+    spec, arbitrarily deep single-child nesting, flattened to one row
+    per deepest bucket.
+
+    spec = {"type": "terms", "field": f, "limit": N,
+            "sort": "count"|"index",          # bucket order
+            "metrics": {"name": "sum(col)" | "avg(col)" | "min(col)"
+                         | "max(col)" | "unique(col)"},
+            "facet": {<child name>: <child spec>}}   # optional, one
+    or {"type": "range", "field": f, "start": a, "end": b, "gap": g,
+        ... same metrics/facet ...}
+
+    Bucket semantics follow the reference: terms buckets rank by
+    (count desc, value asc) ("count") or (value asc) ("index") and
+    keep the top ``limit`` PER PARENT BUCKET; range buckets cover
+    [start, end) in gap steps. Each level is one hash aggregate over
+    the ancestor-filtered frame + one ranking window partitioned by
+    the ancestor keys — the distributed two-phase bucket refinement,
+    no collects.
+
+    Returns one row per deepest bucket: ancestor bucket columns,
+    per-level counts (cnt_0, cnt_1, ...), and each level's metrics
+    under their given names.
+    """
+    levels = []
+    node, name = spec, None
+    while True:
+        levels.append((name, node))
+        sub = node.get("facet") or {}
+        if not sub:
+            break
+        if len(sub) != 1:
+            raise ValueError("json_facet subset: one child facet per "
+                             "level")
+        name, node = next(iter(sub.items()))
+
+    cur = None
+    keys: list[str] = []
+    for depth, (_, nd) in enumerate(levels):
+        ftype = nd.get("type", "terms")
+        if ftype == "terms":
+            key = nd["field"]
+            src = df if cur is None else df.join(
+                F.broadcast(cur.select(*keys).distinct()), keys)
+            kcol = F.col(key)
+        elif ftype == "range":
+            key = f"{nd['field']}_bucket"
+            lo, hi, gap = (float(nd["start"]), float(nd["end"]),
+                           float(nd["gap"]))
+            base = df.where((F.col(nd["field"]) >= lo)
+                            & (F.col(nd["field"]) < hi))
+            src = base if cur is None else base.join(
+                F.broadcast(cur.select(*keys).distinct()), keys)
+            src = src.withColumn(
+                key, (F.floor((F.col(nd["field"]) - F.lit(lo))
+                              / F.lit(gap)) * F.lit(gap)
+                      + F.lit(lo)))
+            kcol = F.col(key)
+        else:
+            raise ValueError(f"unsupported facet type {ftype!r}")
+        aggs = ([F.count(F.lit(1)).alias(f"cnt_{depth}")]
+                + _facet_metrics(nd.get("metrics") or {}))
+        g = src.groupBy(*keys, kcol.alias(key)).agg(*aggs)
+        limit = int(nd.get("limit", 10))
+        order = ([F.desc(f"cnt_{depth}"), F.asc(key)]
+                 if nd.get("sort", "count") == "count"
+                 else [F.asc(key)])
+        w = (Window.partitionBy(*keys).orderBy(*order) if keys
+             else Window.orderBy(*order))
+        lvl = (g.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") <= limit).drop("_rn"))
+        if cur is None:
+            cur = lvl
+        else:
+            cur = cur.join(lvl, keys)
+        keys.append(key)
+    return cur
 
 
 def distinct_values(df: DataFrame, fields: list[str]) -> DataFrame:

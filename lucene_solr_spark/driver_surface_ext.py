@@ -3882,3 +3882,44 @@ SELECT l0.lang, l0.cnt_0, l0.avg_nc_q, l1.source, l1.cnt_1, l1.sum_nc
 FROM l0 JOIN l1 USING (lang)
 ORDER BY lang, source
 """)
+
+def _synonym_graph(spark, sf):
+    """Query-time synonym graph (SynonymGraphFilter +
+    QueryBuilder.analyzeGraphBoolean): 'scan' expands with the
+    multi-token synonym 'hash join' into a TermAutomatonQ accepting
+    either; freq = distinct start positions matched by ANY
+    alternative, scored with the phrase recipe (idf summed over the
+    automaton's distinct terms)."""
+    from lucene_solr_spark.analysis.synonyms import expand_query_synonyms
+
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    q = expand_query_synonyms(A.TermQ("scan"), {"scan": ["hash join"]})
+    return _quantize_topk(s.matches(q), 10)
+
+
+_register("synonym_graph", _synonym_graph, f"""
+WITH {FT_BASE},
+ph AS (
+  SELECT doc_id, count(DISTINCT p)::DOUBLE AS pfreq FROM (
+    SELECT doc_id, pos AS p FROM tokf WHERE term='scan'
+    UNION
+    SELECT h.doc_id, h.pos AS p
+    FROM (SELECT doc_id, pos FROM tokf WHERE term='hash') h
+    JOIN (SELECT doc_id, pos FROM tokf WHERE term='join') j
+      ON h.doc_id = j.doc_id AND j.pos = h.pos + 1
+  ) GROUP BY doc_id
+),
+idfs AS (
+  SELECT sum(ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5))) AS idf_sum
+  FROM tstats ts CROSS JOIN cstats cs
+  WHERE ts.term IN ('hash', 'join', 'scan')
+),
+agg AS (
+  SELECT ph.doc_id,
+         CAST(floor((i.idf_sum * 2.2) * ph.pfreq
+              / (ph.pfreq + 1.2 * (0.25 + 0.75 * dl.doclen / (cs.sttf / cs.n)))
+              * 1000000) AS BIGINT) AS score_q
+  FROM ph JOIN doclen dl USING (doc_id) CROSS JOIN cstats cs CROSS JOIN idfs i
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")

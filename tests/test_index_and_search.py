@@ -913,6 +913,48 @@ def test_qparser_dialect_batch4(spark, tiny_index):
         assert abs(got_ig[t] - g) < 1e-12
 
 
+def test_synonym_graph_expansion(spark, tiny_index):
+    """Query-time synonym graph (SynonymGraphFilter +
+    QueryBuilder.analyzeGraphBoolean): single-token sets become
+    SynonymQ, multi-token alternatives become a TermAutomatonQ whose
+    finite strings are original + alternatives; bool shapes recurse,
+    phrases pass through."""
+    from lucene_solr_spark.analysis.synonyms import (
+        expand_query_synonyms, synonym_query)
+    from lucene_solr_spark.search import ast as A
+    from lucene_solr_spark.search.executor import Searcher
+
+    # shape: single-token synonyms -> SynonymQ
+    q = synonym_query("t000001", ["t000002", "t000003"])
+    assert q == A.SynonymQ(("t000001", "t000002", "t000003"))
+    # shape: multi-token -> automaton accepting orig + both seqs
+    q2 = synonym_query("t000005", ["t000001 t000002", "t000003"])
+    assert isinstance(q2, A.TermAutomatonQ)
+    assert sorted(q2.finite_strings()) == sorted(
+        [("t000005",), ("t000001", "t000002"), ("t000003",)])
+
+    # recursion: bool shapes rewrite leaves; phrases untouched
+    syn = {"t000001": ["t000002"]}
+    node = expand_query_synonyms(
+        A.AndQ((A.TermQ("t000001"),
+                A.PhraseQ(("t000001", "t000002")))), syn)
+    assert node == A.AndQ((A.SynonymQ(("t000001", "t000002")),
+                           A.PhraseQ(("t000001", "t000002"))))
+
+    # end-to-end: expanded query scores EXACTLY like the manually
+    # built equivalent on both engines
+    s = Searcher(tiny_index, mode="lucene")
+    expanded = expand_query_synonyms(
+        A.TermQ("t000005"), {"t000005": ["t000001 t000002"]})
+    manual = A.TermAutomatonQ(
+        ((0, 1, "t000005"), (0, 2, "t000001"), (2, 1, "t000002")), (1,))
+    got = sorted((r["docid"], np.float32(r["score"]))
+                 for r in s.matches(expanded).collect())
+    want = sorted((r["docid"], np.float32(r["score"]))
+                  for r in s.matches(manual).collect())
+    assert got == want and len(got) > 0
+
+
 def test_tlogit_dialect(spark, tiny_index):
     """{!tlogit}: one batch logistic-regression step over
     [1, idf_i*(1+ln tf_i)] vectors — weights/error/confusion match an

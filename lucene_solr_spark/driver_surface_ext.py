@@ -3840,13 +3840,16 @@ def _json_facet_nested(spark, sf):
     docs = _load(spark, sf, "documents")
     out = json_facet(docs, {
         "type": "terms", "field": "lang", "limit": 3,
-        "metrics": {"avg_nc": "avg(n_chars)"},
+        "metrics": {"avg_nc": "avg(n_chars)",
+                    "p50_nc": "percentile(n_chars, 0.5)"},
         "facet": {"by_src": {"type": "terms", "field": "source",
                              "limit": 2,
                              "metrics": {"sum_nc": "sum(n_chars)"}}}})
     return (out.select("lang", "cnt_0",
                        F.floor(F.col("avg_nc") * Q).cast("long")
                        .alias("avg_nc_q"),
+                       F.floor(F.col("p50_nc") * Q).cast("long")
+                       .alias("p50_nc_q"),
                        "source", "cnt_1",
                        F.col("sum_nc").cast("long").alias("sum_nc"))
             .orderBy("lang", "source"))
@@ -3856,7 +3859,9 @@ _register("json_facet_nested", _json_facet_nested, """
 WITH g0 AS (
   SELECT lang, count(*)::BIGINT AS cnt_0,
          CAST(floor(avg(n_chars::DOUBLE) * 1000000) AS BIGINT)
-           AS avg_nc_q
+           AS avg_nc_q,
+         CAST(floor(quantile_cont(n_chars, 0.5) * 1000000) AS BIGINT)
+           AS p50_nc_q
   FROM documents GROUP BY lang
 ),
 l0 AS (
@@ -3878,7 +3883,7 @@ l1 AS (
     FROM g1
   ) WHERE rn <= 2
 )
-SELECT l0.lang, l0.cnt_0, l0.avg_nc_q, l1.source, l1.cnt_1, l1.sum_nc
+SELECT l0.lang, l0.cnt_0, l0.avg_nc_q, l0.p50_nc_q, l1.source, l1.cnt_1, l1.sum_nc
 FROM l0 JOIN l1 USING (lang)
 ORDER BY lang, source
 """)

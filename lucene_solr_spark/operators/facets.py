@@ -172,9 +172,19 @@ _FACET_METRIC = {"sum": F.sum, "avg": F.avg, "min": F.min,
 def _facet_metrics(metrics: dict) -> list[Column]:
     """Compile {"name": "fn(field)"} metric specs (the JSON Facet
     API's aggregation strings — FacetRequest.java's AggValueSource
-    parse) to Spark aggregate columns."""
+    parse) to Spark aggregate columns. percentile(field,p) is the
+    EXACT linear-interpolation percentile (PercentileAgg's contract;
+    the reference approximates with t-digest at scale — the exact agg
+    is the cross-engine-deterministic choice here)."""
     out = []
     for name, expr in metrics.items():
+        pm = re.fullmatch(r"percentile\(([\w.]+)\s*,\s*([\d.]+)\)",
+                          expr.strip())
+        if pm:
+            out.append(F.expr(
+                f"percentile({pm.group(1)}, {float(pm.group(2))})")
+                .alias(name))
+            continue
         m = re.fullmatch(r"(\w+)\(([\w.]+)\)", expr.strip())
         if not m or m.group(1) not in _FACET_METRIC:
             raise ValueError(f"unsupported facet metric {expr!r}")

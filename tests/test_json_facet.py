@@ -88,6 +88,19 @@ def test_range_facet_nested_under_terms(cat_df):
         assert gmap == dict(want)
 
 
+def test_percentile_metric(cat_df):
+    out = _pdf(json_facet(cat_df, {
+        "type": "terms", "field": "lang", "limit": 5,
+        "metrics": {"p50": "percentile(score, 0.5)",
+                    "p90": "percentile(score, 0.9)"}}))
+    p = _pdf(cat_df)
+    for _, r in out.iterrows():
+        sub = p[p["lang"] == r["lang"]]["score"]
+        assert abs(r["p50"] - sub.quantile(0.5)) < 1e-9
+        assert abs(r["p90"] - sub.quantile(0.9, interpolation="linear")) \
+            < 1e-9
+
+
 def test_index_sort_and_errors(cat_df):
     out = _pdf(json_facet(cat_df, {"type": "terms", "field": "lang",
                                    "limit": 2, "sort": "index"}))

@@ -98,17 +98,23 @@ def additive_trees_model(trees: list[dict]) -> F.Column:
 def ltr_rerank(searcher, q, doc_attrs: DataFrame,
                features: dict[str, str], model: F.Column | None = None,
                weights: dict[str, float] | None = None,
-               rerank_docs: int = 200) -> DataFrame:
+               rerank_docs: int = 200,
+               rows: int | None = None) -> DataFrame:
     """Rerank the main query's top window with an LTR model
     (LTRQParserPlugin's {!ltr model=... reRankDocs=...} shape).
 
-    First pass: searcher.matches(q) ranked by (score desc, docid asc);
-    the top ``rerank_docs`` form the window. Features evaluate over
-    window ∪ attrs; the model column REPLACES the window docs' scores
-    (LTRScoringQuery rescoring). Final order: window docs by
-    (model desc, docid asc) occupy ranks 1..|window|, the remainder
-    keep their first-pass order below — the reference rescorer's
-    contract. Returns (docid, score, rank).
+    First pass: searcher.matches(q); the top ``rerank_docs`` by
+    (score desc, docid asc) form the window — selected with
+    orderBy().limit() (Catalyst's TakeOrderedAndProject: per-partition
+    top-k + a k-row merge), NOT a global ranking window, so the plan
+    never funnels the full match set through one partition. Features
+    evaluate over window ∪ attrs; the model column REPLACES the window
+    docs' scores (LTRScoringQuery rescoring). Final order: window docs
+    by (model desc, docid asc) occupy ranks 1..|window|; when ``rows``
+    > rerank_docs, first-pass docs up to ``rows`` follow in their
+    original order (the reference rescorer's contract). Every ranking
+    window runs over <= max(rows, rerank_docs) rows. Returns
+    (docid, score, rank).
 
     Pass ``model`` (a Column over the f_<name> columns) or
     ``weights`` for a LinearModel shorthand.
@@ -122,18 +128,24 @@ def ltr_rerank(searcher, q, doc_attrs: DataFrame,
 
         q = A.parse_query(q)
     main = searcher.matches(q)
-    w0 = Window.orderBy(F.desc("score"), F.asc("docid"))
-    ranked = main.withColumn("_rn", F.row_number().over(w0))
-    window_df = (ranked.where(F.col("_rn") <= rerank_docs)
+    window_df = (main.orderBy(F.desc("score"), F.asc("docid"))
+                 .limit(rerank_docs)
                  .join(doc_attrs, "docid", "left"))
     feats = feature_columns(searcher, window_df, features)
     rescored = feats.select(
         "docid", model.cast("double").alias("score"),
         F.lit(0).alias("_tier"))
-    rest = (ranked.where(F.col("_rn") > rerank_docs)
-            .select("docid", F.col("score").cast("double").alias("score"),
-                    F.lit(1).alias("_tier")))
-    u = rescored.unionByName(rest)
+    if rows is not None and rows > rerank_docs:
+        head = (main.orderBy(F.desc("score"), F.asc("docid"))
+                .limit(rows))
+        rest = (head.join(rescored.select("docid"), "docid",
+                          "left_anti")
+                .select("docid",
+                        F.col("score").cast("double").alias("score"),
+                        F.lit(1).alias("_tier")))
+        u = rescored.unionByName(rest)
+    else:
+        u = rescored
     w1 = Window.orderBy(F.asc("_tier"), F.desc("score"), F.asc("docid"))
     return (u.withColumn("rank", F.row_number().over(w1))
             .select("docid", "score", "rank"))

@@ -44,7 +44,7 @@ def test_ltr_linear_rerank(spark, tiny_index, sql_searcher):
 
     got = {r["docid"]: (float(r["score"]), r["rank"]) for r in
            ltr_rerank(s, q, attrs, features, weights=weights,
-                      rerank_docs=n_win).collect()}
+                      rerank_docs=n_win, rows=10 ** 6).collect()}
 
     fp = _first_pass(s, q)
     window, rest = fp[:n_win], fp[n_win:]
@@ -94,7 +94,7 @@ def test_ltr_trees_rerank(spark, tiny_index, sql_searcher):
     got = {r["docid"]: (float(r["score"]), r["rank"]) for r in
            ltr_rerank(s, q, attrs, features,
                       model=additive_trees_model(trees),
-                      rerank_docs=4).collect()}
+                      rerank_docs=4, rows=10 ** 6).collect()}
 
     fp = _first_pass(s, q)
     window, rest = fp[:4], fp[4:]

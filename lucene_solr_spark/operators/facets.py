@@ -262,10 +262,16 @@ def json_facet(df: DataFrame, spec: dict) -> DataFrame:
         order = ([F.desc(f"cnt_{depth}"), F.asc(key)]
                  if nd.get("sort", "count") == "count"
                  else [F.asc(key)])
-        w = (Window.partitionBy(*keys).orderBy(*order) if keys
-             else Window.orderBy(*order))
-        lvl = (g.withColumn("_rn", F.row_number().over(w))
-               .where(F.col("_rn") <= limit).drop("_rn"))
+        if keys:
+            w = Window.partitionBy(*keys).orderBy(*order)
+            lvl = (g.withColumn("_rn", F.row_number().over(w))
+                   .where(F.col("_rn") <= limit).drop("_rn"))
+        else:
+            # root level: top-k via orderBy().limit() (Catalyst
+            # TakeOrderedAndProject — per-partition top-k + k-row
+            # merge), never an unpartitioned ranking window over a
+            # possibly high-cardinality bucket table
+            lvl = g.orderBy(*order).limit(limit)
         if cur is None:
             cur = lvl
         else:

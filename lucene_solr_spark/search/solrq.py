@@ -949,7 +949,11 @@ def _parse_simple(s: str, default_op: str = "OR") -> "A.Query":
     terms / "phrases"~N / trailing-* prefixes / term~N fuzzies /
     parenthesized groups, connected by + (AND), | (OR), whitespace
     (the default op), with - negating the next clause."""
-    toks = re.findall(r'"[^"]*"(?:~\d+)?|[()|+-]|[^\s()|+-]+', s)
+    # '-' is the NOT operator only at a clause start (preceded by
+    # whitespace/start/'('); inside a token it is literal text, like
+    # SimpleQueryParser's one-char-lookahead tokenizer
+    toks = re.findall(r'"[^"]*"(?:~\d+)?|[()|+]|(?<![^\s(])-|[^\s()|+]+',
+                      s)
     pos = 0
 
     def parse_clause():
@@ -981,21 +985,30 @@ def _parse_simple(s: str, default_op: str = "OR") -> "A.Query":
         return A.TermQ(t.lower()), neg
 
     def combine(clauses, op):
+        """clauses: [(node, neg)] -> (positive node | None, neg list)
+        — MUST_NOT hoists to the enclosing boolean, like
+        SimpleQueryParser building BooleanClause.Occur.MUST_NOT."""
         pos_c = [c for c, neg in clauses if not neg]
         neg_c = [c for c, neg in clauses if neg]
         if not pos_c:
-            raise ValueError("purely negative query")
+            return None, neg_c
         if len(pos_c) == 1:
             node = pos_c[0]
         elif op == "AND":
             node = A.AndQ(tuple(pos_c))
         else:
             node = A.OrQ(tuple(pos_c))
-        for n in neg_c:
+        return node, neg_c
+
+    def wrap(node, negs):
+        if node is None:
+            raise ValueError("purely negative query")
+        for n in negs:
             node = A.NotQ(node, n)
         return node
 
     def parse_and():
+        """-> (node | None, neg list)"""
         nonlocal pos
         clauses = [parse_clause()]
         while pos < len(toks) and toks[pos] not in (")", "|"):
@@ -1007,17 +1020,26 @@ def _parse_simple(s: str, default_op: str = "OR") -> "A.Query":
                     clauses.append(parse_clause())
                 else:
                     break
-        return combine(clauses, "AND") if len(clauses) > 1 \
-            else combine(clauses, default_op)
+        op = "AND" if len(clauses) > 1 else default_op
+        node, negs = combine(clauses, op)
+        if node is not None and negs and op == "AND":
+            # negation binds inside an AND group
+            return wrap(node, negs), []
+        return node, negs
 
     def parse_or():
         nonlocal pos
-        clauses = [(parse_and(), False)]
+        groups = [parse_and()]
         while pos < len(toks) and toks[pos] != ")":
             if toks[pos] == "|":
                 pos += 1
-            clauses.append((parse_and(), False))
-        return combine(clauses, "OR")
+            groups.append(parse_and())
+        pos_nodes = [n for n, _ in groups if n is not None]
+        negs = [x for _, ns in groups for x in ns]
+        node = (None if not pos_nodes
+                else pos_nodes[0] if len(pos_nodes) == 1
+                else A.OrQ(tuple(pos_nodes)))
+        return wrap(node, negs)
 
     node = parse_or()
     if pos != len(toks):

@@ -1045,7 +1045,7 @@ DRIVER_PRIORITY = [
     "ft_term", "ft_bool_and", "ft_bool_or_msm", "ft_bool_not",
     "ft_phrase", "ft_bm25_or",
     "innerjoin_stream", "leftouter_join",
-    "dedup_exact", "export_sorted", "group_topk",
+    "dedup_exact", "group_topk",
     # facet family represented by the r4 nested JSON Facet evaluator
     # (facet_terms is its strict subset; r1-green on record)
     "json_facet_nested",
@@ -1055,6 +1055,7 @@ DRIVER_PRIORITY = [
     # ({!knn}/{!hash}/{!rank} + {!dismax} over the multi-field engine)
     "solr_stats_vs_qp", "seg_span_near", "solr_qparser_mix3",
     "solr_dismax_qp", "ltr_rerank", "solr_qparser_mix4",
+    "seg_multifield_title",
     # (d) r2/r3 regression sample across operator families
     # (ft_edismax, events_sessionize, term_automaton rotated out — all
     # driver-green on record; edismax machinery is in-window via

@@ -3928,3 +3928,91 @@ agg AS (
 )
 {_topk_sql("SELECT * FROM agg", 10)}
 """)
+
+_MFSEG_CACHE: dict = {}
+
+
+def _mf_seg_indexes(spark, sf):
+    """Per-field (title/body) SEGMENT indexes over the documents
+    fixture with aligned docids — multi-field at the WAND tier."""
+    import glob
+
+    from lucene_solr_spark.index.codec import POSTING_ROW_FIELDS
+    from lucene_solr_spark.index.multifield import (
+        build_multifield_segment_index)
+    from lucene_solr_spark.index.segments import SegmentIndex
+
+    ver = len(POSTING_ROW_FIELDS)
+    key = os.path.basename(sf.rstrip("/"))
+    base = f"/tmp/driver_mfsegidx_v{ver}_{key}"
+    if key not in _MFSEG_CACHE:
+        if all(glob.glob(f"{base}/{f}/segments_meta*")
+               for f in ("title", "body")):
+            _MFSEG_CACHE[key] = {
+                f: SegmentIndex(path=f"{base}/{f}", spark=spark)
+                for f in ("title", "body")}
+        else:
+            docs = _load(spark, sf, "documents")
+            pages = docs.select(
+                "doc_id",
+                F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8),
+                             " ").alias("title"),
+                F.col("text").alias("body"))
+            _MFSEG_CACHE[key] = build_multifield_segment_index(
+                pages, ["title", "body"], base, key_col="doc_id",
+                precomputed_docid="doc_id", seg_size=1 << 13)
+    return _MFSEG_CACHE[key]
+
+
+def _seg_multifield_title(spark, sf):
+    """Field-routed WAND over per-field segment indexes
+    (MultiFieldWandSearcher + build_multifield_segment_index —
+    PerFieldPostingsFormat at the serving tier): title:(table OR
+    scan) runs the block-max kernel against the TITLE field's own
+    postings/norms/df/avgdl, float32-exact."""
+    from lucene_solr_spark.search.multifield import MultiFieldWandSearcher
+
+    mw = MultiFieldWandSearcher(_mf_seg_indexes(spark, sf),
+                                default_field="body")
+    q = A.FieldedQ("title", A.OrQ((A.TermQ("table"), A.TermQ("scan"))))
+    out = mw.search(q, k=10)
+    return out.select(F.col("docid").alias("doc_id"),
+                      F.floor(F.col("score").cast("double") * Q)
+                      .cast("long").alias("score_q"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _f32_title_topk_sql(terms: list[str], k: int = 10) -> str:
+    """Float32-exact BM25 top-k oracle over the TITLE field's own
+    statistics (raw positions 0..7, stop-filtered): the FT_BASE CTE
+    names are rebuilt from the title tokenization, then oracle_f32's
+    bit-exact blocks apply unchanged. docCount = ALL corpus docs (the
+    per-field segment builder's convention; the fixture has no empty
+    titles, so this equals Lucene's per-field docCount here)."""
+    from lucene_solr_spark.oracle_f32 import f32_base_sql, f32_sum_q
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+tt AS (SELECT doc_id, term FROM tok
+       WHERE pos < 8 AND term NOT IN {_STOP_SQL}),
+postings AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+             FROM tt GROUP BY 1, 2),
+doclen AS (SELECT doc_id, count(*)::BIGINT AS doclen
+           FROM tt GROUP BY 1),
+cstats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT sum(doclen) FROM doclen)::DOUBLE AS sttf),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM postings
+           GROUP BY term),
+{f32_base_sql(terms)},
+agg AS ({f32_sum_q()})
+{_topk_sql("SELECT * FROM agg", k)}
+"""
+
+
+_register("seg_multifield_title", _seg_multifield_title,
+          _f32_title_topk_sql(["table", "scan"]))

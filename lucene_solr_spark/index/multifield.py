@@ -171,3 +171,47 @@ def build_multifield_index(
                         "sum_ttf": int(stats_row[f"s_{f}"])})
 
     return MultiFieldIndex(fields=fields, docs=shared_docs, analyzed=af)
+
+
+def build_multifield_segment_index(pages: DataFrame, field_cols: list[str],
+                                   base_path: str, **build_kw) -> dict:
+    """Per-field SEGMENT indexes with ALIGNED docids — multi-field at
+    the WAND tier (codecs/perfield/PerFieldPostingsFormat.java's role
+    for the block-max serving path).
+
+    Each field builds a full segment index at ``{base_path}/{field}``
+    over the same url-keyed corpus; assign_doc_ids ranks by url, so
+    the SAME doc holds the SAME docid in every field's index (the
+    FieldInfos invariant: one doc, per-field postings/norms), verified
+    here with one anti-join per field.
+
+    Semantics note (documented deviation for sparse fields): a
+    segment index's docCount counts every corpus doc, while Lucene's
+    per-field docCount excludes docs without the field — so this
+    builder REJECTS corpora where a field analyzes to zero tokens for
+    some doc (fail-fast beats silently shifted idf/avgdl). Sparse
+    fields belong on the flat MultiFieldSearcher, whose stats follow
+    the per-field contract exactly.
+    """
+    from lucene_solr_spark.index.segments import build_segment_index
+
+    out = {}
+    for f in field_cols:
+        si = build_segment_index(pages, f"{base_path}/{f}",
+                                 text_col=f, **build_kw)
+        n_empty = si.docs.where(F.col("doclen") == 0).count()
+        if n_empty:
+            raise ValueError(
+                f"field {f!r}: {n_empty} docs analyze to zero tokens — "
+                "per-field docCount would diverge from Lucene's; use "
+                "the flat MultiFieldSearcher for sparse fields")
+        out[f] = si
+    first = field_cols[0]
+    base = out[first].docs.select("url", "docid")
+    for f in field_cols[1:]:
+        misaligned = (out[f].docs.select("url", "docid")
+                      .join(base, ["url", "docid"], "left_anti").count())
+        if misaligned:
+            raise ValueError(f"docid misalignment between {first!r} "
+                             f"and {f!r}: {misaligned} docs")
+    return out

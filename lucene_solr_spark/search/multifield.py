@@ -111,3 +111,98 @@ def edismax_qf(qstr: str, qf: dict[str, float],
     if len(per_term) == 1:
         return per_term[0]
     return A.OrQ(tuple(per_term), min_should_match=min_should_match)
+
+
+class MultiFieldWandSearcher:
+    """Field-routed block-max WAND serving over per-field segment
+    indexes (build_multifield_segment_index): the per-field dimension
+    of the reference's serving path — a (field, term) query reads
+    field-local postings/norms/stats (PerFieldPostingsFormat.java +
+    per-field CollectionStatistics), scored bit-identically to a
+    standalone index of that field.
+
+    Routing contract: a query whose FieldedQ wrappers (or bare
+    leaves, which take ``default_field``) all name ONE field strips
+    to a single-field query and runs on that field's WandSearcher —
+    full θ/block-max pruning, batched search_many, phrase/span
+    kernels. CROSS-FIELD shapes (edismax qf DisMax, cross-field
+    booleans) raise: exact cross-field top-k needs every candidate's
+    per-field partials, which the flat MultiFieldSearcher computes
+    exhaustively — route those there. (A cross-field WAND would need
+    a max-over-fields block bound; a round-5 candidate.)
+    """
+
+    def __init__(self, indexes: dict, default_field: str | None = None,
+                 **wand_kw):
+        from lucene_solr_spark.search.wand import WandSearcher
+
+        self.searchers = {f: WandSearcher(si, **wand_kw)
+                          for f, si in indexes.items()}
+        self.default_field = default_field
+
+    def _strip(self, q: A.Query, fields: set,
+               ctx: str | None = None) -> A.Query:
+        """Remove FieldedQ wrappers, collecting the fields used; a
+        bare leaf takes the ENCLOSING FieldedQ's field (``ctx``) or
+        default_field at the top level — Lucene's analyzer/parser
+        field-scoping rule."""
+        if isinstance(q, A.FieldedQ):
+            if q.fld not in self.searchers:
+                raise ValueError(f"unknown field {q.fld!r}")
+            fields.add(q.fld)
+            return self._strip(q.inner, fields, q.fld)
+        if isinstance(q, (A.AndQ, A.OrQ)):
+            kids = tuple(self._strip(c, fields, ctx) for c in q.clauses)
+            return (A.AndQ(kids) if isinstance(q, A.AndQ)
+                    else A.OrQ(kids, min_should_match=q.min_should_match))
+        if isinstance(q, A.DisMaxQ):
+            return A.DisMaxQ(tuple(self._strip(c, fields, ctx)
+                                   for c in q.clauses),
+                             tie_breaker=q.tie_breaker)
+        if isinstance(q, A.NotQ):
+            return A.NotQ(self._strip(q.positive, fields, ctx),
+                          self._strip(q.negative, fields, ctx))
+        if isinstance(q, A.ReqOptQ):
+            return A.ReqOptQ(self._strip(q.required, fields, ctx),
+                             self._strip(q.optional, fields, ctx))
+        if isinstance(q, A.ConstQ):
+            return A.ConstQ(self._strip(q.inner, fields, ctx),
+                            boost=q.boost)
+        # bare leaf: enclosing field, else the default field
+        if ctx is not None:
+            fields.add(ctx)
+            return q
+        if self.default_field is None:
+            raise ValueError("bare (unfielded) leaf needs default_field")
+        fields.add(self.default_field)
+        return q
+
+    def _route(self, q: A.Query | str):
+        if isinstance(q, str):
+            q = A.parse_query(q, fields=tuple(self.searchers),
+                              default_field=self.default_field)
+        fields: set = set()
+        stripped = self._strip(q, fields)
+        if len(fields) != 1:
+            raise ValueError(
+                f"cross-field query spans {sorted(fields)} — exact "
+                "cross-field scoring needs the flat MultiFieldSearcher")
+        return self.searchers[next(iter(fields))], stripped
+
+    def search(self, q, k: int = 10, **kw) -> DataFrame:
+        ws, inner = self._route(q)
+        return ws.search(inner, k=k, **kw)
+
+    def search_many(self, queries: dict, k: int = 10, **kw) -> DataFrame:
+        """Batched serving: queries route per entry; each field's
+        batch runs through that field's shared-task-grid search_many,
+        results union (qids must be globally unique)."""
+        from functools import reduce
+
+        by_field: dict = {}
+        for qid, q in queries.items():
+            ws, inner = self._route(q)
+            by_field.setdefault(id(ws), (ws, {}))[1][qid] = inner
+        outs = [ws.search_many(qs, k=k, **kw)
+                for ws, qs in by_field.values()]
+        return reduce(lambda a, b: a.unionByName(b), outs)

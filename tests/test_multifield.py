@@ -191,6 +191,78 @@ def test_dismax_qparser_dialect(mf_index):
     assert len(got) > 0
 
 
+@pytest.fixture(scope="module")
+def mf_seg(mf_pages, tmp_path_factory):
+    from lucene_solr_spark.index.multifield import (
+        build_multifield_segment_index)
+
+    path = str(tmp_path_factory.mktemp("mfseg") / "idx")
+    return build_multifield_segment_index(
+        mf_pages, ["title", "body"], path, seg_size=128, salt_span=32)
+
+
+def test_multifield_wand_duels_flat(mf_seg, title_index, body_index):
+    """Per-field segment indexes + field-routed WAND: single-field
+    queries score bit-identically to standalone flat indexes of that
+    field (full kernel pruning applies)."""
+    from lucene_solr_spark.search.multifield import MultiFieldWandSearcher
+
+    mw = MultiFieldWandSearcher(mf_seg, default_field="body")
+    flat = {"title": Searcher(title_index, mode="lucene"),
+            "body": Searcher(body_index, mode="lucene")}
+
+    cases = [("title", "t000000"),
+             ("body", "t000000 AND t000005"),
+             ("title", "t000000 OR t000002"),
+             ("body", '"t000000 t000001"')]
+    for fld, qs in cases:
+        node = A.FieldedQ(fld, A.parse_query(qs))
+        a = _rows(mw.search(node, k=10))
+        b = _rows(flat[fld].search(qs, k=10))
+        assert sorted(a) == sorted(b), (fld, qs)
+        assert len(a) > 0
+    # string syntax: field scopes one atom (classic QueryParser)
+    a = _rows(mw.search('title:"t000000 t000001"', k=10))
+    b = _rows(flat["title"].search('"t000000 t000001"', k=10))
+    assert sorted(a) == sorted(b)
+
+    # bare leaves take the default field
+    a = _rows(mw.search("t000005", k=10))
+    b = _rows(flat["body"].search("t000005", k=10))
+    assert sorted(a) == sorted(b)
+
+    # cross-field shapes refuse with a pointer to the flat engine
+    with pytest.raises(ValueError, match="cross-field"):
+        mw.search(A.OrQ((A.FieldedQ("title", A.TermQ("t000000")),
+                         A.FieldedQ("body", A.TermQ("t000001")))))
+
+
+def test_multifield_wand_search_many(mf_seg, title_index, body_index):
+    from lucene_solr_spark.search.multifield import MultiFieldWandSearcher
+
+    mw = MultiFieldWandSearcher(mf_seg, default_field="body")
+    batch = {"q1": "title:t000000", "q2": "body:t000001",
+             "q3": A.FieldedQ("title", A.OrQ((A.TermQ("t000002"),
+                                              A.TermQ("t000003"))))}
+    got = mw.search_many(batch, k=5)
+    rows = got.collect()
+    by_qid: dict = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(
+            (r["docid"], np.float32(r["score"]).view(np.int32).item()))
+    for qid in batch:
+        single = mw.search(batch[qid], k=5)
+        want = [(r["docid"], np.float32(r["score"]).view(np.int32).item())
+                for r in single.collect()]
+        assert sorted(by_qid[qid]) == sorted(want), qid
+
+
+def test_multifield_seg_docid_alignment(mf_seg):
+    t = mf_seg["title"].docs.select("url", "docid")
+    b = mf_seg["body"].docs.select("url", "docid")
+    assert t.join(b, ["url", "docid"]).count() == t.count() == b.count()
+
+
 def test_single_scan_build(mf_index):
     """Both fields' postings project the SAME persisted analyzed frame
     (one corpus scan), visible as InMemoryTableScan in both plans."""

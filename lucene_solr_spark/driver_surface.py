@@ -1042,7 +1042,7 @@ DRIVER_PRIORITY = [
     # facet_pivot / fetch_stream rotated out for the a3 newcomers —
     # their families stay represented by facet_terms / innerjoin +
     # leftouter, and the local gate re-validates them every run)
-    "ft_term", "ft_bool_and", "ft_bool_or_msm", "ft_bool_not",
+    "ft_term", "ft_bool_and", "ft_bool_or_msm",
     "ft_phrase", "ft_bm25_or",
     "innerjoin_stream", "leftouter_join",
     "dedup_exact", "group_topk",
@@ -1055,7 +1055,7 @@ DRIVER_PRIORITY = [
     # ({!knn}/{!hash}/{!rank} + {!dismax} over the multi-field engine)
     "solr_stats_vs_qp", "seg_span_near", "solr_qparser_mix3",
     "solr_dismax_qp", "ltr_rerank", "solr_qparser_mix4",
-    "seg_multifield_title",
+    "seg_multifield_title", "seg_multifield_qf",
     # (d) r2/r3 regression sample across operator families
     # (ft_edismax, events_sessionize, term_automaton rotated out — all
     # driver-green on record; edismax machinery is in-window via

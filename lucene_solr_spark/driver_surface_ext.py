@@ -4016,3 +4016,81 @@ agg AS ({f32_sum_q()})
 
 _register("seg_multifield_title", _seg_multifield_title,
           _f32_title_topk_sql(["table", "scan"]))
+
+def _seg_multifield_qf(spark, sf):
+    """CROSS-FIELD WAND (wand.qf_dismax_topk): edismax qf
+    {title:3, body:1} over 'table scan' runs ONE theta-pruned kernel
+    pass per segment across BOTH fields' block grids (per-field f32
+    BM25, flat-engine post-multiply boost, f64 DisMax, f64 SHOULD
+    fold, one downcast) — the shape that previously required the
+    exhaustive flat engine."""
+    from lucene_solr_spark.search.multifield import MultiFieldWandSearcher
+
+    mw = MultiFieldWandSearcher(_mf_seg_indexes(spark, sf),
+                                default_field="body")
+    out = mw.search_qf("table scan", {"title": 3.0, "body": 1.0}, k=10)
+    return out.select(F.col("docid").alias("doc_id"),
+                      F.floor(F.col("score").cast("double") * Q)
+                      .cast("long").alias("score_q"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _f32_qf_topk_sql(terms: list[str], k: int = 10) -> str:
+    """Cross-field f32-exact qf oracle: title and body each get their
+    own f32 pipeline (prefixed oracle_f32 CTEs over their own
+    tokenization/stats), the title side is post-multiplied by the f32
+    field boost (the flat engine's _boost order), DisMax takes the
+    max (tie=0; f32 values, exact), terms sum in f64 and downcast
+    once — bit-equal to qf_dismax_topk."""
+    from lucene_solr_spark.oracle_f32 import f32_base_sql
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+tt AS (SELECT doc_id, term FROM tok
+       WHERE pos < 8 AND term NOT IN {_STOP_SQL}),
+t_postings AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+               FROM tt GROUP BY 1, 2),
+t_doclen AS (SELECT doc_id, count(*)::BIGINT AS doclen
+             FROM tt GROUP BY 1),
+t_cstats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                    (SELECT sum(doclen) FROM t_doclen)::DOUBLE AS sttf),
+t_tstats AS (SELECT term, count(*)::DOUBLE AS df FROM t_postings
+             GROUP BY term),
+bf AS (SELECT doc_id, term FROM tok WHERE term NOT IN {_STOP_SQL}),
+b_postings AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+               FROM bf GROUP BY 1, 2),
+b_doclen AS (SELECT doc_id, count(*)::BIGINT AS doclen
+             FROM bf GROUP BY 1),
+b_cstats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                    (SELECT sum(doclen) FROM b_doclen)::DOUBLE AS sttf),
+b_tstats AS (SELECT term, count(*)::DOUBLE AS df FROM b_postings
+             GROUP BY term),
+{f32_base_sql(terms, "t_")},
+{f32_base_sql(terms, "b_")},
+boosted AS (
+  SELECT doc_id, term,
+         CAST(s::DOUBLE * CAST(3.0 AS FLOAT) AS FLOAT) AS s
+  FROM t_fscored
+  UNION ALL
+  SELECT doc_id, term, s FROM b_fscored
+),
+dm AS (
+  SELECT doc_id, term, max(s) AS v FROM boosted GROUP BY doc_id, term
+),
+agg AS (
+  SELECT doc_id,
+         CAST(floor(CAST(sum(v::DOUBLE) AS FLOAT)::DOUBLE * 1000000)
+              AS BIGINT) AS score_q
+  FROM dm GROUP BY doc_id
+)
+{_topk_sql("SELECT * FROM agg", k)}
+"""
+
+
+_register("seg_multifield_qf", _seg_multifield_qf,
+          _f32_qf_topk_sql(["table", "scan"]))

@@ -76,39 +76,43 @@ K1P1_F32 = "(1.2::FLOAT + 1.0::FLOAT)"      # np.float32(1.2) + np.float32(1)
 ONE_MINUS_B_F32 = "(1.0::FLOAT - 0.75::FLOAT)"
 
 
-def f32_base_sql(terms: list[str]) -> str:
+def f32_base_sql(terms: list[str], prefix: str = "") -> str:
     """CTE block computing per-(doc, term) float32 Lucene BM25 scores
-    ``fscored(doc_id, term, s)``; requires FT_BASE's postings/doclen/
-    cstats/tstats CTEs in scope. Every FLOAT expression mirrors the
-    association order of functions/bm25.py so the bits match.
+    ``{prefix}fscored(doc_id, term, s)``; requires
+    ``{prefix}postings/{prefix}doclen/{prefix}cstats/{prefix}tstats``
+    CTEs in scope (FT_BASE's names when prefix is empty). Every FLOAT
+    expression mirrors the association order of functions/bm25.py so
+    the bits match. A non-empty ``prefix`` lets one query carry
+    several fields' f32 pipelines side by side (per-field indexes).
     """
+    q = prefix
     tlist = ",".join(f"'{t}'" for t in sorted(set(terms)))
     return f"""
-nt(lo, hi, v) AS {NT_SQL},
-favg AS (SELECT (sttf / n)::FLOAT AS avgdl FROM cstats),
-fcache AS (
+{q}nt(lo, hi, v) AS {NT_SQL},
+{q}favg AS (SELECT (sttf / n)::FLOAT AS avgdl FROM {q}cstats),
+{q}fcache AS (
   -- BM25.cache: k1 * ((1-b) + b * NORM_TABLE[byte] / avgdl), float32
   SELECT dl.doc_id,
          (1.2::FLOAT * ({ONE_MINUS_B_F32}
             + ((0.75::FLOAT * nt.v::FLOAT) / fa.avgdl))) AS c
-  FROM doclen dl JOIN nt ON dl.doclen BETWEEN nt.lo AND nt.hi
-  CROSS JOIN favg fa
+  FROM {q}doclen dl JOIN {q}nt nt ON dl.doclen BETWEEN nt.lo AND nt.hi
+  CROSS JOIN {q}favg fa
 ),
-fweights AS (
+{q}fweights AS (
   -- term_weight: (boost32 * float32(ln idf)) * (k1+1), float32
   SELECT ts.term,
          ((1.0::FLOAT
             * (ln(1.0 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)))::FLOAT)
             * {K1P1_F32}) AS w
-  FROM tstats ts CROSS JOIN cstats cs WHERE ts.term IN ({tlist})
+  FROM {q}tstats ts CROSS JOIN {q}cstats cs WHERE ts.term IN ({tlist})
 ),
-fscored AS (
+{q}fscored AS (
   -- BM25.score: (w * tf32) / (tf32 + cache), float32
   SELECT p.doc_id, p.term,
          ((fw.w * p.tf::FLOAT) / (p.tf::FLOAT + fc.c)) AS s
-  FROM postings p
-  JOIN fweights fw ON p.term = fw.term
-  JOIN fcache fc ON p.doc_id = fc.doc_id
+  FROM {q}postings p
+  JOIN {q}fweights fw ON p.term = fw.term
+  JOIN {q}fcache fc ON p.doc_id = fc.doc_id
   WHERE p.term IN ({tlist})
 )"""
 

@@ -206,3 +206,115 @@ class MultiFieldWandSearcher:
         outs = [ws.search_many(qs, k=k, **kw)
                 for ws, qs in by_field.values()]
         return reduce(lambda a, b: a.unionByName(b), outs)
+
+    def search_qf(self, qstr: str, qf: dict[str, float],
+                  tie: float = 0.0, min_should_match: int = 1,
+                  k: int = 10) -> DataFrame:
+        """Cross-field edismax qf at the WAND tier: per term, DisMax
+        over the qf fields (each scored with ITS index's df/avgdl/
+        norms), terms SHOULD-combined — one kernel pass per segment
+        over the per-field block grids, theta-pruned with the
+        monotone max-over-fields bound (see wand.qf_dismax_topk).
+        Scores bit-equal the flat MultiFieldSearcher on
+        edismax_qf(qstr, qf, tie, min_should_match) (duel-tested)."""
+        return _qf_search_impl(self, qstr, qf, tie, min_should_match, k)
+
+
+def _qf_search_impl(mw: "MultiFieldWandSearcher", qstr: str,
+                    qf: dict[str, float], tie: float,
+                    min_should_match: int, k: int) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from lucene_solr_spark.search.wand import (KERNEL_HASH_PARTITIONS,
+                                               METADATA_COLS,
+                                               _grouped_postings,
+                                               _load_seg_norms,
+                                               qf_dismax_topk)
+
+    terms = [w.lower() for w in qstr.split()]
+    if len(set(terms)) != len(terms):
+        raise ValueError(
+            "duplicate query terms: the flat engine folds duplicate "
+            "clauses in f64 insertion order, which the kernel cannot "
+            "replicate — dedupe upstream")
+    fields = sorted(qf)
+    unknown = [f for f in fields if f not in mw.searchers]
+    if unknown:
+        raise ValueError(f"unknown qf fields {unknown}")
+    wss = {f: mw.searchers[f] for f in fields}
+    segs = {f: tuple(ws.si.live_segments()) for f, ws in wss.items()}
+    if len(set(segs.values())) != 1:
+        raise ValueError(f"per-field segment sets diverge: {segs}")
+
+    weights: dict[str, dict[str, float]] = {}
+    present_by_field: dict[str, list[str]] = {}
+    for f, ws in wss.items():
+        dfs = ws._global_df(sorted(set(terms)))
+        present = [t for t in terms if dfs[t] > 0]
+        present_by_field[f] = present
+        for t in present:
+            # UNBOOSTED weight; the field boost applies as the flat
+            # engine's post-multiply inside the kernel (boosts=)
+            weights.setdefault(t, {})[f] = float(
+                ws.bm25.term_weight(dfs[t]))
+    if not weights:
+        spark = next(iter(wss.values())).si.spark
+        return spark.createDataFrame(
+            [], "docid long, score float, rank int")
+
+    paths = {f: ws.si.path for f, ws in wss.items()}
+    bm25s = {f: ws.bm25 for f, ws in wss.items()}
+    k_ = int(k)
+    tie_ = float(tie)
+    msm_ = int(min_should_match)
+    terms_ = sorted(weights)
+    boosts_ = {f: float(qf[f]) for f in fields}
+
+    def per_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(key[0])
+        sources: dict[str, dict[str, object]] = {}
+        norms: dict[str, np.ndarray] = {}
+        doc_base = None
+        for f in sorted(paths):
+            sub = pdf[pdf["_field"] == f].drop(columns=["_field"])
+            nf, db = _load_seg_norms(paths[f], sid)
+            norms[f] = nf
+            if doc_base is None:
+                doc_base = db
+            elif db != doc_base:
+                raise ValueError(f"doc_base mismatch in seg {sid}")
+            if len(sub) == 0:
+                continue
+            eps = _grouped_postings(paths[f], sid, sub)
+            for t, gp in eps.items():
+                if t in weights and f in weights[t]:
+                    sources.setdefault(t, {})[f] = gp
+        d, s = qf_dismax_topk(
+            terms_, sources,
+            {t: {f: np.float32(w) for f, w in fw.items()}
+             for t, fw in weights.items()},
+            norms, doc_base, bm25s, k=k_, tie=tie_, msm=msm_,
+            boosts={f: np.float32(b) for f, b in boosts_.items()})
+        return pd.DataFrame({"docid": d, "score": s})
+
+    rows = None
+    for f, ws in wss.items():
+        r = (ws.si.postings
+             .where(F.col("term").isin(present_by_field[f]))
+             .select(*METADATA_COLS)
+             .withColumn("_field", F.lit(f)))
+        rows = r if rows is None else rows.unionByName(r)
+    per_seg = (rows
+               .repartition(KERNEL_HASH_PARTITIONS, F.col("seg_id"))
+               .groupBy("seg_id")
+               .applyInPandas(per_segment,
+                              schema="docid long, score float"))
+    top = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("docid"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+

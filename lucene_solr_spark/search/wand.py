@@ -694,6 +694,183 @@ def span_near_topk(
     return d, np.full(len(d), np.float32(boost), np.float32)
 
 
+def qf_dismax_topk(
+    terms: list[str],
+    sources: dict[str, dict[str, "object"]],
+    weights: dict[str, dict[str, np.float32]],
+    norms: dict[str, np.ndarray],
+    doc_base: int,
+    bm25s: dict[str, "BM25"],
+    k: int,
+    tie: float = 0.0,
+    msm: int = 1,
+    boosts: dict[str, np.float32] | None = None,
+    stats: WandStats | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """CROSS-FIELD block-max WAND — the edismax qf shape
+    (ExtendedDismaxQParser: per term, DisjunctionMaxQuery across the
+    qf fields; terms combine as SHOULD) pruned at the kernel level
+    instead of the exact-but-exhaustive flat path.
+
+    ``sources[t][f]`` is field f's GroupedPosting for t (fields are
+    SEPARATE per-field segment indexes with aligned docids —
+    build_multifield_segment_index); ``weights[t][f]`` the per-field
+    f32 term weight (that field's idf/docCount); ``norms[f]`` /
+    ``bm25s[f]`` field-local norms and similarity.
+
+    Pruning bound: per interval, each (t, f)'s block-max bound
+    dominates that field's f32 scores (functions/bm25.py
+    block_max_bound); DisMax mx + tie*(sm - mx) = (1-tie)*mx + tie*sm
+    is monotone in every per-field score for tie in [0,1], the f64
+    SHOULD-sum is monotone, and the final f32 downcast is monotone —
+    so the bound expression evaluated on the per-field bounds
+    dominates any in-interval doc's final f32 score. Skipped
+    intervals cannot beat theta.
+
+    Scoring replicates the flat MultiFieldSearcher bit-for-bit
+    (duel-tested): per (t, f) f32 BM25, per term f64
+    mx + tie*(sm-mx) over present fields, terms folded in SORTED
+    order (the flat OrQ's clause-key order for uniform qf DisMax
+    nodes), one f32 downcast; (score desc, docid asc) top-k; msm
+    counts terms with any matching field.
+    """
+    terms = sorted(terms)
+    boosts = boosts or {}
+
+    def _boosted(f: str, s32: np.ndarray) -> np.ndarray:
+        # the flat executor applies the FieldedQ boost as a
+        # post-multiply: f32(f64(score) * f32(boost)) (_boost in
+        # executor.py) — mirror it exactly so duels stay bit-equal
+        b = boosts.get(f)
+        if b is None or float(b) == 1.0:
+            return s32
+        return (s32.astype(np.float64) * np.float64(b)).astype(
+            np.float32)
+
+    pairs = [(t, f) for t in terms for f in sorted(sources.get(t, {}))]
+    if not pairs:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    eps = {tf_: sources[tf_[0]][tf_[1]] for tf_ in pairs}
+    grids = {tf_: _term_block_grid(eps[tf_]) for tf_ in pairs}
+    bounds = np.unique(np.concatenate(list(grids.values())))
+    n_int = len(bounds)
+    jmap: dict[tuple, np.ndarray] = {}
+    active: dict[tuple, np.ndarray] = {}
+    pair_ub: dict[tuple, np.ndarray] = {}
+    for tf_ in pairs:
+        t, f = tf_
+        g = grids[tf_]
+        j = np.searchsorted(g, bounds, side="left")
+        jmap[tf_] = j
+        ok = j < len(g)
+        active[tf_] = ok
+        ub = np.zeros(n_int, dtype=np.float64)
+        jj = j[ok]
+        b32 = _boosted(f, bm25s[f].score(
+            np.full(len(jj), weights[t][f], np.float32),
+            np.asarray(eps[tf_].blockmax_tf, dtype=np.int64)[jj],
+            np.asarray(eps[tf_].blockmax_norm, dtype=np.int64)[jj]))
+        ub[ok] = b32.astype(np.float64)
+        pair_ub[tf_] = ub
+
+    tie64 = float(tie)
+    ub_total = np.zeros(n_int, dtype=np.float64)
+    n_active_terms = np.zeros(n_int, dtype=np.int32)
+    for t in terms:
+        fb = [pair_ub[(t, f)] for f in sorted(sources.get(t, {}))]
+        if not fb:
+            continue
+        stack = np.stack(fb)
+        mx = stack.max(axis=0)
+        sm = stack.sum(axis=0)
+        ub_total += mx + tie64 * (sm - mx)
+        t_active = np.zeros(n_int, dtype=bool)
+        for f in sorted(sources.get(t, {})):
+            t_active |= active[(t, f)]
+        n_active_terms += t_active.astype(np.int32)
+    ub32 = ub_total.astype(np.float32)
+
+    st = stats if stats is not None else WandStats()
+    st.blocks_total += sum(len(g) for g in grids.values())
+    st.intervals_total += n_int
+
+    top_docs = np.empty(0, np.int64)
+    top_scores = np.empty(0, np.float32)
+    theta = np.float32(-np.inf)
+
+    for i in range(n_int):
+        if n_active_terms[i] < msm:
+            continue
+        full = len(top_scores) >= k
+        if full and ub32[i] <= theta:
+            continue
+        hi = int(bounds[i])
+        lo = int(bounds[i - 1]) if i > 0 else -1
+        # decode every active (t, f) block slice; disjunction, so no
+        # conjunction shortcut — theta does the pruning
+        per_pair: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+        for tf_ in pairs:
+            if not active[tf_][i]:
+                continue
+            j = int(jmap[tf_][i])
+            docs_j, tfs_j = _decode_block_cached(eps[tf_], j)
+            st.blocks_decoded += 1
+            a = np.searchsorted(docs_j, lo, side="right")
+            b = np.searchsorted(docs_j, hi, side="right")
+            if a < b:
+                per_pair[tf_] = (docs_j[a:b], tfs_j[a:b])
+        if not per_pair:
+            continue
+        st.intervals_scored += 1
+        union = np.unique(np.concatenate([d for d, _ in
+                                          per_pair.values()]))
+        nd = len(union)
+        total = np.zeros(nd, dtype=np.float64)
+        matched = np.zeros(nd, dtype=np.int32)
+        for t in terms:
+            mx = np.full(nd, -np.inf, dtype=np.float64)
+            sm = np.zeros(nd, dtype=np.float64)
+            seen = np.zeros(nd, dtype=bool)
+            for f in sorted(sources.get(t, {})):
+                pp = per_pair.get((t, f))
+                if pp is None:
+                    continue
+                d, tfv = pp
+                idx = np.searchsorted(union, d)
+                s32 = _boosted(f, bm25s[f].score(
+                    np.full(len(d), weights[t][f], np.float32),
+                    tfv, norms[f][d - doc_base]))
+                s64 = s32.astype(np.float64)
+                np.maximum.at(mx, idx, s64)
+                sm[idx] += s64
+                seen[idx] = True
+            if not seen.any():
+                continue
+            # the flat DisMax clause downcasts to f32 BEFORE the f64
+            # SHOULD fold (_eval_dismax casts to the score type)
+            val32 = (mx + tie64 * (sm - mx)).astype(np.float32)
+            total += np.where(seen, val32.astype(np.float64), 0.0)
+            matched += seen.astype(np.int32)
+        ok = matched >= msm
+        if not ok.any():
+            continue
+        cand_d = union[ok]
+        cand_s = total[ok].astype(np.float32)
+        if full and len(cand_s):
+            keep = cand_s > theta
+            cand_d, cand_s = cand_d[keep], cand_s[keep]
+        if len(cand_d) == 0:
+            continue
+        md = np.concatenate([top_docs, cand_d])
+        ms = np.concatenate([top_scores, cand_s])
+        order = np.lexsort((md, -ms.astype(np.float64)))[:k]
+        top_docs, top_scores = md[order], ms[order]
+        if len(top_scores) >= k:
+            theta = top_scores[-1]
+
+    return top_docs, top_scores
+
+
 def _term_block_grid(ep) -> np.ndarray:
     """Block boundary table of a posting (last docid per logical
     block), resolving the posting's own last doc without decoding."""

@@ -257,6 +257,72 @@ def test_multifield_wand_search_many(mf_seg, title_index, body_index):
         assert sorted(by_qid[qid]) == sorted(want), qid
 
 
+@pytest.mark.parametrize("qstr,qf,tie,msm", [
+    ("t000000 t000005", {"title": 3.0, "body": 1.0}, 0.0, 1),
+    ("t000000 t000002 t000010", {"title": 2.0, "body": 1.0}, 0.0, 2),
+    ("t000001 t000003", {"title": 3.0, "body": 1.0}, 0.3, 1),
+    ("t000000", {"title": 1.5, "body": 1.0}, 0.0, 1),
+    ("t000000 missingterm", {"title": 2.0, "body": 1.0}, 0.0, 1),
+])
+def test_qf_wand_duels_flat(mf_seg, mf_index, qstr, qf, tie, msm):
+    """Cross-field edismax qf on the WAND kernel duels the flat
+    MultiFieldSearcher bit-equal (per-field f32 BM25, f64 DisMax
+    mx + tie*(sm-mx), f64 SHOULD fold, one downcast)."""
+    from lucene_solr_spark.search.multifield import (MultiFieldSearcher,
+                                                     MultiFieldWandSearcher)
+
+    mw = MultiFieldWandSearcher(mf_seg, default_field="body")
+    got = _rows(mw.search_qf(qstr, qf, tie=tie, min_should_match=msm,
+                             k=10))
+    ms = MultiFieldSearcher(mf_index, default_field="body")
+    node = edismax_qf(qstr, qf, tie_breaker=tie, min_should_match=msm)
+    want = _rows(ms.search(node, k=10))
+    assert sorted(got) == sorted(want), (qstr, qf, tie, msm)
+    assert len(got) > 0
+
+
+def test_qf_wand_kernel_prunes(mf_seg):
+    """The qf kernel's theta bound actually skips work: scored
+    intervals < total intervals on a selective two-term query over
+    the 400-doc fixture (pruning is real, not just safe)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.search.multifield import MultiFieldWandSearcher
+    from lucene_solr_spark.search.wand import (METADATA_COLS, WandStats,
+                                               _grouped_postings,
+                                               _load_seg_norms,
+                                               qf_dismax_topk)
+
+    mw = MultiFieldWandSearcher(mf_seg, default_field="body")
+    terms = ["t000000", "t000005"]
+    qf = {"title": 3.0, "body": 1.0}
+    weights = {}
+    for f, ws in mw.searchers.items():
+        dfs = ws._global_df(terms)
+        for t in terms:
+            if dfs[t] > 0:
+                weights.setdefault(t, {})[f] = np.float32(
+                    ws.bm25.term_weight(dfs[t], boost=qf[f]))
+    sid = int(mf_seg["title"].live_segments()[0])
+    sources, norms = {}, {}
+    doc_base = None
+    for f in ("title", "body"):
+        pdf = (mf_seg[f].postings.where(F.col("term").isin(terms))
+               .where(F.col("seg_id") == sid)
+               .select(*METADATA_COLS).toPandas())
+        norms[f], doc_base = _load_seg_norms(mf_seg[f].path, sid)
+        for t, gp in _grouped_postings(mf_seg[f].path, sid, pdf).items():
+            sources.setdefault(t, {})[f] = gp
+    st = WandStats()
+    d, s = qf_dismax_topk(terms, sources, weights, norms, doc_base,
+                          {f: ws.bm25 for f, ws in mw.searchers.items()},
+                          k=3, stats=st)
+    assert len(d) == 3
+    assert st.intervals_scored < st.intervals_total
+
+
 def test_multifield_seg_docid_alignment(mf_seg):
     t = mf_seg["title"].docs.select("url", "docid")
     b = mf_seg["body"].docs.select("url", "docid")

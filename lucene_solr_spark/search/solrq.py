@@ -862,6 +862,37 @@ def solr_qparser(searcher, s: str,
         scored = joined.select(F.col("term"), gain.alias("score"))
         return (scored.orderBy(F.desc("score"), F.asc("term"))
                 .limit(n_terms))
+    if name == "ltr":
+        # LTRQParserPlugin.java ({!ltr model=... reRankDocs=...}):
+        # the model store is inlined as a JSON param — features map
+        # names to ValueSource expressions (SolrFeature) or
+        # "originalScore" (OriginalScoreFeature); "weights" = a
+        # LinearModel, "trees" = MultipleAdditiveTreesModel. The body
+        # is the first-pass query.
+        import json as _json
+
+        from lucene_solr_spark.operators.ltr import (additive_trees_model,
+                                                     linear_model,
+                                                     ltr_rerank)
+
+        if doc_attrs is None:
+            raise ValueError("{!ltr} needs a doc_attrs frame")
+        if "model" not in params:
+            raise ValueError("{!ltr} needs model=<json>")
+        spec = _json.loads(params["model"])
+        feats = spec.get("features")
+        if not feats:
+            raise ValueError("{!ltr} model needs features")
+        if "weights" in spec:
+            mdl = linear_model(spec["weights"])
+        elif "trees" in spec:
+            mdl = additive_trees_model(spec["trees"])
+        else:
+            raise ValueError("{!ltr} model needs weights or trees")
+        n = int(params.get("reRankDocs", 200))
+        return (ltr_rerank(searcher, rest, doc_attrs, feats, model=mdl,
+                           rerank_docs=n)
+                .select("docid", "score"))
     if name == "tlogit":
         # TextLogisticRegressionQParserPlugin.java (the train()
         # streaming expression's per-iteration trainer): docs

@@ -111,6 +111,29 @@ def test_ltr_trees_rerank(spark, tiny_index, sql_searcher):
         assert abs(gsc - sc) < 1e-12
 
 
+def test_ltr_qparser_dialect(spark, tiny_index, sql_searcher):
+    """{!ltr model=<json> reRankDocs=N}: the request-string surface
+    of LTRQParserPlugin wires onto ltr_rerank — same rows/scores as
+    the direct call."""
+    import json
+
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = sql_searcher
+    attrs = tiny_index.docs.select(
+        "docid", F.col("doclen").cast("double").alias("dl"))
+    features = {"orig": "originalScore", "short": "if(lt(dl,60),1,0)"}
+    weights = {"orig": 0.5, "short": 2.0}
+    model = json.dumps({"features": features, "weights": weights})
+    got = {r["docid"]: float(r["score"]) for r in solr_qparser(
+        s, f"{{!ltr model='{model}' reRankDocs=5}}t000001 OR t000002",
+        attrs).collect()}
+    want = {r["docid"]: float(r["score"]) for r in ltr_rerank(
+        s, "t000001 OR t000002", attrs, features, weights=weights,
+        rerank_docs=5).collect()}
+    assert got == want and len(got) == 5
+
+
 def test_ltr_model_validation(sql_searcher, tiny_index):
     attrs = tiny_index.docs.select("docid")
     with pytest.raises(ValueError):

@@ -233,31 +233,34 @@ def json_facet(df: DataFrame, spec: dict) -> DataFrame:
 
     cur = None
     keys: list[str] = []
+    frame = df  # accumulates bucket columns + restrictions level by level
     for depth, (_, nd) in enumerate(levels):
         ftype = nd.get("type", "terms")
         if ftype == "terms":
             key = nd["field"]
-            src = df if cur is None else df.join(
-                F.broadcast(cur.select(*keys).distinct()), keys)
-            kcol = F.col(key)
         elif ftype == "range":
             key = f"{nd['field']}_bucket"
             lo, hi, gap = (float(nd["start"]), float(nd["end"]),
                            float(nd["gap"]))
-            base = df.where((F.col(nd["field"]) >= lo)
+            frame = (frame
+                     .where((F.col(nd["field"]) >= lo)
                             & (F.col(nd["field"]) < hi))
-            src = base if cur is None else base.join(
-                F.broadcast(cur.select(*keys).distinct()), keys)
-            src = src.withColumn(
-                key, (F.floor((F.col(nd["field"]) - F.lit(lo))
-                              / F.lit(gap)) * F.lit(gap)
-                      + F.lit(lo)))
-            kcol = F.col(key)
+                     .withColumn(key,
+                                 (F.floor((F.col(nd["field"]) - F.lit(lo))
+                                          / F.lit(gap)) * F.lit(gap)
+                                  + F.lit(lo))))
+        elif ftype == "query":
+            # QueryFacetProcessor: ONE bucket of docs matching the
+            # predicate (a Column expression string over the frame);
+            # children nest under the filtered frame
+            key = f"_q{depth}"
+            frame = (frame.where(F.expr(nd["q"]))
+                     .withColumn(key, F.lit(nd["q"])))
         else:
             raise ValueError(f"unsupported facet type {ftype!r}")
         aggs = ([F.count(F.lit(1)).alias(f"cnt_{depth}")]
                 + _facet_metrics(nd.get("metrics") or {}))
-        g = src.groupBy(*keys, kcol.alias(key)).agg(*aggs)
+        g = frame.groupBy(*keys, key).agg(*aggs)
         limit = int(nd.get("limit", 10))
         order = ([F.desc(f"cnt_{depth}"), F.asc(key)]
                  if nd.get("sort", "count") == "count"
@@ -272,11 +275,11 @@ def json_facet(df: DataFrame, spec: dict) -> DataFrame:
             # merge), never an unpartitioned ranking window over a
             # possibly high-cardinality bucket table
             lvl = g.orderBy(*order).limit(limit)
-        if cur is None:
-            cur = lvl
-        else:
-            cur = cur.join(lvl, keys)
+        cur = lvl if cur is None else cur.join(lvl, keys)
         keys.append(key)
+        # restrict the frame to the surviving buckets for the child
+        frame = frame.join(F.broadcast(lvl.select(*keys).distinct()),
+                           keys)
     return cur
 
 

@@ -101,6 +101,25 @@ def test_percentile_metric(cat_df):
             < 1e-9
 
 
+def test_query_facet_bucket(cat_df):
+    """'query' facet: one predicate bucket, children nest under the
+    filtered frame (QueryFacetProcessor)."""
+    out = _pdf(json_facet(cat_df, {
+        "type": "query", "q": "score >= 50",
+        "metrics": {"mx": "max(score)"},
+        "facet": {"by_lang": {"type": "terms", "field": "lang",
+                              "limit": 2}}}))
+    p = _pdf(cat_df)
+    sub = p[p["score"] >= 50]
+    assert (out["cnt_0"] == len(sub)).all()
+    assert (abs(out["mx"] - sub["score"].max()) < 1e-12).all()
+    want = (sub.groupby("lang").size().reset_index(name="c")
+            .sort_values(["c", "lang"], ascending=[False, True])
+            .head(2))
+    got = dict(zip(out["lang"], out["cnt_1"]))
+    assert got == dict(zip(want["lang"], want["c"]))
+
+
 def test_index_sort_and_errors(cat_df):
     out = _pdf(json_facet(cat_df, {"type": "terms", "field": "lang",
                                    "limit": 2, "sort": "index"}))

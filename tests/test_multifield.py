@@ -323,6 +323,28 @@ def test_qf_wand_kernel_prunes(mf_seg):
     assert st.intervals_scored < st.intervals_total
 
 
+def test_multifield_seg_docvalues_passthrough(mf_pages, tmp_path_factory):
+    """Per-field doc-values ride the per-field segment builds
+    (docvalues_cols passes through build_multifield_segment_index):
+    every field's index carries the sidecar, aligned on the shared
+    docids."""
+    from lucene_solr_spark.index.multifield import (
+        build_multifield_segment_index)
+
+    pages = mf_pages.withColumn(
+        "pagerank", (F.length("body") % 7).cast("double"))
+    path = str(tmp_path_factory.mktemp("mfsegdv") / "idx")
+    seg = build_multifield_segment_index(
+        pages, ["title", "body"], path, seg_size=128, salt_span=32,
+        docvalues_cols=["pagerank"])
+    assert all(si.has_docvalues() for si in seg.values())
+    a = {r["docid"]: r["pagerank"] for r in
+         seg["title"].docvalues.select("docid", "pagerank").collect()}
+    b = {r["docid"]: r["pagerank"] for r in
+         seg["body"].docvalues.select("docid", "pagerank").collect()}
+    assert a == b and len(a) == mf_pages.count()
+
+
 def test_multifield_seg_docid_alignment(mf_seg):
     t = mf_seg["title"].docs.select("url", "docid")
     b = mf_seg["body"].docs.select("url", "docid")

@@ -4044,6 +4044,10 @@ def _f32_qf_topk_sql(terms: list[str], k: int = 10) -> str:
     once — bit-equal to qf_dismax_topk."""
     from lucene_solr_spark.oracle_f32 import f32_base_sql
 
+    # the engine folds terms in sorted order (f64); this oracle's
+    # GROUP BY sum has no order guarantee, which is bit-exact only
+    # because ONE f64 addition is commutative — two terms max
+    assert len(terms) <= 2, "qf oracle: sum order unproven for 3+ terms"
     return f"""
 WITH tok AS (
   SELECT doc_id,

@@ -201,6 +201,13 @@ def build_multifield_segment_index(pages: DataFrame, field_cols: list[str],
                                  text_col=f, **build_kw)
         n_empty = si.docs.where(F.col("doclen") == 0).count()
         if n_empty:
+            # remove EVERY field dir built so far — a partial
+            # per-field set must not survive for a later open/glob to
+            # mistake for a complete multi-field index
+            import shutil
+
+            for g in [f] + list(out):
+                shutil.rmtree(f"{base_path}/{g}", ignore_errors=True)
             raise ValueError(
                 f"field {f!r}: {n_empty} docs analyze to zero tokens — "
                 "per-field docCount would diverge from Lucene's; use "

@@ -199,6 +199,10 @@ class MultiFieldWandSearcher:
         results union (qids must be globally unique)."""
         from functools import reduce
 
+        if not queries:
+            spark = next(iter(self.searchers.values())).si.spark
+            return spark.createDataFrame(
+                [], "qid string, docid long, score float, rank int")
         by_field: dict = {}
         for qid, q in queries.items():
             ws, inner = self._route(q)

@@ -976,103 +976,79 @@ def solr_qparser(searcher, s: str,
 # ---- SimpleQueryParser subset ----------------------------------------------
 
 def _parse_simple(s: str, default_op: str = "OR") -> "A.Query":
-    """queryparser/simple/SimpleQueryParser.java subset: tokens are
-    terms / "phrases"~N / trailing-* prefixes / term~N fuzzies /
-    parenthesized groups, connected by + (AND), | (OR), whitespace
-    (the default op), with - negating the next clause."""
-    # '-' is the NOT operator only at a clause start (preceded by
-    # whitespace/start/'('); inside a token it is literal text, like
-    # SimpleQueryParser's one-char-lookahead tokenizer
+    """queryparser/simple/SimpleQueryParser.java subset, with the
+    reference's LEFT-TO-RIGHT combination (buildQueryTree,
+    SimpleQueryParser.java:435-477): clauses fold into the running
+    tree as they arrive — same operator appends FLAT to the current
+    BooleanQuery, an operator CHANGE wraps the accumulated tree as a
+    single clause of a new one (no precedence between + and |). A
+    negated branch becomes (MatchAll MUST_NOT branch) and joins the
+    tree as a regular clause, so purely-negative queries are valid.
+    Tokens: terms / "phrases"~N / trailing-* prefixes / term~N
+    fuzzies / parenthesized groups; whitespace = the q.op default."""
     toks = re.findall(r'"[^"]*"(?:~\d+)?|[()|+]|(?<![^\s(])-|[^\s()|+]+',
                       s)
-    pos = 0
 
-    def parse_clause():
-        nonlocal pos
-        neg = False
-        while pos < len(toks) and toks[pos] == "-":
-            neg = not neg
-            pos += 1
-        if pos >= len(toks):
-            raise ValueError("dangling operator")
-        t = toks[pos]
-        pos += 1
-        if t == "(":
-            node = parse_or()
-            if pos < len(toks) and toks[pos] == ")":
-                pos += 1
-            return node, neg
+    def leaf(t: str) -> "A.Query":
         if t.startswith('"'):
             m = re.fullmatch(r'"([^"]*)"(?:~(\d+))?', t)
             terms = tuple(w.lower() for w in m.group(1).split())
             slop = int(m.group(2)) if m.group(2) else 0
-            return A.PhraseQ(terms, slop=slop), neg
+            return A.PhraseQ(terms, slop=slop)
         if t.endswith("*") and len(t) > 1:
-            return A.PrefixQ(t[:-1].lower()), neg
+            return A.PrefixQ(t[:-1].lower())
         fm = re.fullmatch(r"([^~]+)~(\d+)", t)
         if fm:
             return A.FuzzyQ(fm.group(1).lower(),
-                            max_edits=int(fm.group(2))), neg
-        return A.TermQ(t.lower()), neg
+                            max_edits=int(fm.group(2)))
+        return A.TermQ(t.lower())
 
-    def combine(clauses, op):
-        """clauses: [(node, neg)] -> (positive node | None, neg list)
-        — MUST_NOT hoists to the enclosing boolean, like
-        SimpleQueryParser building BooleanClause.Occur.MUST_NOT."""
-        pos_c = [c for c, neg in clauses if not neg]
-        neg_c = [c for c, neg in clauses if neg]
-        if not pos_c:
-            return None, neg_c
-        if len(pos_c) == 1:
-            node = pos_c[0]
-        elif op == "AND":
-            node = A.AndQ(tuple(pos_c))
-        else:
-            node = A.OrQ(tuple(pos_c))
-        return node, neg_c
-
-    def wrap(node, negs):
-        if node is None:
-            raise ValueError("purely negative query")
-        for n in negs:
-            node = A.NotQ(node, n)
-        return node
-
-    def parse_and():
-        """-> (node | None, neg list)"""
-        nonlocal pos
-        clauses = [parse_clause()]
-        while pos < len(toks) and toks[pos] not in (")", "|"):
-            if toks[pos] == "+":
-                pos += 1
-                clauses.append(parse_clause())
-            else:
-                if default_op == "AND":
-                    clauses.append(parse_clause())
-                else:
-                    break
-        op = "AND" if len(clauses) > 1 else default_op
-        node, negs = combine(clauses, op)
-        if node is not None and negs and op == "AND":
-            # negation binds inside an AND group
-            return wrap(node, negs), []
-        return node, negs
-
-    def parse_or():
-        nonlocal pos
-        groups = [parse_and()]
+    def parse_seq(pos: int) -> tuple["A.Query", int]:
+        top = None
+        prev_op = None
+        cur_op = None
+        neg = False
         while pos < len(toks) and toks[pos] != ")":
-            if toks[pos] == "|":
+            t = toks[pos]
+            if t == "|":
+                cur_op = "OR"
                 pos += 1
-            groups.append(parse_and())
-        pos_nodes = [n for n, _ in groups if n is not None]
-        negs = [x for _, ns in groups for x in ns]
-        node = (None if not pos_nodes
-                else pos_nodes[0] if len(pos_nodes) == 1
-                else A.OrQ(tuple(pos_nodes)))
-        return wrap(node, negs)
+                continue
+            if t == "+":
+                cur_op = "AND"
+                pos += 1
+                continue
+            if t == "-":
+                neg = not neg
+                pos += 1
+                continue
+            if t == "(":
+                branch, pos = parse_seq(pos + 1)
+                if pos < len(toks) and toks[pos] == ")":
+                    pos += 1
+            else:
+                branch = leaf(t)
+                pos += 1
+            if neg:
+                branch = A.NotQ(A.MatchAllQ(), branch)
+                neg = False
+            if top is None:
+                top = branch
+            else:
+                if cur_op is None:
+                    cur_op = default_op
+                cls = A.AndQ if cur_op == "AND" else A.OrQ
+                if prev_op == cur_op and isinstance(top, cls):
+                    top = cls(top.clauses + (branch,))
+                else:
+                    top = cls((top, branch))
+                prev_op = cur_op
+            cur_op = None
+        if top is None:
+            raise ValueError("empty {!simple} query")
+        return top, pos
 
-    node = parse_or()
+    node, pos = parse_seq(0)
     if pos != len(toks):
         raise ValueError(f"trailing tokens at {pos}: {toks[pos:]}")
     return node
@@ -1107,7 +1083,7 @@ def _xml_node(el) -> "A.Query":
         return A.TermQ(el.text.strip().lower(), boost=boost)
     if tag == "PrefixQuery":
         _xml_field(el)
-        return A.PrefixQ(el.text.strip().lower())
+        return A.PrefixQ(el.text.strip().lower(), boost=boost)
     if tag == "PhraseQuery":
         _xml_field(el)
         slop = int(el.get("slop", 0))
@@ -1118,6 +1094,9 @@ def _xml_node(el) -> "A.Query":
     if tag == "ConstantScoreQuery":
         return A.ConstQ(_xml_node(el[0]), boost=boost)
     if tag == "DisjunctionMaxQuery":
+        if boost != 1.0:
+            raise ValueError("DisjunctionMaxQuery boost is not "
+                             "supported (DisMaxQ carries no boost)")
         tie = float(el.get("tieBreaker", 0.0))
         return A.DisMaxQ(tuple(_xml_node(c) for c in el),
                          tie_breaker=tie)
@@ -1128,8 +1107,14 @@ def _xml_node(el) -> "A.Query":
                 raise ValueError(f"expected Clause, got {cl.tag}")
             occurs = cl.get("occurs", "should")
             node = _xml_node(cl[0])
+            if occurs == "filter":
+                # FILTER constrains matches but contributes NO score
+                # (BooleanClause.Occur.FILTER): a zero-boost constant
+                # wrapper joins the conjunction adding 0.0
+                node = A.ConstQ(node, boost=0.0)
+                occurs = "must"
             {"must": must, "should": should,
-             "mustNot": neg, "filter": must}[occurs].append(node)
+             "mustNot": neg}[occurs].append(node)
         if must and should:
             base = A.ReqOptQ(
                 must[0] if len(must) == 1 else A.AndQ(tuple(must)),

@@ -783,7 +783,12 @@ def qf_dismax_topk(
         stack = np.stack(fb)
         mx = stack.max(axis=0)
         sm = stack.sum(axis=0)
-        ub_total += mx + tie64 * (sm - mx)
+        # mirror the doc path's PER-TERM f32 downcast (f32 rounding is
+        # monotone, so downcasting both sides preserves domination; a
+        # bound kept in f64 while the doc value rounds to f32 can lose
+        # by half an ulp for tie > 0)
+        ub_total += (mx + tie64 * (sm - mx)).astype(
+            np.float32).astype(np.float64)
         t_active = np.zeros(n_int, dtype=bool)
         for f in sorted(sources.get(t, {})):
             t_active |= active[(t, f)]
@@ -797,6 +802,7 @@ def qf_dismax_topk(
     top_docs = np.empty(0, np.int64)
     top_scores = np.empty(0, np.float32)
     theta = np.float32(-np.inf)
+    decoded: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
     for i in range(n_int):
         if n_active_terms[i] < msm:
@@ -813,8 +819,13 @@ def qf_dismax_topk(
             if not active[tf_][i]:
                 continue
             j = int(jmap[tf_][i])
-            docs_j, tfs_j = _decode_block_cached(eps[tf_], j)
-            st.blocks_decoded += 1
+            key = (tf_, j)
+            hit = decoded.get(key)
+            if hit is None:
+                hit = _decode_block_cached(eps[tf_], j)
+                decoded[key] = hit
+                st.blocks_decoded += 1
+            docs_j, tfs_j = hit
             a = np.searchsorted(docs_j, lo, side="right")
             b = np.searchsorted(docs_j, hi, side="right")
             if a < b:

@@ -836,7 +836,9 @@ def test_qparser_dialect_batch4(spark, tiny_index):
     assert docs(got_all) == docs(
         s.matches(A.TermInSetQ(("t000000", "t004999"))))
 
-    # {!simple}: AND / OR / negation / phrase / prefix / fuzzy
+    # {!simple}: left-to-right fold (SimpleQueryParser.java
+    # buildQueryTree — same op appends flat, an op change wraps the
+    # accumulated tree; negation = (MatchAll MUST_NOT x) as a clause)
     assert scored(solr_qparser(s, "{!simple}t000001 + t000002")) == \
         scored(s.matches(A.AndQ((A.TermQ("t000001"), A.TermQ("t000002")))))
     assert scored(solr_qparser(s, "{!simple}t000001 | t000002")) == \
@@ -846,8 +848,16 @@ def test_qparser_dialect_batch4(spark, tiny_index):
     assert scored(solr_qparser(
         s, "{!simple q.op=AND}t000001 t000002")) == \
         scored(s.matches(A.AndQ((A.TermQ("t000001"), A.TermQ("t000002")))))
+    # no precedence: a | b + c == ((a OR b) AND c)
+    assert scored(solr_qparser(
+        s, "{!simple}t000001 | t000002 + t000003")) == \
+        scored(s.matches(A.AndQ((A.OrQ((A.TermQ("t000001"),
+                                        A.TermQ("t000002"))),
+                                 A.TermQ("t000003")))))
     assert scored(solr_qparser(s, "{!simple}t000001 + -t000002")) == \
-        scored(s.matches(A.NotQ(A.TermQ("t000001"), A.TermQ("t000002"))))
+        scored(s.matches(A.AndQ((A.TermQ("t000001"),
+                                 A.NotQ(A.MatchAllQ(),
+                                        A.TermQ("t000002"))))))
     assert scored(solr_qparser(s, '{!simple}"t000001 t000002"~1')) == \
         scored(s.matches(A.PhraseQ(("t000001", "t000002"), slop=1)))
     assert scored(solr_qparser(s, "{!simple}t00000*")) == \

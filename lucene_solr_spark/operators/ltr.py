@@ -147,5 +147,10 @@ def ltr_rerank(searcher, q, doc_attrs: DataFrame,
     else:
         u = rescored
     w1 = Window.orderBy(F.asc("_tier"), F.desc("score"), F.asc("docid"))
-    return (u.withColumn("rank", F.row_number().over(w1))
-            .select("docid", "score", "rank"))
+    out = (u.withColumn("rank", F.row_number().over(w1))
+           .select("docid", "score", "rank"))
+    # the reference rescorer returns at most `rows` docs — without
+    # this, rows=10 with rerank_docs=200 would hand back 200
+    if rows is not None:
+        out = out.where(F.col("rank") <= rows)
+    return out

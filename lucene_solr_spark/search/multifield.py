@@ -125,11 +125,12 @@ class MultiFieldWandSearcher:
     leaves, which take ``default_field``) all name ONE field strips
     to a single-field query and runs on that field's WandSearcher —
     full θ/block-max pruning, batched search_many, phrase/span
-    kernels. CROSS-FIELD shapes (edismax qf DisMax, cross-field
-    booleans) raise: exact cross-field top-k needs every candidate's
-    per-field partials, which the flat MultiFieldSearcher computes
-    exhaustively — route those there. (A cross-field WAND would need
-    a max-over-fields block bound; a round-5 candidate.)
+    kernels. CROSS-FIELD edismax qf runs kernel-pruned via
+    ``search_qf`` (wand.qf_dismax_topk — monotone max-over-fields
+    block bound, bit-equal to the flat path). Other arbitrary
+    cross-field boolean shapes raise from search()/search_many():
+    exact scoring there needs every candidate's per-field partials —
+    route those to the flat MultiFieldSearcher.
     """
 
     def __init__(self, indexes: dict, default_field: str | None = None,
@@ -200,9 +201,10 @@ class MultiFieldWandSearcher:
         from functools import reduce
 
         if not queries:
+            from lucene_solr_spark.search.wand import SEARCH_MANY_SCHEMA
+
             spark = next(iter(self.searchers.values())).si.spark
-            return spark.createDataFrame(
-                [], "qid string, docid long, score float, rank int")
+            return spark.createDataFrame([], SEARCH_MANY_SCHEMA)
         by_field: dict = {}
         for qid, q in queries.items():
             ws, inner = self._route(q)

@@ -858,7 +858,10 @@ def qf_dismax_topk(
             if not seen.any():
                 continue
             # the flat DisMax clause downcasts to f32 BEFORE the f64
-            # SHOULD fold (_eval_dismax casts to the score type)
+            # SHOULD fold (_eval_dismax casts to the score type);
+            # zero unseen slots first — mx stays -inf there and the
+            # fold would form 0*inf=NaN intermediates otherwise
+            mx = np.where(seen, mx, 0.0)
             val32 = (mx + tie64 * (sm - mx)).astype(np.float32)
             total += np.where(seen, val32.astype(np.float64), 0.0)
             matched += seen.astype(np.int32)
@@ -1110,6 +1113,10 @@ def multiphrase_topk(
 # overhead; the cheap WAND/batched paths keep the default width (the
 # extra exchange planning costs more than a rare collision there).
 KERNEL_HASH_PARTITIONS = 128
+
+# Batched-serving result schema — shared with MultiFieldWandSearcher's
+# empty fast path so the two can never drift.
+SEARCH_MANY_SCHEMA = "qid string, docid long, score float, rank int"
 
 METADATA_COLS = ("seg_id", "term", "df", "ttf", "singleton_docid",
                  "skip_last_doc", "skip_doc_off", "skip_tf_off",
@@ -1783,8 +1790,7 @@ class WandSearcher:
             {t for s in parsed.values() for t in s[0] + s[2]}
             | {t for ts, _, _ in phrase_specs.values() for t in ts})
         if not all_terms:
-            return self.si.spark.createDataFrame(
-                [], "qid string, docid long, score float, rank int")
+            return self.si.spark.createDataFrame([], SEARCH_MANY_SCHEMA)
         dfs = self._global_df(all_terms)
         weights = {t: self.bm25.term_weight(dfs[t])
                    for t in all_terms if dfs[t] > 0}

@@ -142,3 +142,21 @@ def test_ltr_model_validation(sql_searcher, tiny_index):
         additive_trees_model([])
     with pytest.raises(ValueError):
         ltr_rerank(sql_searcher, "t000001", attrs, {"o": "originalScore"})
+
+
+def test_ltr_rows_truncates(sql_searcher, tiny_index):
+    """The reference rescorer returns at most `rows` docs even when
+    reRankDocs exceeds it (QueryRescorer.rescore topN contract)."""
+    s = sql_searcher
+    attrs = tiny_index.docs.select(
+        "docid", F.col("doclen").cast("double").alias("dl"))
+    features = {"orig": "originalScore"}
+    full = ltr_rerank(s, "t000001 OR t000002", attrs, features,
+                      weights={"orig": 1.0}, rerank_docs=200).collect()
+    assert len(full) > 3
+    cut = ltr_rerank(s, "t000001 OR t000002", attrs, features,
+                     weights={"orig": 1.0}, rerank_docs=200,
+                     rows=3).collect()
+    assert len(cut) == 3
+    assert (sorted((r["rank"], r["docid"]) for r in cut)
+            == sorted((r["rank"], r["docid"]) for r in full)[:3])

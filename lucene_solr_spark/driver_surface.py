@@ -1027,8 +1027,13 @@ DRIVER_PRIORITY = [
     "seg_phrase_hot", "seg_phrase", "seg_multiphrase", "ft_multifield_qf",
     "ft_multifield_bool", "ann_sq8", "ann_sq8_rerank", "cardinality_hll",
     "suggest_analyzing", "jdbc_stream", "ft_whitespace_term",
-    "solr_func_qp", "solr_boost_qp", "solr_frange_qp", "solr_terms_qp",
-    "solr_bool_qp", "solr_mlt_qp", "geo_polygon_holes",
+    "solr_func_qp", "solr_boost_qp", "solr_frange_qp",
+    "solr_mlt_qp", "geo_polygon_holes",
+    # (r5) the three registrations that had never had a driver verdict
+    # (oracled + local-gate green since r4); displaced solr_terms_qp /
+    # solr_bool_qp / leftouter_join — all r4-driver-green, families
+    # still represented (solr_*_qp batch, innerjoin_stream)
+    "ft_func_bool", "solr_tlogit_qp", "synonym_graph",
     # (a2) round-4 session 2: dialect batch 2 ({!field}/{!raw}/
     # {!switch}/{!maxscore}, block join, graph, geofilt/bbox,
     # surround/complexphrase) + the segment-native MultiPhrase kernel
@@ -1044,7 +1049,7 @@ DRIVER_PRIORITY = [
     # leftouter, and the local gate re-validates them every run)
     "ft_term", "ft_bool_and", "ft_bool_or_msm",
     "ft_phrase", "ft_bm25_or",
-    "innerjoin_stream", "leftouter_join",
+    "innerjoin_stream",
     "dedup_exact", "group_topk",
     # facet family represented by the r4 nested JSON Facet evaluator
     # (facet_terms is its strict subset; r1-green on record)

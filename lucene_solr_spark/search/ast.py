@@ -185,6 +185,45 @@ class SpanNearQ(Query):
         return f"near({self.first},{self.second},{self.slop},{self.in_order})"
 
 
+def _span_key(node) -> str:
+    return node if isinstance(node, str) else node.key()
+
+
+@dataclass(frozen=True)
+class SpanOrNQ(Query):
+    """SpanOrQuery (search/spans/SpanOrQuery.java): the union of the
+    clauses' spans. Clauses are span nodes: term strings, SpanOrNQ, or
+    SpanNearNQ. Useful only inside SpanNearNQ (a top-level or-of-terms
+    is an OrQ); constant score ``boost`` when evaluated standalone."""
+    clauses: tuple
+    boost: float = 1.0
+
+    def key(self) -> str:
+        return "spanor(" + ",".join(sorted(_span_key(c)
+                                           for c in self.clauses)) + ")"
+
+
+@dataclass(frozen=True)
+class SpanNearNQ(Query):
+    """N-ary ORDERED SpanNear over nested sub-spans (search/spans/
+    SpanNearQuery.java + NearSpansOrdered.java): clauses match in
+    order, each next sub-span starting at or after the previous one's
+    end, with total gap <= slop (NearSpansOrdered.atMatch's width
+    test). Clauses are span nodes: term strings, SpanOrNQ, SpanNearNQ.
+    Constant score = boost (the SpanNearQ contract). Matching
+    semantics live in search/spannest.py — shared verbatim by the
+    segment kernel and the flat executor. Ordered only: the reference
+    delegates unordered nesting to NearSpansUnordered, whose
+    overlapping-span accounting we scope to the two-term SpanNearQ."""
+    clauses: tuple
+    slop: int = 0
+    boost: float = 1.0
+
+    def key(self) -> str:
+        return ("spannear(" + ",".join(_span_key(c) for c in self.clauses)
+                + f",{self.slop})")
+
+
 @dataclass(frozen=True)
 class TermAutomatonQ(Query):
     """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java): an

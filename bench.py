@@ -214,6 +214,17 @@ def bench_wand_large(spark, n_docs: int = 500_000,
     for name, q in big_qset.items():
         times[name] = _min_of(lambda: ws.search(q, k=10).collect(),
                               QUERY_TRIALS)
+    # nested span pairing the zipf-head term (r5: segment-native via
+    # span_nested_topk — the r4 fallback full-decoded the head term;
+    # target <= ~1.5x plain SpanNear on the same pair)
+    from lucene_solr_spark.search import ast as A
+    span_plain = A.SpanNearQ("t000000", "t000001", slop=4)
+    span_nested = A.SpanNearNQ(
+        (A.SpanOrNQ(("t000001", "t000002")), "t000000"), slop=4)
+    times["wl_span_plain"] = _min_of(
+        lambda: ws.search(span_plain, k=10).collect(), QUERY_TRIALS)
+    times["wl_span_nested"] = _min_of(
+        lambda: ws.search(span_nested, k=10).collect(), QUERY_TRIALS)
     # 100-query batched serving (the realistic q/s shape: one Spark
     # job, per-segment tasks run every query against shared postings)
     batch = {}

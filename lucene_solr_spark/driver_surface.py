@@ -1028,7 +1028,10 @@ DRIVER_PRIORITY = [
     "ft_multifield_bool", "ann_sq8", "ann_sq8_rerank", "cardinality_hll",
     "suggest_analyzing", "jdbc_stream", "ft_whitespace_term",
     "solr_func_qp", "solr_boost_qp", "solr_frange_qp",
-    "solr_mlt_qp", "geo_polygon_holes",
+    "solr_mlt_qp",
+    # (r5) segment-native NESTED spans (span_nested_topk; displaced
+    # geo_polygon_holes — r4-green, spatial family in solr_geo_qp)
+    "seg_span_nested",
     # (r5) the three registrations that had never had a driver verdict
     # (oracled + local-gate green since r4); displaced solr_terms_qp /
     # solr_bool_qp / leftouter_join — all r4-driver-green, families

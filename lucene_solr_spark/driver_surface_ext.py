@@ -3416,6 +3416,42 @@ SELECT doc_id, CAST(1500000 AS BIGINT) AS score_q,
 FROM m QUALIFY rank <= 25
 """)
 
+
+def _seg_span_nested(spark, sf):
+    """NESTED span tree via the segment-native kernel
+    (wand.span_nested_topk — slot-union conjunction over the block
+    grid, lazy .pos, shared spannest.emit_spans match; search/spans/
+    NearSpansOrdered.java + SpanOrQuery.java): ordered
+    near(or(hash, scan), join, merge) with total gap <= 8, boost 2.0,
+    first 25 docids. Plan-asserted no-full-decode in
+    tests/test_wand.py (test_span_nested_plan_no_full_decode)."""
+    from lucene_solr_spark.search.wand import WandSearcher
+
+    si = _seg_index(spark, sf)
+    q = A.SpanNearNQ((A.SpanOrNQ(("hash", "scan")), "join", "merge"),
+                     slop=8, boost=2.0)
+    out = WandSearcher(si).search(q, k=25)
+    return out.select(F.col("docid").alias("doc_id"),
+                      F.floor(F.col("score") * Q).cast("long")
+                      .alias("score_q"), "rank")
+
+
+_register("seg_span_nested", _seg_span_nested, f"""
+WITH {FT_BASE},
+m AS (
+  SELECT DISTINCT p1.doc_id
+  FROM (SELECT doc_id, pos FROM tokf WHERE term IN ('hash','scan')) p1
+  JOIN (SELECT doc_id, pos FROM tokf WHERE term='join') p2
+    ON p1.doc_id = p2.doc_id AND p2.pos > p1.pos
+  JOIN (SELECT doc_id, pos FROM tokf WHERE term='merge') p3
+    ON p2.doc_id = p3.doc_id AND p3.pos > p2.pos
+   AND (p2.pos - p1.pos - 1) + (p3.pos - p2.pos - 1) <= 8
+)
+SELECT doc_id, CAST(2000000 AS BIGINT) AS score_q,
+       row_number() OVER (ORDER BY doc_id) AS rank
+FROM m QUALIFY rank <= 25
+""")
+
 def _solr_qparser_mix3(spark, sf):
     """Dialect batch 3 in one verdict — {!knn} (KnnQParserPlugin:
     cosine top-k over a vector column), {!hash} (HashQParserPlugin:

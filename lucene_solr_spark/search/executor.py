@@ -266,6 +266,9 @@ def _collect_terms(q: A.Query) -> set[str]:
         return set(q.terms)
     if isinstance(q, A.SpanNearQ):
         return {q.first, q.second}
+    if isinstance(q, (A.SpanOrNQ, A.SpanNearNQ)):
+        from lucene_solr_spark.search.spannest import leaf_terms
+        return leaf_terms(q)
     # MultiTermQ / MatchAllQ expand against the dictionary
     return set()
 
@@ -473,9 +476,60 @@ class Searcher:
             return self._eval_reqopt(q, scored)
         if isinstance(q, A.SpanNearQ):
             return self._eval_span_near(q)
+        if isinstance(q, (A.SpanOrNQ, A.SpanNearNQ)):
+            return self._eval_span_nested(q)
         if isinstance(q, A.TermAutomatonQ):
             return self._eval_term_automaton(q)
         raise TypeError(f"unsupported query node {type(q).__name__}")
+
+    def _eval_span_nested(self, q) -> DataFrame:
+        """Nested span query (SpanOrNQ / SpanNearNQ) over the flat
+        positions arrays: docid-level pre-filter (every phase-1 slot
+        group must contribute >= 1 term — the spannest.slot_groups
+        necessary condition, pushed down as a groupBy/HAVING before
+        any Python runs), then the SHARED spannest.emit_spans match
+        test per surviving doc in one Arrow batch pass. Constant
+        score = boost (the SpanNear contract)."""
+        from lucene_solr_spark.search.spannest import (leaf_terms,
+                                                       nested_match,
+                                                       slot_groups)
+
+        terms = sorted(leaf_terms(q))
+        dfs = self._df_for(set(terms))
+        if all(dfs[t] == 0 for t in terms):
+            return self._empty_scored().select("docid", "score")
+        groups = slot_groups(q)
+        gid_of = {t: sorted({gi for gi, g in enumerate(groups)
+                             if t in g}) for t in terms}
+        n_groups = len(groups)
+        p = self.index.postings.where(F.col("term").isin(terms)).select(
+            "docid", "term", "positions")
+        # phase 1: every conjunction group present (distinct group ids
+        # covered by the doc's terms == n_groups)
+        gmap = F.create_map(*[x for t in terms
+                              for x in (F.lit(t), F.lit(gid_of[t]))])
+        covered = p.select(
+            "docid", F.explode(gmap[F.col("term")]).alias("gid")
+        ).groupBy("docid").agg(
+            F.countDistinct("gid").alias("_ng")).where(
+            F.col("_ng") == n_groups).select("docid")
+        agg = p.join(covered, "docid").groupBy("docid").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))).alias("tpos"))
+
+        @pandas_udf("boolean")
+        def span_ok(maps: pd.Series) -> pd.Series:
+            out = np.zeros(len(maps), dtype=bool)
+            for row_i, m in enumerate(maps):
+                pos = {t: np.asarray(pl, dtype=np.int64)
+                       for t, pl in m.items()}
+                out[row_i] = nested_match(q, pos)
+            return pd.Series(out)
+
+        boost = float(np.float32(q.boost))
+        return (agg.where(span_ok(F.col("tpos")))
+                .select("docid",
+                        F.lit(boost).cast(self._score_type()).alias("score")))
 
     def _eval_term_automaton(self, q: A.TermAutomatonQ) -> DataFrame:
         """TermAutomatonQuery via finite-string enumeration (the

@@ -694,6 +694,124 @@ def span_near_topk(
     return d, np.full(len(d), np.float32(boost), np.float32)
 
 
+def span_nested_topk(
+    node,
+    postings: dict[str, "object"],
+    boost: float,
+    k: int,
+    stats: WandStats | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Segment-native NESTED span kernel (SpanNearNQ/SpanOrNQ trees):
+    the lazy DISI composition of search/spans/NearSpansOrdered.java +
+    SpanOrQuery.java, expressed as the two-phase discipline the other
+    positional kernels use — no full posting decode of any term.
+
+    phase 1: interval sweep over the merged block grid of every leaf
+    term, conjunction over spannest.slot_groups (each group's docid
+    set is the union of its active terms' docids — the multiphrase
+    slot-union), cheapest group decodes first. phase 2: .pos payloads
+    fetched lazily per group for intersection docs only; the match
+    test is the SHARED spannest.emit_spans (the same function the flat
+    executor runs, so duels agree bit-for-bit).
+
+    Constant score (float32(boost), the SpanNear contract) ⇒ theta
+    pruning degenerates to EXACT early termination at k matches
+    (ascending docids win the (score desc, docid asc) tie-break) —
+    the span_near_topk argument, inherited verbatim.
+    """
+    from lucene_solr_spark.search.spannest import (emit_spans,
+                                                   slot_groups)
+
+    groups = [[t for t in g if t in postings] for g in slot_groups(node)]
+    if not groups or any(not g for g in groups):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    uniq = sorted({t for g in groups for t in g})
+    eps = {t: postings[t] for t in uniq}
+    grids = {t: _term_block_grid(eps[t]) for t in uniq}
+    bounds = np.unique(np.concatenate([grids[t] for t in uniq]))
+    n_int = len(bounds)
+    jd: dict[str, np.ndarray] = {}
+    okd: dict[str, np.ndarray] = {}
+    for t in uniq:
+        j = np.searchsorted(grids[t], bounds, side="left")
+        jd[t] = j
+        okd[t] = j < len(grids[t])
+    grp_act = np.ones(n_int, dtype=bool)
+    for g in groups:
+        act_g = np.zeros(n_int, dtype=bool)
+        for t in g:
+            act_g |= okd[t]
+        grp_act &= act_g
+
+    st = stats if stats is not None else WandStats()
+    st.blocks_total += sum(len(grids[t]) for t in uniq)
+    st.intervals_total += n_int
+    cand_idx = np.nonzero(grp_act)[0]
+    by_cost = sorted(range(len(groups)),
+                     key=lambda gi: sum(eps[t].ndocs for t in groups[gi]))
+    decoded: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    def _slice(t: str, i: int, lo: int, hi: int) -> np.ndarray:
+        key = (t, int(jd[t][i]))
+        if key not in decoded:
+            decoded[key] = _decode_block_cached(eps[t], key[1])
+            st.blocks_decoded += 1
+        docs_j = decoded[key][0]
+        a = np.searchsorted(docs_j, lo, side="right")
+        b = np.searchsorted(docs_j, hi, side="right")
+        return docs_j[a:b]
+
+    hits: list[np.ndarray] = []
+    n_hits = 0
+    for i in cand_idx:
+        if n_hits >= k:
+            break
+        hi = int(bounds[i])
+        lo = int(bounds[i - 1]) if i > 0 else -1
+        inter: np.ndarray | None = None
+        for gi in by_cost:
+            parts = [d for t in groups[gi] if okd[t][i]
+                     for d in (_slice(t, i, lo, hi),) if len(d)]
+            if not parts:
+                inter = None
+                break
+            d_u = (parts[0] if len(parts) == 1
+                   else np.unique(np.concatenate(parts)))
+            inter = d_u if inter is None else np.intersect1d(
+                inter, d_u, assume_unique=True)
+            if len(inter) == 0:
+                inter = None
+                break
+        if inter is None or len(inter) == 0:
+            continue
+        st.intervals_scored += 1
+        # positions per term, only for intersection docs it contains
+        nd = len(inter)
+        pos_by_doc: list[dict[str, np.ndarray]] = [dict() for _ in range(nd)]
+        for t in uniq:
+            if not okd[t][i]:
+                continue
+            d_t = _slice(t, i, lo, hi)
+            mask = np.isin(inter, d_t, assume_unique=True)
+            if not mask.any():
+                continue
+            plists = _positions_for(eps[t], inter[mask])
+            for oi, arr in zip(np.nonzero(mask)[0], plists):
+                pos_by_doc[oi][t] = arr.astype(np.int64, copy=False)
+        keep = np.zeros(nd, dtype=bool)
+        for di in range(nd):
+            keep[di] = len(emit_spans(node, pos_by_doc[di])[0]) > 0
+        matched = inter[keep]
+        if len(matched):
+            hits.append(matched)
+            n_hits += len(matched)
+
+    if not hits:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    d = np.concatenate(hits)[:k]
+    return d, np.full(len(d), np.float32(boost), np.float32)
+
+
 def qf_dismax_topk(
     terms: list[str],
     sources: dict[str, dict[str, "object"]],
@@ -1472,6 +1590,8 @@ class WandSearcher:
             return self._search_multiphrase(q, k)
         if isinstance(q, A.SpanNearQ):
             return self._search_span_near(q, k)
+        if isinstance(q, A.SpanNearNQ):
+            return self._search_span_nested(q, k)
         shape = self._flat_terms(q)
         if shape is None:
             # fallback: exhaustive over decoded postings; positions are
@@ -1495,7 +1615,7 @@ class WandSearcher:
 
             needs_pos = scan(q, lambda n: isinstance(
                 n, (A.PhraseQ, A.MultiPhraseQ, A.SpanNearQ,
-                    A.TermAutomatonQ)))
+                    A.SpanOrNQ, A.SpanNearNQ, A.TermAutomatonQ)))
             # term-restricted decode is only valid when the term set is
             # closed (multi-term queries expand against the dictionary;
             # Synonym/Blended/SpanNear leaves are closed — their terms
@@ -1712,6 +1832,42 @@ class WandSearcher:
 
         rows = (self.si.postings
                 .where(F.col("term").isin(sorted({first_, second_})))
+                .select(*METADATA_COLS))
+        per_seg = (rows
+                   .repartition(KERNEL_HASH_PARTITIONS, F.col("seg_id"))
+                   .groupBy("seg_id").applyInPandas(
+                       per_segment, schema="docid long, score float"))
+        top = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        return top.withColumn("rank", F.row_number().over(w))
+
+    def _search_span_nested(self, q, k: int) -> DataFrame:
+        """Nested span tree (SpanNearNQ with SpanOrNQ / SpanNearNQ
+        sub-clauses) over the segment index via span_nested_topk — a
+        nested span pairing a zipf-head term no longer full-decodes it
+        (the r4 fallback went through as_flat_tables). Same matches
+        and scores as the flat executor's _eval_span_nested: both call
+        spannest.emit_spans (duel-tested)."""
+        from lucene_solr_spark.search.spannest import leaf_terms
+
+        terms = sorted(leaf_terms(q))
+        dfs = self._global_df(terms)
+        if all(dfs[t] == 0 for t in terms):
+            return self.si.spark.createDataFrame(
+                [], "docid long, score float, rank int")
+        k_ = int(k)
+        boost_ = float(np.float32(q.boost))
+        idx_path = self.si.path
+        present = [t for t in terms if dfs[t] > 0]
+
+        def per_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(key[0])
+            eps = _grouped_postings(idx_path, sid, pdf)
+            d, s = span_nested_topk(q, eps, boost_, k=k_)
+            return pd.DataFrame({"docid": d, "score": s})
+
+        rows = (self.si.postings
+                .where(F.col("term").isin(present))
                 .select(*METADATA_COLS))
         per_seg = (rows
                    .repartition(KERNEL_HASH_PARTITIONS, F.col("seg_id"))

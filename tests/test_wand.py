@@ -14,6 +14,7 @@ import pytest
 
 from lucene_solr_spark.functions.bm25 import BM25, length_norm_byte
 from lucene_solr_spark.index.codec import encode_posting
+from lucene_solr_spark.search import ast as A
 from lucene_solr_spark.index.segments import build_segment_index
 from lucene_solr_spark.search.executor import Searcher
 from lucene_solr_spark.search.wand import WandSearcher, WandStats, wand_topk
@@ -623,3 +624,75 @@ def test_kernel_theta0_prunes_before_full():
     assert np.array_equal(d0, d1)
     assert np.array_equal(s0.view(np.int32), s1.view(np.int32))
     assert st1.blocks_decoded < st0.blocks_decoded
+
+
+NESTED_SPAN_SHAPES = [
+    # or-inside-near, both orders
+    A.SpanNearNQ((A.SpanOrNQ(("t000001", "t000003")), "t000002"), slop=2),
+    A.SpanNearNQ(("t000000", A.SpanOrNQ(("t000001", "t000002"))), slop=3),
+    # or-or
+    A.SpanNearNQ((A.SpanOrNQ(("t000001", "t000002")),
+                  A.SpanOrNQ(("t000003", "t000004"))), slop=4),
+    # near-inside-near (depth 2)
+    A.SpanNearNQ((A.SpanNearNQ(("t000001", "t000002"), slop=2),
+                  "t000003"), slop=3),
+    # 3-slot flat n-ary
+    A.SpanNearNQ(("t000001", "t000002", "t000003"), slop=5),
+    # missing term in a required slot
+    A.SpanNearNQ(("t000001", "missingterm"), slop=1),
+    # missing term inside an OR slot (still satisfiable)
+    A.SpanNearNQ((A.SpanOrNQ(("missingterm", "t000001")), "t000002"),
+                 slop=2),
+]
+
+
+@pytest.mark.parametrize("q", NESTED_SPAN_SHAPES,
+                         ids=[s.key() for s in NESTED_SPAN_SHAPES])
+def test_span_nested_duels_flat(seg_index, flat_searcher, q):
+    """Nested span trees over the segment index run span_nested_topk
+    and duel the flat executor exactly — both sides call the shared
+    spannest.emit_spans, so the duel verifies the kernel's phase-1
+    candidate generation and the lazy .pos plumbing."""
+    a = _rows(WandSearcher(seg_index).search(q, k=10))
+    b = _rows(flat_searcher.search(q, k=10))
+    assert a == b, q.key()
+
+
+def test_span_nested_plan_no_full_decode(seg_index):
+    """A nested span pairing the zipf-head term ships metadata-only
+    rows to applyInPandas — no as_flat_tables MapInPandas decode
+    (the round-4 fallback) anywhere in the plan."""
+    q = A.SpanNearNQ((A.SpanOrNQ(("t000001", "t000002")), "t000000"),
+                     slop=4)
+    df = WandSearcher(seg_index).search(q, k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" not in plan
+
+
+def test_span_nested_kernel_early_terminates(seg_index):
+    """Constant score => the nested kernel stops at k matches, like
+    span_near_topk (ascending docids win the tie-break)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.search.wand import (METADATA_COLS, WandStats,
+                                               _grouped_postings,
+                                               span_nested_topk)
+
+    q = A.SpanNearNQ((A.SpanOrNQ(("t000000", "t000001")), "t000002"),
+                     slop=4)
+    terms = ["t000000", "t000001", "t000002"]
+    sid = int(seg_index.live_segments()[0])
+    pdf = (seg_index.postings
+           .where(F.col("term").isin(terms))
+           .where(F.col("seg_id") == sid)
+           .select(*METADATA_COLS).toPandas())
+    eps = _grouped_postings(seg_index.path, sid, pdf)
+    st_small = WandStats()
+    d3, _ = span_nested_topk(q, eps, 1.0, k=3, stats=st_small)
+    st_all = WandStats()
+    d_all, _ = span_nested_topk(q, eps, 1.0, k=10 ** 9, stats=st_all)
+    assert len(d3) == min(3, len(d_all))
+    assert list(d3) == list(d_all[:len(d3)])
+    if len(d_all) > 3:
+        assert st_small.blocks_decoded <= st_all.blocks_decoded

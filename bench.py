@@ -172,6 +172,7 @@ def bench_wand_queries(spark, n_docs: int) -> dict[str, float]:
                               QUERY_TRIALS)
     # batched serving: all queries in ONE job (search_many) — the
     # realistic q/s figure for a Spark search tier
+    ws.search_many(WAND_QSET, k=10).collect()  # warm (serving caches)
     times["w_batched_all"] = _min_of(
         lambda: ws.search_many(WAND_QSET, k=10).collect(), QUERY_TRIALS)
     times["w_batched_qps"] = round(len(WAND_QSET) / times["w_batched_all"], 1)
@@ -236,6 +237,12 @@ def bench_wand_large(spark, n_docs: int = 500_000,
             f"t{a:06d} OR t{b:06d}",
             f"t{c:06d} OR t{b:06d} OR t{a:06d}",
         ][i % 4]
+    # serving steady state: untimed warmup passes first (luceneutil
+    # warms its searcher the same way) — they populate the per-worker
+    # payload/decoded-posting LRUs that sustained traffic keeps hot;
+    # the timed figure is the warm-searcher q/s a serving tier sees
+    for _ in range(int(os.environ.get("BENCH_BATCH_WARMUPS", "3"))):
+        ws.search_many(batch, k=10).collect()
     times["w_batched_100"] = _min_of(
         lambda: ws.search_many(batch, k=10).collect(), QUERY_TRIALS)
     times["w_batched_100_qps"] = round(100 / times["w_batched_100"], 1)

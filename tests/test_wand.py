@@ -696,3 +696,44 @@ def test_span_nested_kernel_early_terminates(seg_index):
     assert list(d3) == list(d_all[:len(d3)])
     if len(d_all) > 3:
         assert st_small.blocks_decoded <= st_all.blocks_decoded
+
+
+@pytest.mark.parametrize("msm", [1, 2, 3])
+@pytest.mark.parametrize("seed", [7, 19, 42])
+def test_exhaustive_topk_bit_equals_wand(msm, seed):
+    """exhaustive_topk (the BooleanScorer bulk tier boolean_topk
+    dispatches to below EXHAUSTIVE_MAX_NDOCS) is bit-equal to the
+    WAND sweep on every (docid, f32 score): same sorted-term f64 fold,
+    same (score desc, docid asc) selection."""
+    from lucene_solr_spark.search.wand import exhaustive_topk
+
+    postings, weights, norms, bm25, raw = _mk_kernel_fixture(seed=seed)
+    for k in (3, 10, 50):
+        dw, sw = wand_topk(postings, weights, norms, 0, bm25, k=k, msm=msm)
+        de, se = exhaustive_topk(postings, weights, norms, 0, bm25,
+                                 k=k, msm=msm)
+        assert list(dw) == list(de)
+        assert sw.tobytes() == se.tobytes()
+    # with MUST_NOT exclusion
+    excl = np.sort(raw["term0"][0][::3])
+    dw, sw = wand_topk(postings, weights, norms, 0, bm25, k=10, msm=msm,
+                       exclude=excl)
+    de, se = exhaustive_topk(postings, weights, norms, 0, bm25, k=10,
+                             msm=msm, exclude=excl)
+    assert list(dw) == list(de) and sw.tobytes() == se.tobytes()
+
+
+def test_boolean_topk_dispatch():
+    """boolean_topk routes by summed segment-local df and both sides
+    agree (the dispatch can never change results)."""
+    import lucene_solr_spark.search.wand as W
+
+    postings, weights, norms, bm25, raw = _mk_kernel_fixture()
+    d1, s1 = W.boolean_topk(postings, weights, norms, 0, bm25, k=10)
+    old = W.EXHAUSTIVE_MAX_NDOCS
+    try:
+        W.EXHAUSTIVE_MAX_NDOCS = 0  # force the sweep
+        d2, s2 = W.boolean_topk(postings, weights, norms, 0, bm25, k=10)
+    finally:
+        W.EXHAUSTIVE_MAX_NDOCS = old
+    assert list(d1) == list(d2) and s1.tobytes() == s2.tobytes()

@@ -1041,7 +1041,11 @@ DRIVER_PRIORITY = [
     # {!switch}/{!maxscore}, block join, graph, geofilt/bbox,
     # surround/complexphrase) + the segment-native MultiPhrase kernel
     "solr_qparser_mix2", "solr_block_qp", "solr_graph_qp",
-    "solr_geo_qp", "solr_phrase_qp",
+    "solr_geo_qp",
+    # (r5) classic QueryParser grammar completion (&&/||/!, field
+    # groups, escapes, q.op); displaced solr_phrase_qp — r4-green,
+    # phrase family in-window via seg_phrase/seg_phrase_hot
+    "solr_classic_qp",
     # (b) flagship: segment index + block-max WAND (float32-exact
     # oracles) — permanent regression guard on the scoring kernel
     "seg_bm25_wand", "seg_bm25_and", "seg_bm25_msm", "seg_bm25_not",

@@ -3035,6 +3035,36 @@ agg AS (
 """)
 
 
+def _solr_classic_qp(spark, sf):
+    """Classic QueryParser grammar completion (queryparser/classic/
+    QueryParser.jj via {!lucene}): && / || operator aliases, prefix !
+    (NOT), and a parenthesized FIELD GROUP `text:(a || b)` whose field
+    scopes the bare leaves inside — `text:(hash || join) && merge
+    !scan` == +((hash join) AND merge) -scan, BM25-scored, top-10
+    quantized."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    out = solr_qparser(s, "{!lucene}text:(hash || join) && merge !scan")
+    return _quantize_topk(out, 10)
+
+
+_register("solr_classic_qp", _solr_classic_qp, f"""
+WITH {FT_BASE}, {_ft_scored(['hash', 'join', 'merge'])},
+orp AS (SELECT doc_id, sum(s) AS s_or FROM scored
+        WHERE term IN ('hash','join') GROUP BY doc_id),
+mrg AS (SELECT doc_id, s AS s_m FROM scored WHERE term = 'merge'),
+agg AS (
+  SELECT o.doc_id,
+         CAST(floor((o.s_or + m.s_m) * 1000000) AS BIGINT) AS score_q
+  FROM orp o JOIN mrg m USING (doc_id)
+  WHERE o.doc_id NOT IN (SELECT DISTINCT doc_id FROM postings
+                         WHERE term = 'scan')
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
 def _solr_mlt_qp(spark, sf):
     """{!mlt maxqt=5 mindf=2}0 (MLTQParserPlugin.java): doc 0's top
     tf*idf terms OR-queried under BM25, source doc excluded."""

@@ -434,29 +434,69 @@ class TermInSetQ(MultiTermQ):
 #   /rege?xp/             regexp query
 #   *:*                   MatchAllDocsQuery
 
+# classic-grammar completion (lucene/queryparser/classic/
+# QueryParser.jj): && / || / ! operator aliases, backslash escaping of
+# specials (\+ \- \: \( \" \* ... — the escaped char is literal term
+# text, never an operator/wildcard), and parenthesized FIELD GROUPS
+# `title:(a OR b)` where the field scopes every bare leaf inside
+# (QueryParserBase.getFieldQuery's field threading). Documented
+# deviation: AND binds tighter than OR here (the classic parser's
+# one-token operator state machine has no precedence; the common
+# reading, and the one every downstream dialect of this engine uses).
 _TOKEN_RE = re.compile(
     r'\(|\)'
+    r'|&&|\|\||!(?=\S)'
+    r'|\w+:(?=\()'
     r'|(?:\w+:)?"[^"]*"(?:~\d+)?(?:\^[\d.]+)?'
     r'|(?:[\w*]+:)?[\[\{][^\]\}]*[\]\}](?:\^[\d.]+)?'
     r'|/[^/]*/(?:\^[\d.]+)?'
     r'|AND|OR|NOT|[^\s()]+')
 
+# escapes are sentinel-encoded before tokenization so an escaped
+# special can never act as syntax; decoded at leaf construction
+_ESC_BASE = 0xE000
+
+
+def _esc_encode(s: str) -> str:
+    return re.sub(r"\\(.)",
+                  lambda m: chr(_ESC_BASE + ord(m.group(1))), s)
+
+
+def _esc_decode(s: str) -> str:
+    return "".join(chr(ord(c) - _ESC_BASE)
+                   if _ESC_BASE <= ord(c) < _ESC_BASE + 0x100 else c
+                   for c in s)
+
+
 INDEXED_FIELDS = ("text",)
 
 
 def parse_query(s: str, fields: tuple[str, ...] = INDEXED_FIELDS,
-                default_field: str = "text") -> Query:
+                default_field: str = "text",
+                default_op: str = "or") -> Query:
     """Parse ``a AND b``, ``(a AND b) OR c``, ``"exact phrase"``,
     ``a NOT b``, plus the edismax-lite extensions documented above.
     AND binds tighter than OR; NOT is infix (a NOT b = +a -b).
+
+    Classic-grammar completion (queryparser/classic/QueryParser.jj):
+    ``&&``/``||`` operator aliases, prefix ``!`` (== ``-``),
+    backslash escapes (``data\-base`` is one literal term; an escaped
+    ``*``/``?``/``~`` never triggers wildcard/fuzzy), and field
+    groups ``f:(a OR b)`` scoping every bare leaf inside.
 
     ``fields``: the schema's indexed field names — ``f:term`` /
     ``f:"a phrase"`` with f in ``fields`` wraps the leaf in FieldedQ
     (except the ``default_field``, which stays bare so single-field
     indexes see the classic tree); unknown fields raise, like an
-    undefined Solr schema field.
+    undefined Solr schema field. ``default_op``: Solr's q.op — "or"
+    (edismax default; markerless clauses are SHOULD) or "and"
+    (markerless clauses become MUST).
     """
-    tokens = _TOKEN_RE.findall(s)
+    if default_op not in ("or", "and"):
+        raise ValueError(f"default_op must be 'or' or 'and': {default_op!r}")
+    tokens = _TOKEN_RE.findall(_esc_encode(s))
+    tokens = ["AND" if t == "&&" else "OR" if t == "||" else t
+              for t in tokens]
     if not tokens:
         raise ValueError(f"empty query: {s!r}")
     pos = 0
@@ -473,6 +513,7 @@ def parse_query(s: str, fields: tuple[str, ...] = INDEXED_FIELDS,
         return t
 
     def _check_field(fld: str) -> str:
+        fld = _esc_decode(fld)
         if fld.lower() not in fields:
             raise ValueError(f"unknown field {fld!r} in {s!r}")
         return fld.lower()
@@ -496,7 +537,7 @@ def parse_query(s: str, fields: tuple[str, ...] = INDEXED_FIELDS,
             if m:
                 slop = int(m.group(1))
                 tok = tok[: m.start()]
-            words = tok.strip('"').split()
+            words = [_esc_decode(w) for w in tok.strip('"').split()]
             if len(words) == 1 and slop == 0:
                 return TermQ(words[0].lower(), boost=boost)
             return PhraseQ(tuple(w.lower() for w in words), slop=slop,
@@ -509,12 +550,12 @@ def parse_query(s: str, fields: tuple[str, ...] = INDEXED_FIELDS,
             fld = _check_field(m.group(1)) if m.group(1) else None
             lo, hi = m.group(3), m.group(4)
             return _wrap(fld, TermRangeQ(
-                None if lo == "*" else lo.lower(),
-                None if hi == "*" else hi.lower(),
+                None if lo == "*" else _esc_decode(lo).lower(),
+                None if hi == "*" else _esc_decode(hi).lower(),
                 include_lower=m.group(2) == "[",
                 include_upper=m.group(5) == "]", boost=boost))
         if len(tok) >= 2 and tok.startswith("/") and tok.endswith("/"):
-            return RegexpQ(tok[1:-1], boost=boost)
+            return RegexpQ(_esc_decode(tok[1:-1]), boost=boost)
         fld = None
         if ":" in tok:
             f0, _, term = tok.partition(":")
@@ -525,19 +566,24 @@ def parse_query(s: str, fields: tuple[str, ...] = INDEXED_FIELDS,
         m = re.search(r'~(\d*)$', tok)
         if m and m.start() > 0:
             edits = int(m.group(1)) if m.group(1) else 2
-            return _wrap(fld, FuzzyQ(tok[: m.start()].lower(),
+            return _wrap(fld, FuzzyQ(_esc_decode(tok[: m.start()]).lower(),
                                      max_edits=edits, boost=boost))
         if "*" in tok or "?" in tok:
+            # escaped wildcards were sentinel-encoded, so any * / ?
+            # seen here is a REAL wildcard; escaped ones fall through
+            # to TermQ as literal characters
             if tok.endswith("*") and "*" not in tok[:-1] and "?" not in tok:
-                return _wrap(fld, PrefixQ(tok[:-1].lower(), boost=boost))
-            return _wrap(fld, WildcardQ(tok.lower(), boost=boost))
-        return _wrap(fld, TermQ(tok.lower(), boost=boost))
+                return _wrap(fld, PrefixQ(_esc_decode(tok[:-1]).lower(),
+                                          boost=boost))
+            return _wrap(fld, WildcardQ(_esc_decode(tok).lower(),
+                                        boost=boost))
+        return _wrap(fld, TermQ(_esc_decode(tok).lower(), boost=boost))
 
     def parse_atom() -> tuple[str, Query]:
         t = peek()
         marker = ""
-        if t in ("+", "-"):
-            marker = eat()
+        if t in ("+", "-", "!"):
+            marker = "-" if eat() == "!" else t
             t = peek()
         elif t and len(t) > 1 and t[0] in "+-" and not t[1].isdigit():
             marker = t[0]
@@ -548,6 +594,16 @@ def parse_query(s: str, fields: tuple[str, ...] = INDEXED_FIELDS,
             q = parse_or()
             eat(")")
             return marker, q
+        if t is not None and t.endswith(":") and len(t) > 1:
+            # field group f:(a OR b) — the field scopes every bare
+            # leaf inside (FieldedQ threads it, multifield._strip's
+            # ctx rule; == default_field stays bare)
+            fld = _check_field(t[:-1])
+            eat()
+            eat("(")
+            q = parse_or()
+            eat(")")
+            return marker, _wrap(fld, q)
         return marker, leaf(eat())
 
     def parse_and() -> tuple[str, Query]:
@@ -565,12 +621,21 @@ def parse_query(s: str, fields: tuple[str, ...] = INDEXED_FIELDS,
 
     def parse_or() -> Query:
         parts = [parse_and()]
+        saw_or = False
         while peek() is not None and peek() != ")":
             if peek() == "OR":
                 eat("OR")
+                saw_or = True
             parts.append(parse_and())
         if len(parts) == 1 and parts[0][0] == "":
             return parts[0][1]
+        if default_op == "and" and not saw_or:
+            # Solr q.op=AND: IMPLICIT markerless clauses are MUST;
+            # a level with an explicit OR keeps its clauses SHOULD
+            # (simplification, documented: explicitness is tracked
+            # per level, not per pair as the classic state machine
+            # does — mixed `a OR b c` levels stay all-SHOULD)
+            parts = [("+" if m == "" else m, q) for m, q in parts]
         must = [q for m, q in parts if m == "+"]
         nots = [q for m, q in parts if m == "-"]
         should = [q for m, q in parts if m == ""]

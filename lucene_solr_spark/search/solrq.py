@@ -392,7 +392,11 @@ def solr_qparser(searcher, s: str,
     collapse field values."""
     name, params, rest = parse_local_params(s)
     if name in (None, "lucene", "oldlucene", "edismax"):
-        return searcher.matches(A.parse_query(rest if rest else s))
+        # q.op local param (LuceneQParser's QueryParsing.getQueryParser
+        # default-operator wiring)
+        op = params.get("q.op", "OR").lower()
+        return searcher.matches(A.parse_query(rest if rest else s,
+                                              default_op=op))
     if name in ("term", "prefix"):
         field = params.get("f", "text")
         if field != "text":

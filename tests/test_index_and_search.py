@@ -1095,3 +1095,37 @@ def test_suggester_persisted_layout_prunes(spark, tmp_path_factory):
     plan = out_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "pfx" in plan
     assert "StartsWith(key,cu" in plan.replace(" ", ""), plan
+
+
+def test_parser_classic_grammar():
+    """Classic QueryParser completion (queryparser/classic/
+    QueryParser.jj): &&/||/! aliases, field groups, escaping,
+    q.op."""
+    from lucene_solr_spark.search import ast as A
+
+    assert A.parse_query("a && b") == A.parse_query("a AND b")
+    assert A.parse_query("a || b") == A.parse_query("a OR b")
+    assert A.parse_query("a !b") == A.parse_query("a NOT b")
+    # field group scopes bare leaves; default field stays bare
+    g = A.parse_query("text:(a || b) && c")
+    assert g == A.AndQ((A.OrQ((A.TermQ("a"), A.TermQ("b"))), A.TermQ("c")))
+    fg = A.parse_query("title:(a b)", fields=("text", "title"))
+    assert fg == A.FieldedQ("title", A.OrQ((A.TermQ("a"), A.TermQ("b"))))
+    # escapes: escaped specials are literal term text, never syntax
+    assert A.parse_query(r"data\-base") == A.TermQ("data-base")
+    assert A.parse_query(r"foo\*bar") == A.TermQ("foo*bar")
+    assert A.parse_query(r"a\:b") == A.TermQ("a:b")
+    assert A.parse_query(r"ti\~2") == A.TermQ("ti~2")
+    assert A.parse_query(r"one\ term") == A.TermQ("one term")
+    assert A.parse_query(r"\(paren\)") == A.TermQ("(paren)")
+    # unescaped multi-term leaves unchanged
+    assert A.parse_query("wild*") == A.PrefixQ("wild")
+    assert A.parse_query("fz~1") == A.FuzzyQ("fz", max_edits=1)
+    # q.op: implicit clauses flip to MUST; explicit OR stays SHOULD
+    assert A.parse_query("a b", default_op="and") == A.AndQ(
+        (A.TermQ("a"), A.TermQ("b")))
+    assert A.parse_query("a OR b", default_op="and") == A.OrQ(
+        (A.TermQ("a"), A.TermQ("b")))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        A.parse_query("a b", default_op="xor")

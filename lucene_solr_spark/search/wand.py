@@ -1594,12 +1594,13 @@ class WandSearcher:
 
     def __init__(self, si: SegmentIndex, k1: float = 1.2, b: float = 0.75,
                  preload_stats: bool = False):
-        """``preload_stats``: load the WHOLE (term -> df) dictionary
-        into driver memory on first use — one job total instead of one
-        stats-lookup job per novel query term. This is the in-RAM term
-        dictionary of a serving tier (Lucene's FST stays hot in the
-        JVM the same way); memory is O(vocabulary), so leave it off
-        for exploratory sessions over unbounded vocabularies."""
+        """``preload_stats``: serving mode — the (term -> df)
+        dictionary and the metadata projection are PERSISTED IN
+        EXECUTOR MEMORY on first use (the FST term-dictionary / skip
+        tier of a serving stack; distributed, never an O(vocabulary)
+        driver collect). Novel query terms cost one tiny
+        InMemoryTableScan job; looked-up terms cache driver-side so
+        repeat traffic costs zero stats jobs."""
         self.si = si
         self._k1 = k1
         self._b = b
@@ -1623,6 +1624,9 @@ class WandSearcher:
             if getattr(self, "_meta_df", None) is not None:
                 self._meta_df.unpersist()
                 self._meta_df = None
+            if getattr(self, "_stats_df", None) is not None:
+                self._stats_df.unpersist()
+                self._stats_df = None
             self.coll = self.si.coll_stats()
             self.bm25 = BM25(self.coll["doc_count"], self.coll["sum_ttf"],
                              k1=self._k1, b=self._b)
@@ -1699,18 +1703,24 @@ class WandSearcher:
         return self._meta_df
 
     def _global_df(self, terms: list[str]) -> dict[str, int]:
-        if self._preload and not self._preloaded:
-            rows = (self.si.postings.groupBy("term")
-                    .agg(F.sum("df").alias("df")).collect())
-            self._df_cache = {r["term"]: int(r["df"]) for r in rows}
-            self._preloaded = True
-        if self._preloaded:
-            return {t: self._df_cache.get(t, 0) for t in terms}
+        """Global df per term. Serving mode (preload_stats) keeps the
+        whole (term -> df) dictionary PERSISTED IN EXECUTOR MEMORY
+        (the FST term-dictionary tier — Lucene keeps it off-heap, not
+        in the coordinator) and collects ONLY the queried terms' rows:
+        O(query terms) driver transfer per novel-term batch, never the
+        O(vocabulary) driver collect this used to do. Looked-up terms
+        LRU into _df_cache so repeat traffic costs zero jobs."""
+        if self._preload and getattr(self, "_stats_df", None) is None:
+            self._stats_df = (self.si.postings.groupBy("term")
+                              .agg(F.sum("df").alias("df")).persist())
+            self._stats_df.count()  # materialize once (one stats job)
         missing = [t for t in set(terms) if t not in self._df_cache]
         if missing:
-            rows = (self.si.postings.where(F.col("term").isin(missing))
-                    .groupBy("term").agg(F.sum("df").alias("df")).collect())
-            got = {r["term"]: int(r["df"]) for r in rows}
+            src = (self._stats_df.where(F.col("term").isin(missing))
+                   if self._preload else
+                   self.si.postings.where(F.col("term").isin(missing))
+                   .groupBy("term").agg(F.sum("df").alias("df")))
+            got = {r["term"]: int(r["df"]) for r in src.collect()}
             for t in missing:
                 self._df_cache[t] = got.get(t, 0)
         return {t: self._df_cache[t] for t in terms}

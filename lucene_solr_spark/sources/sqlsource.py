@@ -27,18 +27,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 def sql_stream(spark: SparkSession, db_path: str, query: str) -> DataFrame:
     """One-shot SQL read: run ``query`` on the DuckDB database at
-    ``db_path`` (':memory:' or a file) and return the result as a
-    DataFrame (Arrow transport). Single driver-side fetch — the
-    literal JDBCStream shape; use sql_stream_partitioned for volumes
-    that should not transit the driver."""
-    import duckdb
+    ``db_path`` and return the result as a DataFrame. Implemented as a
+    ONE-STRIPE call of sql_stream_partitioned, so the fetch happens
+    INSIDE an executor task (mapInPandas) and rows never transit the
+    driver — there is no accidental driver-materialization route left.
+    The driver runs only a zero-row schema probe (the JDBCStream
+    open()/metadata round of the reference). A ':memory:' database has
+    no cross-process identity, so it still takes the (driver-side,
+    explicit, small) Arrow path."""
+    if db_path == ":memory:":
+        import duckdb
 
-    con = duckdb.connect(db_path, read_only=db_path != ":memory:")
-    try:
-        tbl = con.sql(query).arrow()
-    finally:
-        con.close()
-    return spark.createDataFrame(tbl.to_pandas())
+        con = duckdb.connect(db_path)
+        try:
+            tbl = con.sql(query).arrow()
+        finally:
+            con.close()
+        return spark.createDataFrame(tbl.to_pandas())
+    return sql_stream_partitioned(spark, db_path, query,
+                                  partition_col="1", lower=0, upper=0,
+                                  num_partitions=1)
 
 
 def jdbc_stripe_predicates(partition_col: str, lower: int, upper: int,

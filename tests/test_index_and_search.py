@@ -446,8 +446,13 @@ def test_sql_stream_partitioned_equals_oneshot(spark, tmp_path_factory):
     con.execute("CREATE TABLE t AS SELECT range AS id, range % 7 AS g "
                 "FROM range(1000)")
     con.close()
-    one = sorted(tuple(r) for r in sql_stream(
-        spark, db, "SELECT * FROM t").collect())
+    one_df = sql_stream(spark, db, "SELECT * FROM t")
+    # the one-shot is a 1-stripe call of the partitioned path: the
+    # fetch runs in an executor task too — no caller can take a
+    # driver-materialization route by accident
+    one_plan = one_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in one_plan
+    one = sorted(tuple(r) for r in one_df.collect())
     pdf = sql_stream_partitioned(spark, db, "SELECT * FROM t", "id", 0, 999, 8)
     part = sorted(tuple(r) for r in pdf.collect())
     assert one == part and len(one) == 1000

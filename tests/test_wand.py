@@ -737,3 +737,19 @@ def test_boolean_topk_dispatch():
     finally:
         W.EXHAUSTIVE_MAX_NDOCS = old
     assert list(d1) == list(d2) and s1.tobytes() == s2.tobytes()
+
+
+def test_preload_stats_no_vocab_collect(seg_index, flat_searcher):
+    """Serving mode keeps the term dictionary in EXECUTOR memory: the
+    driver-side cache holds only queried terms afterwards (never the
+    O(vocabulary) dict the r2-r4 implementation collected), and
+    results are unchanged vs the non-preload searcher."""
+    ws = WandSearcher(seg_index, preload_stats=True)
+    a = _rows(ws.search("t000001 OR t000002", k=10))
+    assert set(ws._df_cache) == {"t000001", "t000002"}
+    assert ws._stats_df is not None and ws._stats_df.is_cached
+    b = _rows(WandSearcher(seg_index).search("t000001 OR t000002", k=10))
+    assert a == b
+    # repeat terms cost zero stats jobs (cache hit path)
+    ws.search("t000001", k=5).collect()
+    assert set(ws._df_cache) == {"t000001", "t000002"}

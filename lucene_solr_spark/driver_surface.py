@@ -1025,7 +1025,10 @@ DRIVER_PRIORITY = [
     # JDBC, contract-fixed whitespace oracle, six QParser ValueSource/
     # bool/mlt dialects, polygons with holes
     "seg_phrase_hot", "seg_phrase", "seg_multiphrase", "ft_multifield_qf",
-    "ft_multifield_bool", "ann_sq8", "ann_sq8_rerank", "cardinality_hll",
+    "ft_multifield_bool", "ann_sq8", "cardinality_hll",
+    # (r5) UnifiedHighlighter passage ranking (displaced
+    # ann_sq8_rerank — r4-green, SQ8 family stays via ann_sq8)
+    "highlight_passages",
     "suggest_analyzing", "jdbc_stream", "ft_whitespace_term",
     "solr_func_qp", "solr_boost_qp", "solr_frange_qp",
     "solr_mlt_qp",

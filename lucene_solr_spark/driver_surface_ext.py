@@ -222,6 +222,57 @@ FROM offs
 """)
 
 
+def _highlight_passages(spark, sf):
+    """UnifiedHighlighter-style passage ranking (uhighlight/
+    UnifiedHighlighter.java + PassageScorer.java): 16-token passages,
+    quantized-idf-weighted match scoring, top-2 passages per doc for
+    the query {hash, join, merge} — snippet spans the passage's first
+    matched token start to last matched token end (offsets stream)."""
+    idx = _docs_index_offsets(spark, sf)
+    docs = _load(spark, sf, "documents")
+    return SX.highlight_passages(idx, docs, ["hash", "join", "merge"],
+                                 window=16, n_passages=2)
+
+
+_register("highlight_passages", _highlight_passages, f"""
+WITH {FT_BASE},
+iqs AS (
+  SELECT ts.term,
+         CAST(floor(ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5))
+                    * 1000000) AS BIGINT) AS iq
+  FROM tstats ts CROSS JOIN cstats cs
+  WHERE ts.term IN ('hash','join','merge')
+),
+occ0 AS (
+  SELECT t.doc_id, t.term, t.pos, (t.pos // 16) AS passage,
+         CASE WHEN t.pos = 0 THEN 0
+              ELSE len(array_to_string(
+                       (string_split(d.text, ' '))[1:t.pos], ' ')) + 1
+         END AS st,
+         len((string_split(d.text, ' '))[t.pos + 1]) AS tlen
+  FROM tokf t JOIN documents d USING (doc_id)
+  WHERE t.term IN ('hash','join','merge')
+),
+agg AS (
+  SELECT o.doc_id, o.passage,
+         sum(i.iq)::BIGINT AS score_q, count(*)::BIGINT AS n_match,
+         min(o.st) AS mst, max(o.st + o.tlen) AS men
+  FROM occ0 o JOIN iqs i USING (term)
+  GROUP BY o.doc_id, o.passage
+),
+top AS (
+  SELECT doc_id, passage, score_q, n_match, mst, men,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_q DESC, passage) AS rk
+  FROM agg
+)
+SELECT t.doc_id, t.passage, t.score_q, t.n_match,
+       substr(d.text, t.mst + 1, t.men - t.mst) AS snippet
+FROM top t JOIN documents d USING (doc_id)
+WHERE t.rk <= 2
+""")
+
+
 # ---- §2.6 export / diversified / rerank ------------------------------------
 
 def _export_sorted(spark, sf):

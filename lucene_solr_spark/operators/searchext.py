@@ -197,3 +197,74 @@ def analyzing_suggest(suggester: DataFrame, query: str, k: int = 10,
             .withColumn("rank", F.row_number().over(Window.orderBy(*order))
                         .cast("long"))
             .select("surface", "weight", "rank"))
+
+
+def highlight_passages(index: IndexTables, docs_text: DataFrame,
+                       terms: list[str], window: int = 16,
+                       n_passages: int = 2, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """BM25-weighted PASSAGE ranking (lucene/highlighter/.../uhighlight/
+    UnifiedHighlighter.java + PassageScorer.java): the text is broken
+    into passages and the query's matches score each passage; the
+    top-N passages per doc are returned, not just the first term
+    window.
+
+    Passage = a fixed window of ``window`` token positions (the
+    BreakIterator stand-in for this corpus's sentence-free text);
+    passage score = sum over query-term occurrences of the term's idf
+    weight (PassageScorer's unique-term-weighted count). For
+    cross-engine determinism the weight is the QUANTIZED BM25 idf,
+    floor(idf * 1e6) as an integer — integer sums are order-free, so
+    Spark and the DuckDB oracle agree exactly (documented deviation
+    from PassageScorer's float passage norm). Ties: (score desc,
+    passage start asc), rank 1..n_passages per doc.
+
+    One Catalyst plan: explode the offsets-enabled postings
+    (positions/starts/ends ride the same occurrence order), hash-agg
+    per (doc, passage), per-doc ranking window, snippet sliced from
+    the stored text between the passage's first matched token start
+    and last matched token end. Requires build_index(with_offsets).
+    Returns (doc_id, passage, score_q, n_match, snippet).
+    """
+    terms = sorted(set(terms))
+    n_doc = float(index.coll_stats["doc_count"])
+    p = index.postings.where(F.col("term").isin(terms))
+    dfs = {r["term"]: float(r["n"]) for r in
+           p.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()}
+    import math
+    # ln(1 + x), NOT log1p: the DuckDB oracle computes ln(1 + x) and
+    # the two can differ by 1 ulp right at a floor() boundary
+    iq = {t: int(math.floor(
+        math.log(1.0 + (n_doc - dfs[t] + 0.5) / (dfs[t] + 0.5)) * 1e6))
+        for t in terms if t in dfs}
+    if not iq:
+        return docs_text.select(
+            F.col(id_col), F.lit(0).cast("long").alias("passage"),
+            F.lit(0).cast("long").alias("score_q"),
+            F.lit(0).cast("long").alias("n_match"),
+            F.lit("").alias("snippet")).where(F.lit(False))
+    wmap = F.create_map(*[x for t, w in sorted(iq.items())
+                          for x in (F.lit(t), F.lit(w))])
+    occ = (p.select("docid", "term",
+                    F.explode(F.arrays_zip("positions", "starts",
+                                           "ends")).alias("o"))
+           .select("docid", "term",
+                   F.col("o.positions").alias("pos"),
+                   F.col("o.starts").alias("st"),
+                   F.col("o.ends").alias("en")))
+    agg = (occ.withColumn("passage",
+                          (F.col("pos") / F.lit(window)).cast("long"))
+           .groupBy("docid", "passage")
+           .agg(F.sum(wmap[F.col("term")]).cast("long").alias("score_q"),
+                F.count(F.lit(1)).cast("long").alias("n_match"),
+                F.min("st").alias("_st"), F.max("en").alias("_en")))
+    w = Window.partitionBy("docid").orderBy(
+        F.desc("score_q"), F.asc("passage"))
+    top = (agg.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= n_passages))
+    j = top.join(docs_text.select(F.col(id_col).alias("docid"),
+                                  F.col(text_col).alias("_text")), "docid")
+    return j.select(
+        F.col("docid").alias(id_col), "passage", "score_q", "n_match",
+        F.substring(F.col("_text"), F.col("_st") + 1,
+                    F.col("_en") - F.col("_st")).alias("snippet"))

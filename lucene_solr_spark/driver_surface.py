@@ -1029,7 +1029,11 @@ DRIVER_PRIORITY = [
     # (r5) UnifiedHighlighter passage ranking (displaced
     # ann_sq8_rerank — r4-green, SQ8 family stays via ann_sq8)
     "highlight_passages",
-    "suggest_analyzing", "jdbc_stream", "ft_whitespace_term",
+    "jdbc_stream", "ft_whitespace_term",
+    # (r5) PayloadScoreQuery over the .pay-analogue offset payloads —
+    # the last un-mapped reference query family (displaced
+    # suggest_analyzing — r4-green, suggester gate-covered)
+    "payload_score",
     "solr_func_qp", "solr_boost_qp", "solr_frange_qp",
     "solr_mlt_qp",
     # (r5) segment-native NESTED spans (span_nested_topk; displaced

@@ -273,6 +273,40 @@ WHERE t.rk <= 2
 """)
 
 
+def _payload_score(spark, sf):
+    """{!payload_score} (queries/payloads/PayloadScoreQuery.java +
+    PayloadScoreQParserPlugin.java): per matching doc, the payload
+    function (avg here) folded over the term's per-occurrence payload
+    ints — offset payloads from the .pay-analogue stream
+    (TokenOffsetPayloadTokenFilter shape). Top-25 quantized."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(_docs_index_offsets(spark, sf), mode="sql")
+    out = solr_qparser(s, "{!payload_score f=text func=avg}merge")
+    return _quantize_topk(out, 25)
+
+
+_register("payload_score", _payload_score, f"""
+WITH {FT_BASE},
+occ AS (
+  SELECT t.doc_id,
+         CASE WHEN t.pos = 0 THEN 0
+              ELSE len(array_to_string(
+                       (string_split(d.text, ' '))[1:t.pos], ' ')) + 1
+         END AS st
+  FROM tok t JOIN documents d USING (doc_id)
+  WHERE t.term = 'merge'
+),
+agg AS (
+  SELECT doc_id,
+         CAST(floor((sum(st)::DOUBLE / count(*)) * 1000000) AS BIGINT)
+           AS score_q
+  FROM occ GROUP BY doc_id
+)
+{_topk_sql("SELECT * FROM agg", 25)}
+""")
+
+
 # ---- §2.6 export / diversified / rerank ------------------------------------
 
 def _export_sorted(spark, sf):

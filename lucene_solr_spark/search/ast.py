@@ -225,6 +225,35 @@ class SpanNearNQ(Query):
 
 
 @dataclass(frozen=True)
+class PayloadScoreQ(Query):
+    """PayloadScoreQuery (lucene/queries/src/java/org/apache/lucene/
+    queries/payloads/PayloadScoreQuery.java + PayloadFunction.java's
+    Min/Max/Average/SumPayloadFunction): per matching doc, score = the
+    payload function folded over the term's per-occurrence payload
+    ints, optionally multiplied by the wrapped query's BM25 score
+    (includeSpanScore).
+
+    Payload source: the index's .pay-analogue stream — the shipped
+    decoder reads per-occurrence payload int = token START offset
+    (TokenOffsetPayloadTokenFilter.java's payload shape; the reference
+    itself interleaves payloads and offsets in one .pay file,
+    Lucene50PostingsFormat.java:266-315). A flat postings frame
+    carrying an explicit ``payloads`` array column overrides it
+    (analyzer-assigned payloads, the DelimitedPayloadTokenFilter
+    shape). PayloadCheckQParserPlugin stays descoped: it needs
+    analyzer-ASSIGNED per-position payloads, which the corpus's
+    analyzer chain does not produce (documented)."""
+    term: str
+    func: str = "max"   # min | max | avg | sum
+    include_span_score: bool = False
+    boost: float = 1.0
+
+    def key(self) -> str:
+        return (f"payscore({self.term},{self.func},"
+                f"{self.include_span_score})")
+
+
+@dataclass(frozen=True)
 class TermAutomatonQ(Query):
     """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java): an
     automaton whose transitions are terms (or ANY), matched against
@@ -480,9 +509,9 @@ def parse_query(s: str, fields: tuple[str, ...] = INDEXED_FIELDS,
 
     Classic-grammar completion (queryparser/classic/QueryParser.jj):
     ``&&``/``||`` operator aliases, prefix ``!`` (== ``-``),
-    backslash escapes (``data\-base`` is one literal term; an escaped
-    ``*``/``?``/``~`` never triggers wildcard/fuzzy), and field
-    groups ``f:(a OR b)`` scoping every bare leaf inside.
+    backslash escapes (backslash-dash makes ``data-base`` one literal
+    term; an escaped ``*``/``?``/``~`` never triggers wildcard/fuzzy),
+    and field groups ``f:(a OR b)`` scoping every bare leaf inside.
 
     ``fields``: the schema's indexed field names — ``f:term`` /
     ``f:"a phrase"`` with f in ``fields`` wraps the leaf in FieldedQ

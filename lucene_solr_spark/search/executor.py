@@ -269,6 +269,8 @@ def _collect_terms(q: A.Query) -> set[str]:
     if isinstance(q, (A.SpanOrNQ, A.SpanNearNQ)):
         from lucene_solr_spark.search.spannest import leaf_terms
         return leaf_terms(q)
+    if isinstance(q, A.PayloadScoreQ):
+        return {q.term}
     # MultiTermQ / MatchAllQ expand against the dictionary
     return set()
 
@@ -478,6 +480,8 @@ class Searcher:
             return self._eval_span_near(q)
         if isinstance(q, (A.SpanOrNQ, A.SpanNearNQ)):
             return self._eval_span_nested(q)
+        if isinstance(q, A.PayloadScoreQ):
+            return self._eval_payload_score(q)
         if isinstance(q, A.TermAutomatonQ):
             return self._eval_term_automaton(q)
         raise TypeError(f"unsupported query node {type(q).__name__}")
@@ -530,6 +534,51 @@ class Searcher:
         return (agg.where(span_ok(F.col("tpos")))
                 .select("docid",
                         F.lit(boost).cast(self._score_type()).alias("score")))
+
+    def _eval_payload_score(self, q: A.PayloadScoreQ) -> DataFrame:
+        """PayloadScoreQuery.java + PayloadFunction.java: fold the
+        term's per-occurrence payload ints with min/max/avg/sum;
+        score = fold result (double), times the term's BM25 score when
+        include_span_score (PayloadSpanScorer.scoreCurrentDoc), times
+        boost. Payloads ride the ``payloads`` column when the postings
+        frame has one, else the .pay-analogue ``starts`` offsets
+        (TokenOffsetPayloadTokenFilter shape) — Catalyst array
+        expressions, no UDF."""
+        p = self.index.postings.where(F.col("term") == q.term)
+        pay_col = "payloads" if "payloads" in p.columns else "starts"
+        if pay_col not in p.columns:
+            raise ValueError(
+                "PayloadScoreQ needs a payloads column or an index "
+                "built with offsets (build_index(with_offsets=True) / "
+                "build_segment_index(store_offsets=True))")
+        pay = F.col(pay_col)
+        if q.func == "min":
+            v = F.array_min(pay).cast("double")
+        elif q.func == "max":
+            v = F.array_max(pay).cast("double")
+        elif q.func == "sum":
+            v = F.aggregate(pay, F.lit(0).cast("long"),
+                            lambda a, x: a + x.cast("long")).cast("double")
+        elif q.func == "avg":
+            v = (F.aggregate(pay, F.lit(0).cast("long"),
+                             lambda a, x: a + x.cast("long")).cast("double")
+                 / F.size(pay).cast("double"))
+        else:
+            raise ValueError(f"unknown payload function {q.func!r}")
+        out = p.select("docid", v.alias("_pv"))
+        if q.include_span_score:
+            base = self.matches(A.TermQ(q.term)).withColumnRenamed(
+                "score", "_ts")
+            out = out.join(base, "docid").select(
+                "docid",
+                (F.col("_pv") * F.col("_ts").cast("double")).alias("_pv"))
+        if self.mode == "sql":
+            score = F.col("_pv") * F.lit(float(q.boost))
+        else:
+            score = (F.col("_pv")
+                     * F.lit(float(np.float32(q.boost)))).cast("float")
+        return out.select("docid", score.cast(self._score_type())
+                          .alias("score"))
 
     def _eval_term_automaton(self, q: A.TermAutomatonQ) -> DataFrame:
         """TermAutomatonQuery via finite-string enumeration (the

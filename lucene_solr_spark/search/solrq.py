@@ -897,6 +897,24 @@ def solr_qparser(searcher, s: str,
         return (ltr_rerank(searcher, rest, doc_attrs, feats, model=mdl,
                            rerank_docs=n)
                 .select("docid", "score"))
+    if name == "payload_score":
+        # PayloadScoreQParserPlugin.java: {!payload_score f=text
+        # func=max includeSpanScore=false}term — the payload ints come
+        # from the .pay-analogue stream (offset payloads,
+        # TokenOffsetPayloadTokenFilter shape; see ast.PayloadScoreQ).
+        # {!payload_check} stays descoped: it needs analyzer-ASSIGNED
+        # payload values, which this corpus's chain does not produce.
+        field = params.get("f", "text")
+        if field != "text":
+            raise ValueError(f"unknown field {field!r}")
+        term = (params.get("v", rest) or "").strip().lower()
+        if not term:
+            raise ValueError("{!payload_score} needs a term")
+        q = A.PayloadScoreQ(
+            term, func=params.get("func", "max").lower(),
+            include_span_score=(params.get("includeSpanScore", "false")
+                                .lower() == "true"))
+        return searcher.matches(q)
     if name == "tlogit":
         # TextLogisticRegressionQParserPlugin.java (the train()
         # streaming expression's per-iteration trainer): docs

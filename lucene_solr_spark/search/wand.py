@@ -1770,6 +1770,7 @@ class WandSearcher:
             needs_pos = scan(q, lambda n: isinstance(
                 n, (A.PhraseQ, A.MultiPhraseQ, A.SpanNearQ,
                     A.SpanOrNQ, A.SpanNearNQ, A.TermAutomatonQ)))
+            needs_offs = scan(q, lambda n: isinstance(n, A.PayloadScoreQ))
             # term-restricted decode is only valid when the term set is
             # closed (multi-term queries expand against the dictionary;
             # Synonym/Blended/SpanNear leaves are closed — their terms
@@ -1781,7 +1782,8 @@ class WandSearcher:
 
             qterms = None if expands else (sorted(_collect_terms(q)) or None)
             flat = self.si.as_flat_tables(with_positions=needs_pos,
-                                          terms=qterms)
+                                          terms=qterms,
+                                          with_offsets=needs_offs)
             return Searcher(flat, mode="lucene").search(q, k=k)
         terms, msm, neg_terms = shape
         dfs = self._global_df(terms + neg_terms)

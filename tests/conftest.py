@@ -36,3 +36,12 @@ def tiny_oracle(pages_tiny):
     rows = pages_tiny.select("url", "text").collect()
     docs = [(i, r["text"]) for i, r in enumerate(sorted(rows, key=lambda r: r["url"]))]
     return OracleIndex(docs)
+
+
+@pytest.fixture(scope="session")
+def offsets_index_tiny(spark, pages_tiny):
+    from lucene_solr_spark.index.builder import build_index
+
+    idx = build_index(pages_tiny, with_offsets=True).cache()
+    idx.docs.count()
+    return idx

@@ -1134,3 +1134,58 @@ def test_parser_classic_grammar():
     import pytest as _pt
     with _pt.raises(ValueError):
         A.parse_query("a b", default_op="xor")
+
+
+def test_payload_score_functions(spark, offsets_index_tiny):
+    """PayloadScoreQ min/max/avg/sum over offset payloads equals a
+    per-doc numpy fold of the starts arrays; include_span_score
+    multiplies the term's BM25 score (PayloadSpanScorer)."""
+    import numpy as np
+
+    from lucene_solr_spark.search import ast as A
+    from lucene_solr_spark.search.executor import Searcher
+
+    idx = offsets_index_tiny
+    s = Searcher(idx, mode="sql")
+    rows = idx.postings.where(F.col("term") == "t000002").select(
+        "docid", "starts").collect()
+    starts = {r["docid"]: np.asarray(r["starts"], dtype=np.int64)
+              for r in rows}
+    assert starts
+    for func, fold in (("min", np.min), ("max", np.max),
+                       ("sum", np.sum),
+                       ("avg", lambda a: float(np.sum(a)) / len(a))):
+        got = {r["docid"]: float(r["score"]) for r in s.matches(
+            A.PayloadScoreQ("t000002", func=func)).collect()}
+        assert set(got) == set(starts)
+        for d, a in starts.items():
+            assert abs(got[d] - float(fold(a))) < 1e-9, (func, d)
+    # include_span_score multiplies the BM25 term score
+    base = {r["docid"]: float(r["score"]) for r in s.matches(
+        A.TermQ("t000002")).collect()}
+    got = {r["docid"]: float(r["score"]) for r in s.matches(
+        A.PayloadScoreQ("t000002", func="max",
+                        include_span_score=True)).collect()}
+    for d, a in starts.items():
+        assert abs(got[d] - float(np.max(a)) * base[d]) < 1e-9
+
+
+def test_payload_score_wand_fallback(spark, pages_tiny, tmp_path_factory):
+    """PayloadScoreQ over the segment index routes through the
+    offsets-enabled flat fallback (term-restricted) and matches the
+    flat evaluation."""
+    from lucene_solr_spark.index.segments import build_segment_index
+    from lucene_solr_spark.search import ast as A
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.wand import WandSearcher
+
+    path = str(tmp_path_factory.mktemp("payidx") / "idx")
+    si = build_segment_index(pages_tiny, path, seg_size=128,
+                             store_offsets=True)
+    q = A.PayloadScoreQ("t000002", func="avg")
+    a = [(r["docid"], round(float(r["score"]), 6)) for r in
+         WandSearcher(si).search(q, k=10).orderBy("rank").collect()]
+    flat = Searcher(si.as_flat_tables(with_offsets=True), mode="lucene")
+    b = [(r["docid"], round(float(r["score"]), 6)) for r in
+         flat.search(q, k=10).orderBy("rank").collect()]
+    assert a == b and len(a) > 0

@@ -1034,7 +1034,11 @@ DRIVER_PRIORITY = [
     # the last un-mapped reference query family (displaced
     # suggest_analyzing — r4-green, suggester gate-covered)
     "payload_score",
-    "solr_func_qp", "solr_boost_qp", "solr_frange_qp",
+    "solr_func_qp", "solr_frange_qp",
+    # (r5) {!export} dialect (ExportWriter surface; displaced
+    # solr_boost_qp — r4-green, ValueSource family stays via
+    # solr_func_qp/solr_frange_qp/solr_stats_vs_qp/ft_func_bool)
+    "solr_export_qp",
     "solr_mlt_qp",
     # (r5) segment-native NESTED spans (span_nested_topk; displaced
     # geo_polygon_holes — r4-green, spatial family in solr_geo_qp)

@@ -323,6 +323,34 @@ FROM documents
 """)
 
 
+def _solr_export_qp(spark, sf):
+    """{!export sort= fl=} (solr/core/.../handler/ExportWriter.java:
+    82,229 as a dialect): sorted full-result export of the docs
+    matching 'merge' — distributed sort, fl projection; ordinal added
+    here (top-k scale) to make the order driver-verifiable."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(_docs_index(spark, sf), mode="sql")
+    attrs = (_load(spark, sf, "documents")
+             .select(F.col("doc_id").alias("docid"), "lang", "n_chars"))
+    out = solr_qparser(
+        s, "{!export sort='lang asc,n_chars desc,docid asc' "
+           "fl='lang,n_chars'}merge", attrs)
+    w = Window.orderBy(F.asc("lang"), F.desc("n_chars"), F.asc("docid"))
+    return out.select(F.col("docid").alias("doc_id"), "lang", "n_chars",
+                      F.row_number().over(w).cast("long").alias("rn"))
+
+
+_register("solr_export_qp", _solr_export_qp, f"""
+WITH {FT_BASE}
+SELECT d.doc_id, d.lang, d.n_chars,
+       row_number() OVER (ORDER BY d.lang, d.n_chars DESC, d.doc_id) AS rn
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'merge')
+"""
+)
+
+
 def _diversified(spark, sf):
     docs = _load(spark, sf, "documents")
     per = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))

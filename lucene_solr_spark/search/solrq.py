@@ -897,6 +897,36 @@ def solr_qparser(searcher, s: str,
         return (ltr_rerank(searcher, rest, doc_attrs, feats, model=mdl,
                            rerank_docs=n)
                 .select("docid", "score"))
+    if name == "export":
+        # ExportWriter.java:82,229 as a dialect ({!export} is the
+        # /export handler's sort/fl surface): sorted full-result
+        # export of the matching docs' fl fields. sort_stream = a
+        # distributed range-partitioned sort, never the handler's
+        # in-memory pass; ordinality rides the sort keys (callers
+        # needing an explicit ordinal wrap with relational.ranked at
+        # top-k scale).
+        from lucene_solr_spark.operators.relational import sort_stream
+
+        sort_spec = params.get("sort")
+        fl = params.get("fl")
+        if not sort_spec or not fl:
+            raise ValueError("{!export} needs sort= and fl=")
+        if doc_attrs is None:
+            raise ValueError("{!export} needs a doc_attrs frame")
+        cols = [c.strip() for c in fl.split(",") if c.strip()]
+        order = []
+        for part in sort_spec.split(","):
+            fld, _, direction = part.strip().partition(" ")
+            order.append(F.col(fld).desc()
+                         if direction.strip().lower() == "desc"
+                         else F.col(fld).asc())
+        base = doc_attrs
+        if rest and rest.strip() and rest.strip() != "*:*":
+            hits = searcher.matches(
+                A.parse_query(rest.strip())).select("docid")
+            base = base.join(hits, "docid")
+        out_cols = ["docid"] + [c for c in cols if c != "docid"]
+        return sort_stream(base.select(*out_cols), order)
     if name == "payload_score":
         # PayloadScoreQParserPlugin.java: {!payload_score f=text
         # func=max includeSpanScore=false}term — the payload ints come

@@ -928,6 +928,189 @@ def span_nested_topk(
     return d, np.full(len(d), np.float32(boost), np.float32)
 
 
+def automaton_topk(
+    paths: list[tuple],
+    postings: dict[str, "object"],
+    weight: np.float32,
+    norms: np.ndarray,
+    doc_base: int,
+    bm25: BM25,
+    k: int,
+    stats: WandStats | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Segment-native TermAutomatonQuery kernel (sandbox/search/
+    TermAutomatonQuery.java's TermAutomatonScorer, run over the
+    enumerated finite strings like GraphTokenStreamFiniteStrings):
+
+    ``paths``: the automaton's accepted term sequences (None = ANY
+    slot, one position ordinal). phase 1: per-path docid conjunction
+    over the merged block grid of the paths' terms (an interval is
+    live when SOME path has all its terms active; candidates = the
+    union over live paths of their term-slice intersections). phase 2:
+    .pos fetched lazily per group for intersection docs only; freq =
+    distinct start positions matched by ANY path (the reference's
+    merge-sorted position run), via the same rebased-intersect the
+    flat _eval_term_automaton runs — scores duel bit-equal.
+
+    theta bound: freq <= sum over live paths of the path's min
+    slot-level block-max tf (a start consumes >= 1 occurrence of every
+    slot term of that path); monotone in tf and norm byte, so skipped
+    intervals cannot beat theta. weight: the flat phrase recipe
+    f32(f32(boost) * f32(sum idf over ALL automaton terms) * f32(k1+1)).
+    """
+    pterms = [sorted({t for t in p if t is not None}) for p in paths]
+    live_paths = [i for i, ts in enumerate(pterms)
+                  if ts and all(t in postings for t in ts)]
+    if not live_paths:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    uniq = sorted({t for i in live_paths for t in pterms[i]})
+    eps = {t: postings[t] for t in uniq}
+    grids = {t: _term_block_grid(eps[t]) for t in uniq}
+    bounds = np.unique(np.concatenate([grids[t] for t in uniq]))
+    n_int = len(bounds)
+    jd: dict[str, np.ndarray] = {}
+    okd: dict[str, np.ndarray] = {}
+    for t in uniq:
+        j = np.searchsorted(grids[t], bounds, side="left")
+        jd[t] = j
+        okd[t] = j < len(grids[t])
+    # per-path activity + freq bound
+    path_act = np.zeros((len(live_paths), n_int), dtype=bool)
+    tf_bound = np.zeros(n_int, dtype=np.int64)
+    nb_min = np.full(n_int, 255, dtype=np.int64)
+    for t in uniq:
+        ok = okd[t]
+        bm_nb = np.asarray(eps[t].blockmax_norm, dtype=np.int64)
+        nb_min[ok] = np.minimum(nb_min[ok], bm_nb[jd[t][ok]])
+    for pi, i0 in enumerate(live_paths):
+        act = np.ones(n_int, dtype=bool)
+        ptf = np.full(n_int, np.iinfo(np.int64).max, dtype=np.int64)
+        for t in pterms[i0]:
+            ok = okd[t]
+            act &= ok
+            bm_tf = np.asarray(eps[t].blockmax_tf, dtype=np.int64)
+            cur = np.full(n_int, np.iinfo(np.int64).max, dtype=np.int64)
+            cur[ok] = bm_tf[jd[t][ok]]
+            ptf = np.minimum(ptf, cur)
+        path_act[pi] = act
+        tf_bound[act] += ptf[act]
+    any_act = path_act.any(axis=0)
+
+    st = stats if stats is not None else WandStats()
+    st.blocks_total += sum(len(grids[t]) for t in uniq)
+    st.intervals_total += n_int
+    ub32 = bm25.score(np.full(n_int, np.float32(weight), np.float32),
+                      np.maximum(tf_bound, 0), nb_min)
+    cand_idx = np.nonzero(any_act)[0]
+    decoded: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    def _slice(t: str, i: int, lo: int, hi: int) -> np.ndarray:
+        key = (t, int(jd[t][i]))
+        if key not in decoded:
+            decoded[key] = _decode_block_cached(eps[t], key[1])
+            st.blocks_decoded += 1
+        docs_j = decoded[key][0]
+        a = np.searchsorted(docs_j, lo, side="right")
+        b = np.searchsorted(docs_j, hi, side="right")
+        return docs_j[a:b]
+
+    top_docs = np.empty(0, np.int64)
+    top_scores = np.empty(0, np.float32)
+    theta = np.float32(-np.inf)
+    for i in cand_idx:
+        hi = int(bounds[i])
+        lo = int(bounds[i - 1]) if i > 0 else -1
+        full = len(top_scores) >= k
+        if full and ub32[i] <= theta:
+            continue
+        # phase 1: union over live paths of their term intersections
+        inter: np.ndarray | None = None
+        per_term_slice: dict[str, np.ndarray] = {}
+        for pi, i0 in enumerate(live_paths):
+            if not path_act[pi, i]:
+                continue
+            cur: np.ndarray | None = None
+            ok_path = True
+            for t in sorted(pterms[i0], key=lambda t: eps[t].ndocs):
+                if t not in per_term_slice:
+                    per_term_slice[t] = _slice(t, i, lo, hi)
+                d = per_term_slice[t]
+                if len(d) == 0:
+                    ok_path = False
+                    break
+                cur = d if cur is None else np.intersect1d(
+                    cur, d, assume_unique=True)
+                if len(cur) == 0:
+                    ok_path = False
+                    break
+            if not ok_path or cur is None:
+                continue
+            inter = cur if inter is None else np.union1d(inter, cur)
+        if inter is None or len(inter) == 0:
+            continue
+        st.intervals_scored += 1
+
+        # phase 2: positions per term for the docs it contains
+        nd = len(inter)
+        pos_by_doc: list[dict[str, np.ndarray]] = [dict() for _ in range(nd)]
+        for t in uniq:
+            if not okd[t][i]:
+                continue
+            d_t = per_term_slice.get(t)
+            if d_t is None:
+                d_t = _slice(t, i, lo, hi)
+            mask = np.isin(inter, d_t, assume_unique=True)
+            if not mask.any():
+                continue
+            plists = _positions_for(eps[t], inter[mask])
+            for oi, arr in zip(np.nonzero(mask)[0], plists):
+                pos_by_doc[oi][t] = arr
+        freqs = np.zeros(nd, dtype=np.float64)
+        for di in range(nd):
+            m = pos_by_doc[di]
+            starts: set = set()
+            for i0 in live_paths:
+                base: np.ndarray | None = None
+                ok_p = True
+                for off, t in enumerate(paths[i0]):
+                    if t is None:
+                        continue
+                    pl = m.get(t)
+                    if pl is None:
+                        ok_p = False
+                        break
+                    arr = np.asarray(pl, dtype=np.int64) - off
+                    base = arr if base is None else np.intersect1d(
+                        base, arr, assume_unique=True)
+                    if base.size == 0:
+                        ok_p = False
+                        break
+                if ok_p and base is not None:
+                    starts.update(int(x) for x in base if x >= 0)
+            freqs[di] = float(len(starts))
+        mask = freqs > 0
+        if not mask.any():
+            continue
+        cand_d = inter[mask]
+        nb = norms[cand_d - doc_base]
+        cand_s = bm25.score(
+            np.full(len(cand_d), np.float32(weight), np.float32),
+            freqs[mask], nb)
+        if full and len(cand_s):
+            keep = cand_s > theta
+            cand_d, cand_s = cand_d[keep], cand_s[keep]
+        if len(cand_d) == 0:
+            continue
+        md = np.concatenate([top_docs, cand_d])
+        ms = np.concatenate([top_scores, cand_s])
+        order = np.lexsort((md, -ms.astype(np.float64)))[:k]
+        top_docs, top_scores = md[order], ms[order]
+        if len(top_scores) >= k:
+            theta = top_scores[-1]
+
+    return top_docs, top_scores
+
+
 def qf_dismax_topk(
     terms: list[str],
     sources: dict[str, dict[str, "object"]],
@@ -1746,6 +1929,8 @@ class WandSearcher:
             return self._search_span_near(q, k)
         if isinstance(q, A.SpanNearNQ):
             return self._search_span_nested(q, k)
+        if isinstance(q, A.TermAutomatonQ):
+            return self._search_term_automaton(q, k)
         shape = self._flat_terms(q)
         if shape is None:
             # fallback: exhaustive over decoded postings; positions are
@@ -2014,6 +2199,48 @@ class WandSearcher:
             sid = int(key[0])
             eps = _grouped_postings(idx_path, sid, pdf)
             d, s = span_nested_topk(q, eps, boost_, k=k_)
+            return pd.DataFrame({"docid": d, "score": s})
+
+        rows = self._meta_rows().where(F.col("term").isin(present))
+        per_seg = (rows
+                   .repartition(KERNEL_HASH_PARTITIONS, F.col("seg_id"))
+                   .groupBy("seg_id").applyInPandas(
+                       per_segment, schema="docid long, score float"))
+        top = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        return top.withColumn("rank", F.row_number().over(w))
+
+    def _search_term_automaton(self, q, k: int) -> DataFrame:
+        """TermAutomatonQ over the segment index via automaton_topk —
+        the finite strings run as per-path block-grid conjunctions
+        with lazy .pos (the r4 fallback full-decoded the automaton's
+        terms). Same matches/scores as the flat executor's
+        _eval_term_automaton (duel-tested): weight = the phrase recipe
+        over ALL automaton terms (absent terms contribute their
+        df=0 idf, as the flat path does)."""
+        paths = q.finite_strings()
+        all_terms = sorted({t for p in paths for t in p if t is not None})
+        if not all_terms:
+            return self.si.spark.createDataFrame(
+                [], "docid long, score float, rank int")
+        dfs = self._global_df(all_terms)
+        present = [t for t in all_terms if dfs[t] > 0]
+        if not present:
+            return self.si.spark.createDataFrame(
+                [], "docid long, score float, rank int")
+        idf_sum64 = float(sum(self.bm25.idf(dfs[t]) for t in all_terms))
+        weight = np.float32(np.float32(q.boost) * np.float32(idf_sum64)
+                            * np.float32(self._k1 + 1.0))
+        bm25 = self.bm25
+        k_ = int(k)
+        idx_path = self.si.path
+
+        def per_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(key[0])
+            norms, doc_base = _load_seg_norms(idx_path, sid)
+            eps = _grouped_postings(idx_path, sid, pdf)
+            d, s = automaton_topk(paths, eps, weight, norms, doc_base,
+                                  bm25, k=k_)
             return pd.DataFrame({"docid": d, "score": s})
 
         rows = self._meta_rows().where(F.col("term").isin(present))

@@ -753,3 +753,38 @@ def test_preload_stats_no_vocab_collect(seg_index, flat_searcher):
     # repeat terms cost zero stats jobs (cache hit path)
     ws.search("t000001", k=5).collect()
     assert set(ws._df_cache) == {"t000001", "t000002"}
+
+
+AUTOMATON_SHAPES = [
+    # linear phrase-shaped automaton
+    (((0, 1, "t000001"), (1, 2, "t000002")), (2,)),
+    # branch: t000001 (t000002 | t000003)
+    (((0, 1, "t000001"), (1, 2, "t000002"), (1, 2, "t000003")), (2,)),
+    # ANY gap: t000001 ANY t000002
+    (((0, 1, "t000001"), (1, 2, None), (2, 3, "t000002")), (3,)),
+    # zipf-head lead with branch
+    (((0, 1, "t000000"), (1, 2, "t000001"), (1, 2, "t000010")), (2,)),
+    # path with a missing term (that path never matches; other does)
+    (((0, 1, "t000001"), (1, 2, "missingterm"), (1, 2, "t000002")), (2,)),
+]
+
+
+@pytest.mark.parametrize("transitions,accept", AUTOMATON_SHAPES)
+def test_term_automaton_kernel_duels_flat(seg_index, flat_searcher,
+                                          transitions, accept):
+    """TermAutomatonQ over the segment index runs automaton_topk
+    (per-path block-grid conjunction, lazy .pos) and duels the flat
+    executor bit-equal."""
+    q = A.TermAutomatonQ(transitions, accept)
+    a = _rows(WandSearcher(seg_index).search(q, k=10))
+    b = _rows(flat_searcher.search(q, k=10))
+    assert a == b, (transitions, accept)
+
+
+def test_term_automaton_plan_no_full_decode(seg_index):
+    q = A.TermAutomatonQ(
+        ((0, 1, "t000000"), (1, 2, "t000001"), (1, 2, "t000002")), (2,))
+    df = WandSearcher(seg_index).search(q, k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" not in plan

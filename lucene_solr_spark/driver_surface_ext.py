@@ -2024,6 +2024,158 @@ agg AS (
 """)
 
 
+def _sim_stats(idx, terms):
+    """(df, ttf) per term as literal maps (tiny dictionary lookup)."""
+    rows = (idx.term_stats.where(F.col("term").isin(terms))
+            .select("term", "df", "ttf").collect())
+    st = {r["term"]: (float(r["df"]), float(r["ttf"])) for r in rows}
+    dfc = F.create_map(*[x for t in terms for x in
+                         (F.lit(t), F.lit(st.get(t, (0.0, 0.0))[0]))])
+    ttfc = F.create_map(*[x for t in terms for x in
+                          (F.lit(t), F.lit(st.get(t, (0.0, 0.0))[1]))])
+    return dfc[F.col("term")], ttfc[F.col("term")]
+
+
+def _ft_dfr_gb(spark, sf):
+    """DFR G-B-H1 (DFRSimilarity.java with BasicModelG.java:
+    lambda=F/(N+F), AfterEffectB.java: (F+1)/(df*(tfn+1)),
+    NormalizationH1.java: tfn=c*tf*avgdl/dl, c=1) — a second cell of
+    the DFR lattice beside the r2 I(n)L2; SHOULD clauses sum."""
+    from lucene_solr_spark.functions import similarities as S
+
+    idx = _docs_index(spark, sf)
+    terms = ["hash", "join"]
+    p = idx.postings.where(F.col("term").isin(terms)).select(
+        "term", "docid", "tf")
+    d = idx.docs.select("docid", "doclen").where(F.col("doclen") > 0)
+    j = p.join(d, "docid")
+    avgdl = idx.coll_stats["sum_ttf"] / idx.coll_stats["doc_count"]
+    n_docs = float(idx.coll_stats["doc_count"])
+    dfc, ttfc = _sim_stats(idx, terms)
+    tfn = S.tfn_h1(F.col("tf"), F.col("doclen"), avgdl)
+    s = S.dfr_score(tfn, basic="G", after="B", n_docs=n_docs,
+                    df=dfc, ttf=ttfc)
+    agg = (j.select("docid", s.alias("s")).groupBy("docid")
+           .agg(F.floor(F.sum("s") * Q).cast("long").alias("score_q")))
+    return _sim_topk(spark, agg)
+
+
+_register("ft_dfr_gb", _ft_dfr_gb, f"""
+WITH {FT_BASE},
+ts2 AS (SELECT term, count(*)::DOUBLE AS df, sum(tf)::DOUBLE AS ttf
+        FROM postings GROUP BY term),
+sc AS (
+  SELECT p.doc_id,
+         (log2((ts.ttf / (cs.n + ts.ttf)) + 1.0)
+          + (p.tf::DOUBLE * (cs.sttf / cs.n) / dl.doclen::DOUBLE)
+            * log2((1.0 + (ts.ttf / (cs.n + ts.ttf)))
+                   / (ts.ttf / (cs.n + ts.ttf))))
+         * ((ts.ttf + 1.0)
+            / (ts.df * ((p.tf::DOUBLE * (cs.sttf / cs.n)
+                         / dl.doclen::DOUBLE) + 1.0))) AS s
+  FROM postings p
+  JOIN ts2 ts USING (term)
+  JOIN doclen dl USING (doc_id)
+  CROSS JOIN cstats cs
+  WHERE p.term IN ('hash','join') AND dl.doclen > 0
+),
+agg AS (
+  SELECT doc_id, CAST(floor(sum(s) * 1000000) AS BIGINT) AS score_q
+  FROM sc GROUP BY doc_id
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
+def _ft_ib_spl(spark, sf):
+    """IB SPL-T-H2 (IBSimilarity.java with DistributionSPL.java:
+    -log2((lambda^(tfn/(tfn+1)) - lambda)/(1-lambda)),
+    LambdaTTF.java: (F+1)/(N+1), NormalizationH2, c=1) — the other
+    IB distribution/lambda beside the r2 LL-D-H2."""
+    from lucene_solr_spark.functions import similarities as S
+
+    idx = _docs_index(spark, sf)
+    terms = ["scan", "merge"]
+    j, tfn = _dfr_tfn_cols(idx, terms)
+    n_docs = float(idx.coll_stats["doc_count"])
+    dfc, ttfc = _sim_stats(idx, terms)
+    lam = (ttfc + F.lit(1.0)) / F.lit(n_docs + 1.0)
+    s = S.ib_score(tfn, distribution="SPL", lam=lam)
+    agg = (j.select("docid", s.alias("s")).groupBy("docid")
+           .agg(F.floor(F.sum("s") * Q).cast("long").alias("score_q")))
+    return _sim_topk(spark, agg)
+
+
+_register("ft_ib_spl", _ft_ib_spl, f"""
+WITH {FT_BASE},
+ts2 AS (SELECT term, count(*)::DOUBLE AS df, sum(tf)::DOUBLE AS ttf
+        FROM postings GROUP BY term),
+sc AS (
+  SELECT p.doc_id,
+         -(ln((pow((ts.ttf + 1.0) / (cs.n + 1.0),
+                   (p.tf::DOUBLE * log2(1.0 + (cs.sttf / cs.n)
+                                        / dl.doclen::DOUBLE))
+                   / ((p.tf::DOUBLE * log2(1.0 + (cs.sttf / cs.n)
+                                           / dl.doclen::DOUBLE)) + 1.0))
+               - (ts.ttf + 1.0) / (cs.n + 1.0))
+              / (1.0 - (ts.ttf + 1.0) / (cs.n + 1.0)))
+           * 1.4426950408889634) AS s
+  FROM postings p
+  JOIN ts2 ts USING (term)
+  JOIN doclen dl USING (doc_id)
+  CROSS JOIN cstats cs
+  WHERE p.term IN ('scan','merge') AND dl.doclen > 0
+),
+agg AS (
+  SELECT doc_id, CAST(floor(sum(s) * 1000000) AS BIGINT) AS score_q
+  FROM sc GROUP BY doc_id
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
+def _ft_lmjm(spark, sf):
+    """LM Jelinek-Mercer (LMJelinekMercerSimilarity.java:40-44,
+    lambda=0.1, DefaultCollectionModel P(t|C)=F/sum_ttf): per-term
+    log(1 + ((1-l)*tf/dl)/(l*P)); SHOULD clauses sum — completes the
+    LM family beside the r2 LM-Dirichlet."""
+    from lucene_solr_spark.functions import similarities as S
+
+    idx = _docs_index(spark, sf)
+    terms = ["hash", "scan"]
+    p = idx.postings.where(F.col("term").isin(terms)).select(
+        "term", "docid", "tf")
+    d = idx.docs.select("docid", "doclen").where(F.col("doclen") > 0)
+    j = p.join(d, "docid")
+    dfc, ttfc = _sim_stats(idx, terms)
+    s = S.lmjm_score(F.col("tf"), F.col("doclen"), ttf=ttfc,
+                     sum_ttf=float(idx.coll_stats["sum_ttf"]), lam=0.1)
+    agg = (j.select("docid", s.alias("s")).groupBy("docid")
+           .agg(F.floor(F.sum("s") * Q).cast("long").alias("score_q")))
+    return _sim_topk(spark, agg)
+
+
+_register("ft_lmjm", _ft_lmjm, f"""
+WITH {FT_BASE},
+ts2 AS (SELECT term, sum(tf)::DOUBLE AS ttf FROM postings GROUP BY term),
+sc AS (
+  SELECT p.doc_id,
+         ln(1.0 + (0.9 * p.tf::DOUBLE / dl.doclen::DOUBLE)
+                  / (0.1 * (ts.ttf / cs.sttf))) AS s
+  FROM postings p
+  JOIN ts2 ts USING (term)
+  JOIN doclen dl USING (doc_id)
+  CROSS JOIN cstats cs
+  WHERE p.term IN ('hash','scan') AND dl.doclen > 0
+),
+agg AS (
+  SELECT doc_id, CAST(floor(sum(s) * 1000000) AS BIGINT) AS score_q
+  FROM sc GROUP BY doc_id
+)
+{_topk_sql("SELECT * FROM agg", 10)}
+""")
+
+
 # ---- doc-values sidecar: function queries / sort answered from the index ---
 
 def _seg_docvalues(spark, sf):

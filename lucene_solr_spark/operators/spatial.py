@@ -46,11 +46,17 @@ def haversine_meters(lat1: Column, lon1: Column,
 def box_query(df: DataFrame, min_lat: float, max_lat: float,
               min_lon: float, max_lon: float,
               lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
-    """LatLonPoint.newBoxQuery: rectangle containment (no dateline
-    crossing — split into two boxes for that, as the reference does)."""
+    """LatLonPoint.newBoxQuery: rectangle containment. A crossing box
+    (min_lon > max_lon) wraps the dateline — the reference splits it
+    into two half-boxes internally (LatLonPoint.newBoxQuery's
+    crossesDateline branch); here that is one OR predicate, still a
+    min/max-prunable scan filter on the lon column."""
+    lat_ok = (F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat)
+    if min_lon > max_lon:  # crosses the dateline
+        return df.where(lat_ok & ((F.col(lon_col) >= min_lon)
+                                  | (F.col(lon_col) <= max_lon)))
     return df.where(
-        (F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat)
-        & (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon))
+        lat_ok & (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon))
 
 
 def _bbox_of_circle(lat: float, lon: float, radius_m: float):
@@ -71,8 +77,16 @@ def _bbox_of_circle(lat: float, lon: float, radius_m: float):
     if ratio >= 1.0:
         return (lo_lat, hi_lat, -180.0, 180.0)
     dlon = math.degrees(math.asin(ratio)) + 1e-9  # cover libm slack
-    return (lo_lat, hi_lat,
-            max(lon - dlon, -180.0), min(lon + dlon, 180.0))
+    lo_lon, hi_lon = lon - dlon, lon + dlon
+    # wrap across the dateline instead of clamping (clamping silently
+    # DROPPED in-radius points on the far side of +-180): a wrapped
+    # window comes back as a crossing box (lo > hi), which box_query
+    # evaluates as the reference's two half-boxes
+    if lo_lon < -180.0:
+        lo_lon += 360.0
+    if hi_lon > 180.0:
+        hi_lon -= 360.0
+    return (lo_lat, hi_lat, lo_lon, hi_lon)
 
 
 def distance_query(df: DataFrame, lat: float, lon: float, radius_m: float,

@@ -218,3 +218,36 @@ def test_polygon_holes_matches_numpy_raycast(spark):
     b = {r["id"] for r in
          polygon_query(df, convex).select("id").collect()}
     assert a == b
+
+
+def test_geo_dateline_crossing(spark):
+    """A distance circle near +-180 must keep in-radius points on the
+    FAR side of the dateline (the clamped prefilter used to drop
+    them), and box_query with min_lon > max_lon wraps like
+    LatLonPoint.newBoxQuery's crossesDateline branch."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.operators.spatial import (box_query,
+                                                     distance_query,
+                                                     haversine_meters)
+
+    pts = [(i, (i % 21 - 10) * 0.5,
+            ((179.0 + (i // 21) * 0.1 + 180.0) % 360.0) - 180.0)
+           for i in range(21 * 21)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    lat0, lon0, r = 0.0, 179.7, 150_000.0
+    got = {r_["id"] for r_ in distance_query(df, lat0, lon0, r).collect()}
+    d = haversine_meters(F.col("lat"), F.col("lon"),
+                         F.lit(lat0), F.lit(lon0))
+    want = {r_["id"] for r_ in df.where(d <= r).collect()}
+    assert got == want
+    # matches exist on BOTH sides of the dateline
+    lons = {lo for i, la, lo in pts if i in got}
+    assert any(x > 0 for x in lons) and any(x < 0 for x in lons)
+    # crossing box: [179.5, -179.5] == the two half-boxes
+    crossing = {r_["id"] for r_ in box_query(
+        df, -5.0, 5.0, 179.5, -179.5).collect()}
+    straight = {r_["id"] for r_ in df.where(
+        (F.col("lat").between(-5.0, 5.0))
+        & ((F.col("lon") >= 179.5) | (F.col("lon") <= -179.5))).collect()}
+    assert crossing == straight and crossing

@@ -83,3 +83,75 @@ def replicate(src: SegmentIndex, dst_path: str) -> dict:
     commit_segments_meta(spark.createDataFrame(meta_rows, meta_schema),
                          dst_path)
     return {"copied": copied, "skipped": skipped}
+
+
+# --- CDCR: checkpointed cross-cluster log-shipping loop ---------------------
+
+_CDCR_STATE = "cdcr_state_v"
+
+
+def _cdcr_read_checkpoint(spark, state_path: str) -> int:
+    """Last source manifest generation applied at the target (-1 =
+    never bootstrapped). Checkpoints follow the same
+    create-directory-then-_SUCCESS protocol as manifest generations."""
+    from lucene_solr_spark.index.segments import _hadoop_fs
+
+    fs, jvm = _hadoop_fs(spark, state_path)
+    p = jvm.org.apache.hadoop.fs.Path(state_path)
+    if not fs.exists(p):
+        return -1
+    best = -1
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not name.startswith(_CDCR_STATE):
+            continue
+        ok = jvm.org.apache.hadoop.fs.Path(
+            f"{state_path}/{name}/_SUCCESS")
+        if fs.exists(ok):
+            best = max(best, int(name[len(_CDCR_STATE):]))
+    return best
+
+
+def cdcr_replicate(src: SegmentIndex, dst_path: str,
+                   state_path: str) -> dict:
+    """One round of CDCR (solr/core/src/java/org/apache/solr/handler/
+    CdcrReplicator.java + CdcrUpdateLogSynchronizer: the source
+    forwards committed updates to the target cluster asynchronously;
+    a persisted CHECKPOINT records the last-forwarded position so
+    forwarding resumes across failures and restarts, and replay is
+    idempotent).
+
+    This engine ships committed SEGMENTS instead of tlog entries (the
+    segment manifest generation is the log position — updates only
+    ever arrive as new committed segments, NRT appends included, and
+    streaming replay dedup rides the manifests' ``batch:`` lineage
+    tokens): read the checkpoint, no-op if the source's newest
+    committed generation is already applied, else run the incremental
+    replicate() (immutable segment dirs; atomic manifest flip at the
+    target) and durably advance the checkpoint. Crash between
+    replicate() and the checkpoint write re-ships nothing on rerun
+    (replicate is idempotent) and re-commits an identical manifest —
+    the reference's replay-idempotence contract.
+
+    Returns {'generation', 'applied', 'copied', 'skipped'}.
+    """
+    from lucene_solr_spark.index.segments import (_hadoop_fs,
+                                                  meta_generations)
+
+    spark = src.spark
+    gens = meta_generations(spark, src.path)
+    if not gens:
+        raise ValueError(f"source {src.path!r} has no committed manifest")
+    src_gen = gens[-1]
+    applied = _cdcr_read_checkpoint(spark, state_path)
+    if src_gen <= applied:
+        return {"generation": src_gen, "applied": False,
+                "copied": [], "skipped": []}
+    out = replicate(src, dst_path)
+    # durable checkpoint advance (create dir, then _SUCCESS marker)
+    fs, jvm = _hadoop_fs(spark, state_path)
+    gen_dir = f"{state_path}/{_CDCR_STATE}{src_gen}"
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(gen_dir))
+    fs.create(jvm.org.apache.hadoop.fs.Path(f"{gen_dir}/_SUCCESS"),
+              True).close()
+    return {"generation": src_gen, "applied": True, **out}

@@ -334,3 +334,62 @@ def test_replicator_incremental(spark, pages_tiny, tmp_path_factory):
     # idempotent third round: nothing to copy
     r3 = replicate(src, dst_path)
     assert not r3["copied"]
+
+
+def test_cdcr_checkpointed_rounds(spark, pages_tiny, tmp_path_factory):
+    """CDCR (CdcrReplicator + checkpoint semantics): round 1 ships and
+    advances the checkpoint; a no-change round is a NO-OP (checkpoint
+    says the generation is applied — no copies, no manifest commit);
+    after an NRT append the next round ships only the new segments;
+    a crash between ship and checkpoint (simulated by deleting the
+    checkpoint) replays idempotently."""
+    import shutil
+
+    from lucene_solr_spark.index.replicator import (_cdcr_read_checkpoint,
+                                                    cdcr_replicate)
+    from lucene_solr_spark.index.segments import meta_generations
+    from lucene_solr_spark.search.wand import WandSearcher
+
+    base = tmp_path_factory.mktemp("cdcr")
+    src_path, dst_path, st_path = (str(base / "src"), str(base / "dst"),
+                                   str(base / "state"))
+    batches = _batches(pages_tiny, 2)
+    append_batch(batches[0], src_path, batch_id=0, seg_size=SEG,
+                 salt_span=SALT)
+    src = SegmentIndex(path=src_path, spark=spark)
+
+    r1 = cdcr_replicate(src, dst_path, st_path)
+    assert r1["applied"] and r1["copied"]
+    assert _cdcr_read_checkpoint(spark, st_path) == r1["generation"]
+    gens_after_r1 = meta_generations(spark, dst_path)
+
+    # unchanged source -> no-op round (no new manifest at the target)
+    r2 = cdcr_replicate(src, dst_path, st_path)
+    assert not r2["applied"] and not r2["copied"]
+    assert meta_generations(spark, dst_path) == gens_after_r1
+
+    # NRT append -> only new segments ship; target flips revisions
+    append_batch(batches[1], src_path, batch_id=1, seg_size=SEG,
+                 salt_span=SALT)
+    src.refresh()
+    r3 = cdcr_replicate(src, dst_path, st_path)
+    assert r3["applied"] and r3["copied"]
+    assert set(r3["skipped"]) == set(r1["copied"])
+    dst = SegmentIndex(path=dst_path, spark=spark)
+    q = "t000001 OR t000002"
+    a = [(r["docid"], np.float32(r["score"])) for r in
+         WandSearcher(src).search(q, k=10).orderBy("rank").collect()]
+    b = [(r["docid"], np.float32(r["score"])) for r in
+         WandSearcher(dst).search(q, k=10).orderBy("rank").collect()]
+    assert a == b
+
+    # crash-replay: lose the checkpoint, rerun — idempotent (nothing
+    # copied, identical manifest re-committed, checkpoint restored)
+    shutil.rmtree(st_path)
+    r4 = cdcr_replicate(src, dst_path, st_path)
+    assert r4["applied"] and not r4["copied"]
+    assert _cdcr_read_checkpoint(spark, st_path) == r4["generation"]
+    b2 = [(r["docid"], np.float32(r["score"])) for r in
+          WandSearcher(SegmentIndex(path=dst_path, spark=spark))
+          .search(q, k=10).orderBy("rank").collect()]
+    assert b2 == a

@@ -117,3 +117,91 @@ def index_stream(
     if trigger:
         w = w.trigger(**trigger)
     return w.start()
+
+
+# --- TopicStream: checkpointed pub-sub over the index ------------------------
+
+_TOPIC_STATE = "topic_state_v"
+
+
+class Topic:
+    """TopicStream (solr/solrj/src/java/org/apache/solr/client/solrj/
+    io/stream/TopicStream.java): a durable SUBSCRIPTION over an index —
+    each poll returns the query's matches that arrived since the last
+    committed checkpoint, and commit() durably advances it, so a
+    restarted subscriber resumes where it left off (the reference
+    persists per-shard version checkpoints to a collection; here the
+    checkpoint is a docid watermark — docids are assigned monotonically
+    by construction, the _version_ analogue).
+
+    poll() is a snapshot read: it filters (watermark, next_docid) on
+    the match frame — a plain Column range predicate that reaches the
+    scan — and remembers the snapshot's high end; commit() makes it
+    durable (dir + _SUCCESS, the manifest protocol). Poll-without-
+    commit replays on the next poll, exactly the reference's
+    at-least-once delivery. DaemonStream's re-run loop is the caller's
+    trigger (or index_stream's streaming query) — documented
+    substitution."""
+
+    def __init__(self, searcher, q, state_path: str):
+        self._searcher = searcher
+        self._q = q
+        self._state = state_path
+        self._pending: int | None = None
+
+    def _spark(self) -> SparkSession:
+        return self._searcher.si.spark if hasattr(self._searcher, "si") \
+            else self._searcher.index.docs.sparkSession
+
+    def _read_watermark(self) -> int:
+        from lucene_solr_spark.index.segments import _hadoop_fs
+
+        spark = self._spark()
+        fs, jvm = _hadoop_fs(spark, self._state)
+        p = jvm.org.apache.hadoop.fs.Path(self._state)
+        if not fs.exists(p):
+            return 0
+        best = 0
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if not name.startswith(_TOPIC_STATE):
+                continue
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(
+                    f"{self._state}/{name}/_SUCCESS")):
+                best = max(best, int(name[len(_TOPIC_STATE):]))
+        return best
+
+    def _next_docid(self) -> int:
+        if hasattr(self._searcher, "si"):
+            self._searcher.si.refresh()
+            rows = self._searcher.si.meta.select(
+                "doc_base", "doc_count").collect()
+            return max((int(r["doc_base"]) + int(r["doc_count"])
+                        for r in rows), default=0)
+        d = self._searcher.index.docs
+        row = d.agg(F.max("docid").alias("m")).first()
+        return (int(row["m"]) + 1) if row["m"] is not None else 0
+
+    def poll(self) -> DataFrame:
+        """Matches with watermark <= docid < snapshot high (the
+        watermark is the first UNSEEN docid); the high end is
+        remembered for commit()."""
+        lo = self._read_watermark()
+        hi = self._next_docid()
+        self._pending = hi
+        return (self._searcher.matches(self._q)
+                .where((F.col("docid") >= lo) & (F.col("docid") < hi)))
+
+    def commit(self) -> None:
+        """Durably advance the checkpoint to the last poll's snapshot."""
+        if self._pending is None:
+            raise ValueError("commit() without a poll()")
+        from lucene_solr_spark.index.segments import _hadoop_fs
+
+        spark = self._spark()
+        fs, jvm = _hadoop_fs(spark, self._state)
+        gen_dir = f"{self._state}/{_TOPIC_STATE}{self._pending}"
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(gen_dir))
+        fs.create(jvm.org.apache.hadoop.fs.Path(f"{gen_dir}/_SUCCESS"),
+                  True).close()
+        self._pending = None

@@ -393,3 +393,54 @@ def test_cdcr_checkpointed_rounds(spark, pages_tiny, tmp_path_factory):
           WandSearcher(SegmentIndex(path=dst_path, spark=spark))
           .search(q, k=10).orderBy("rank").collect()]
     assert b2 == a
+
+
+def test_topic_stream_checkpointed(spark, pages_tiny, tmp_path_factory):
+    """TopicStream semantics: first poll+commit delivers everything
+    matching; a poll after an NRT append delivers ONLY the new docs;
+    poll-without-commit REPLAYS (at-least-once); a fresh subscriber
+    instance resumes from the durable checkpoint."""
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.streaming.nrt import Topic
+
+    base = tmp_path_factory.mktemp("topic")
+    src_path, st_path = str(base / "idx"), str(base / "state")
+    batches = _batches(pages_tiny, 2)
+    append_batch(batches[0], src_path, batch_id=0, seg_size=SEG,
+                 salt_span=SALT)
+    si = SegmentIndex(path=src_path, spark=spark)
+
+    class SegSearcher:  # match surface over the segment index
+        def __init__(self, si):
+            self.si = si
+
+        def matches(self, q):
+            return Searcher(self.si.as_flat_tables(
+                terms=["t000001"]), mode="sql").matches(q)
+
+    from lucene_solr_spark.search import ast as A
+
+    t = Topic(SegSearcher(si), A.TermQ("t000001"), st_path)
+    first = {r["docid"] for r in t.poll().collect()}
+    assert first
+    t.commit()
+    # nothing new -> empty poll
+    assert t.poll().count() == 0
+    t.commit()
+
+    append_batch(batches[1], src_path, batch_id=1, seg_size=SEG,
+                 salt_span=SALT)
+    nxt = {r["docid"] for r in t.poll().collect()}
+    assert nxt and nxt.isdisjoint(first)
+    # poll again WITHOUT commit: replay (at-least-once)
+    again = {r["docid"] for r in t.poll().collect()}
+    assert again == nxt
+    t.commit()
+    # a fresh subscriber resumes from the durable checkpoint
+    t2 = Topic(SegSearcher(SegmentIndex(path=src_path, spark=spark)),
+               A.TermQ("t000001"), st_path)
+    assert t2.poll().count() == 0
+    # full coverage: first + nxt == every match in the index
+    allm = {r["docid"] for r in SegSearcher(si).matches(
+        A.TermQ("t000001")).collect()}
+    assert first | nxt == allm

@@ -1715,7 +1715,8 @@ def _is_singleton(row: dict) -> bool:
 
 
 def _grouped_postings(idx_path: str, seg_id: int,
-                      pdf: pd.DataFrame) -> dict[str, "GroupedPosting"]:
+                      pdf: pd.DataFrame,
+                      bulk_all: bool = False) -> dict[str, "GroupedPosting"]:
     """Assemble one lazy GroupedPosting per term from its metadata rows.
 
     Payload strategy: SINGLE-group terms (everything but the zipf
@@ -1723,7 +1724,10 @@ def _grouped_postings(idx_path: str, seg_id: int,
     is one small cell, so one IO round trip for all of them beats a
     point read each. MULTI-group (hot) terms stay lazy per group: the
     kernel's score-bound pruning decides which groups' bytes are read
-    at all."""
+    at all. ``bulk_all``: seed EVERY term's groups in the one read —
+    the batched-serving path, where the exhaustive bulk scorer will
+    decode every group anyway, so per-group point reads only add IO
+    round trips."""
     from lucene_solr_spark.index.codec import GroupedPosting
 
     fetch = _make_group_fetcher(idx_path, seg_id)
@@ -1731,8 +1735,12 @@ def _grouped_postings(idx_path: str, seg_id: int,
     for i in range(len(pdf)):
         row = pdf.iloc[i].to_dict()
         rows_by_term.setdefault(row["term"], []).append(row)
-    bulk = [t for t, rows in rows_by_term.items()
-            if len(rows) == 1 and not _is_singleton(rows[0])]
+    if bulk_all:
+        bulk = [t for t, rows in rows_by_term.items()
+                if not (len(rows) == 1 and _is_singleton(rows[0]))]
+    else:
+        bulk = [t for t, rows in rows_by_term.items()
+                if len(rows) == 1 and not _is_singleton(rows[0])]
     if bulk:
         _prefetch_payloads(idx_path, seg_id, bulk, fetch.cache)
     pos_fetch = _make_pos_fetcher(idx_path, seg_id)
@@ -2362,7 +2370,7 @@ class WandSearcher:
         def per_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             sid, shard = int(key[0]), int(key[1])
             norms, doc_base = _load_seg_norms(idx_path, sid)
-            eps = _grouped_postings(idx_path, sid, pdf)
+            eps = _grouped_postings(idx_path, sid, pdf, bulk_all=True)
             from lucene_solr_spark.index.codec import decode_posting
 
             out_q, out_d, out_s = [], [], []

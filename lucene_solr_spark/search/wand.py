@@ -211,6 +211,73 @@ def exhaustive_topk(
     return cand_d[order], cand_s[order]
 
 
+def synonym_topk(
+    postings: dict[str, EncodedPosting],
+    w32: np.float32,
+    norms: np.ndarray,
+    doc_base: int,
+    bm25: BM25,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """SynonymQuery.java on the segment tier: the terms' postings
+    union with tf SUMMED per doc (integer, order-free), scored ONCE as
+    a pseudo-term with the blended weight — bit-equal to the flat
+    _eval_synonym (duel-gated)."""
+    terms = sorted(postings)
+    if not terms:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    d_parts = []
+    tf_parts = []
+    for t in terms:
+        d, tf = _decode_full_cached(postings[t])
+        d_parts.append(d)
+        tf_parts.append(tf)
+    uniq = np.unique(np.concatenate(d_parts))
+    tf_sum = np.zeros(len(uniq), dtype=np.int64)
+    for d, tf in zip(d_parts, tf_parts):
+        np.add.at(tf_sum, np.searchsorted(uniq, d), tf)
+    s32 = bm25.score(np.full(len(uniq), np.float32(w32), np.float32),
+                     tf_sum, norms[uniq - doc_base])
+    order = np.lexsort((uniq, -s32.astype(np.float64)))[:k]
+    return uniq[order], s32[order]
+
+
+def dismax_terms_topk(
+    postings: dict[str, EncodedPosting],
+    weights: dict[str, np.float32],
+    tie: float,
+    norms: np.ndarray,
+    doc_base: int,
+    bm25: BM25,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """DisjunctionMaxQuery over term clauses on the segment tier:
+    per-term f32 scores, f64 max + tie*(sum-max) (DisjunctionMax
+    Scorer.java:36-61), downcast — bit-equal to the flat _eval_dismax
+    over TermQ clauses (duel-gated)."""
+    terms = sorted(postings)  # clause key "t:<term>" order == sorted
+    if not terms:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    d_parts, s_parts = [], []
+    for t in terms:
+        d, tf = _decode_full_cached(postings[t])
+        s_parts.append(bm25.score(
+            np.full(len(d), np.float32(weights[t]), np.float32),
+            tf, norms[d - doc_base]))
+        d_parts.append(d)
+    uniq = np.unique(np.concatenate(d_parts))
+    mx = np.full(len(uniq), -np.inf, dtype=np.float64)
+    sm = np.zeros(len(uniq), dtype=np.float64)
+    for d, s in zip(d_parts, s_parts):
+        idx = np.searchsorted(uniq, d)
+        s64 = s.astype(np.float64)
+        np.maximum.at(mx, idx, s64)
+        sm[idx] += s64
+    s32 = (mx + np.float64(tie) * (sm - mx)).astype(np.float32)
+    order = np.lexsort((uniq, -s32.astype(np.float64)))[:k]
+    return uniq[order], s32[order]
+
+
 def boolean_topk(
     postings: dict[str, EncodedPosting],
     weights: dict[str, np.float32],
@@ -1939,6 +2006,12 @@ class WandSearcher:
             return self._search_span_nested(q, k)
         if isinstance(q, A.TermAutomatonQ):
             return self._search_term_automaton(q, k)
+        if isinstance(q, (A.SynonymQ, A.BlendedTermQ)):
+            return self._search_blend(q, k)
+        if (isinstance(q, A.DisMaxQ)
+                and all(isinstance(c, A.TermQ) and c.boost == 1.0
+                        for c in q.clauses)):
+            return self._search_dismax_terms(q, k)
         shape = self._flat_terms(q)
         if shape is None:
             # fallback: exhaustive over decoded postings; positions are
@@ -2214,6 +2287,73 @@ class WandSearcher:
                    .repartition(KERNEL_HASH_PARTITIONS, F.col("seg_id"))
                    .groupBy("seg_id").applyInPandas(
                        per_segment, schema="docid long, score float"))
+        top = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        return top.withColumn("rank", F.row_number().over(w))
+
+    def _search_blend(self, q, k: int) -> DataFrame:
+        """SynonymQ / BlendedTermQ on the segment tier — both score
+        with the BLENDED df (max over the terms); Synonym sums tf and
+        scores once (synonym_topk), Blended scores per term with the
+        shared weight and SHOULD-folds (== exhaustive_topk with one
+        weight). Bit-equal to the flat evaluators (duels)."""
+        terms = sorted(set(q.terms))
+        dfs = self._global_df(terms)
+        present = [t for t in terms if dfs[t] > 0]
+        if not present:
+            return self.si.spark.createDataFrame(
+                [], "docid long, score float, rank int")
+        w32 = np.float32(self.bm25.term_weight(
+            max(dfs[t] for t in present), q.boost))
+        is_syn = isinstance(q, A.SynonymQ)
+        bm25 = self.bm25
+        k_ = int(k)
+        idx_path = self.si.path
+
+        def per_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(key[0])
+            norms, doc_base = _load_seg_norms(idx_path, sid)
+            eps = _grouped_postings(idx_path, sid, pdf, bulk_all=True)
+            if is_syn:
+                d, s = synonym_topk(eps, w32, norms, doc_base, bm25, k=k_)
+            else:
+                d, s = exhaustive_topk(eps, {t: w32 for t in eps},
+                                       norms, doc_base, bm25, k=k_)
+            return pd.DataFrame({"docid": d, "score": s})
+
+        rows = self._meta_rows().where(F.col("term").isin(present))
+        per_seg = (rows.groupBy("seg_id").applyInPandas(
+            per_segment, schema="docid long, score float"))
+        top = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        return top.withColumn("rank", F.row_number().over(w))
+
+    def _search_dismax_terms(self, q, k: int) -> DataFrame:
+        """DisMaxQ over plain term clauses on the segment tier
+        (dismax_terms_topk). Bit-equal to the flat _eval_dismax."""
+        terms = sorted({c.term for c in q.clauses})
+        dfs = self._global_df(terms)
+        present = [t for t in terms if dfs[t] > 0]
+        if not present:
+            return self.si.spark.createDataFrame(
+                [], "docid long, score float, rank int")
+        weights = {t: self.bm25.term_weight(dfs[t]) for t in present}
+        tie = float(q.tie_breaker)
+        bm25 = self.bm25
+        k_ = int(k)
+        idx_path = self.si.path
+
+        def per_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(key[0])
+            norms, doc_base = _load_seg_norms(idx_path, sid)
+            eps = _grouped_postings(idx_path, sid, pdf, bulk_all=True)
+            d, s = dismax_terms_topk(eps, weights, tie, norms, doc_base,
+                                     bm25, k=k_)
+            return pd.DataFrame({"docid": d, "score": s})
+
+        rows = self._meta_rows().where(F.col("term").isin(present))
+        per_seg = (rows.groupBy("seg_id").applyInPandas(
+            per_segment, schema="docid long, score float"))
         top = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("docid"))
         return top.withColumn("rank", F.row_number().over(w))

@@ -788,3 +788,31 @@ def test_term_automaton_plan_no_full_decode(seg_index):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
     assert "MapInPandas" not in plan
+
+
+def test_synonym_blended_dismax_segment_native(seg_index, flat_searcher):
+    """SynonymQ / BlendedTermQ / DisMaxQ-of-terms run segment-native
+    (synonym_topk / exhaustive_topk / dismax_terms_topk) and duel the
+    flat executor bit-equal; the plan ships metadata-only rows (no
+    as_flat_tables MapInPandas)."""
+    ws = WandSearcher(seg_index)
+    shapes = [
+        A.SynonymQ(("t000001", "t000002")),
+        A.SynonymQ(("t000000", "missingterm", "t000010"), boost=1.5),
+        A.BlendedTermQ(("t000001", "t000100")),
+        A.BlendedTermQ(("t000000", "t000001", "t000002"), boost=0.7),
+        A.DisMaxQ((A.TermQ("t000001"), A.TermQ("t000002")),
+                  tie_breaker=0.0),
+        A.DisMaxQ((A.TermQ("t000000"), A.TermQ("t000010"),
+                   A.TermQ("t000050")), tie_breaker=0.3),
+    ]
+    for q in shapes:
+        a = _rows(ws.search(q, k=10))
+        b = _rows(flat_searcher.search(q, k=10))
+        assert a == b, q.key()
+    plan = (ws.search(shapes[0], k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "FlatMapGroupsInPandas" in plan and "MapInPandas" not in plan
+    plan = (ws.search(shapes[4], k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "FlatMapGroupsInPandas" in plan and "MapInPandas" not in plan

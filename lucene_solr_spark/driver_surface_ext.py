@@ -4429,3 +4429,136 @@ agg AS (
 
 _register("seg_multifield_qf", _seg_multifield_qf,
           _f32_qf_topk_sql(["table", "scan"]))
+
+
+# ---- §2.4 JoinUtil score modes (round 5, late) -----------------------------
+
+def _join_score(spark, sf, mode):
+    """JoinUtil.createJoinQuery + ScoreMode (lucene/join/.../JoinUtil.java:91,
+    ScoreMode.java:23-47): fromQuery = term 'merge' over documents,
+    fromField = toField = source; per-source aggregate of the f32-exact
+    quantized BM25 scores mapped onto every doc of that source."""
+    from lucene_solr_spark.operators.relational import score_join
+
+    idx = _docs_index(spark, sf)
+    s = Searcher(idx, mode="sql")
+    hits = s.matches(A.TermQ("merge")).select(
+        F.col("docid").alias("doc_id"),
+        F.floor(F.col("score") * Q).cast("long").alias("score_q"))
+    docs = _load(spark, sf, "documents").select("doc_id", "source")
+    from_scored = hits.join(docs, "doc_id").select("source", "score_q")
+    return score_join(from_scored, docs, "source", mode=mode, k=10)
+
+
+def _join_score_sql(agg_expr: str) -> str:
+    return f"""
+WITH {FT_BASE}, {_ft_scored(['merge'])},
+fhits AS (
+  SELECT doc_id, CAST(floor(s * 1000000) AS BIGINT) AS score_q FROM scored
+),
+dim AS (
+  SELECT d.source, {agg_expr} AS score_q
+  FROM fhits f JOIN documents d USING (doc_id) GROUP BY d.source
+),
+hits AS (
+  SELECT d.doc_id, m.score_q FROM documents d JOIN dim m ON d.source = m.source
+)
+{_topk_sql("SELECT * FROM hits", 10)}
+"""
+
+
+_register("join_score_max", lambda spark, sf: _join_score(spark, sf, "max"),
+          _join_score_sql("max(f.score_q)"))
+
+_register("join_score_avg", lambda spark, sf: _join_score(spark, sf, "avg"),
+          _join_score_sql(
+              "CAST(floor(CAST(sum(f.score_q) AS DOUBLE) / count(*)) AS BIGINT)"))
+
+
+# ---- §2.5 grouped faceting (group.facet=true, round 5 late) ----------------
+
+def _group_facet(spark, sf):
+    """GroupFacetCollector (lucene/grouping/.../GroupFacetCollector.java):
+    facet on lang over docs matching term 'merge', each source group
+    counted once per lang."""
+    from lucene_solr_spark.operators.facets import group_facet
+
+    idx = _docs_index(spark, sf)
+    s = Searcher(idx, mode="sql")
+    m = s.matches(A.TermQ("merge")).select(F.col("docid").alias("doc_id"))
+    docs = _load(spark, sf, "documents").select("doc_id", "lang", "source")
+    return group_facet(m.join(docs, "doc_id"), "source", "lang", k=10)
+
+
+_register("group_facet", _group_facet, f"""
+WITH {FT_BASE},
+hits AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'merge'),
+gf AS (
+  SELECT d.lang AS value, count(DISTINCT d.source)::BIGINT AS cnt
+  FROM hits h JOIN documents d USING (doc_id) GROUP BY d.lang
+)
+SELECT value, cnt,
+       row_number() OVER (ORDER BY cnt DESC, value) AS rank
+FROM gf ORDER BY cnt DESC, value LIMIT 10
+""")
+
+
+# ---- §2.13 WordBreakSpellChecker (round 5, late) ---------------------------
+
+_WB_WORDS = ["hashjoin", "sortkey", "batchagg", "mergescan", "xyzzy"]
+
+
+def _spellcheck_wordbreak(spark, sf):
+    """WordBreakSpellChecker.suggestWordBreaks over the corpus
+    dictionary (suggest/spell/WordBreakSpellChecker.java:91-151)."""
+    return SX.word_break_suggest(_docs_index(spark, sf), _WB_WORDS, k=10)
+
+
+_register("spellcheck_wordbreak", _spellcheck_wordbreak, f"""
+WITH {FT_BASE},
+words(word) AS (VALUES {", ".join(f"('{w}')" for w in _WB_WORDS)}),
+splits AS (
+  SELECT w.word, i AS split_pos,
+         substr(w.word, 1, i::INT) AS left_term,
+         substr(w.word, i::INT + 1) AS right_term
+  FROM words w, range(1, 64) t(i) WHERE i < len(w.word)
+),
+cand AS (
+  SELECT s.word, s.split_pos, s.left_term, s.right_term,
+         lt.df::BIGINT AS left_df, rt.df::BIGINT AS right_df
+  FROM splits s
+  JOIN tstats lt ON lt.term = s.left_term
+  JOIN tstats rt ON rt.term = s.right_term
+  WHERE lt.df >= 1 AND rt.df >= 1
+)
+SELECT word, split_pos, left_term, right_term, left_df, right_df,
+       greatest(left_df, right_df) AS max_freq,
+       row_number() OVER (
+         ORDER BY greatest(left_df, right_df) DESC, word, split_pos) AS rank
+FROM cand ORDER BY max_freq DESC, word, split_pos LIMIT 10
+""")
+
+
+# ---- sandbox DocValuesNumbersQuery (round 5, late) -------------------------
+
+def _seg_dv_numbers(spark, sf):
+    """DocValuesNumbersQuery (lucene/sandbox/.../DocValuesNumbersQuery.java):
+    docs whose numeric doc value is in a given long set, answered from
+    the dv sidecar alone (the doc-values arm of IndexOrDocValuesQuery)
+    — source tables never scanned (plan-asserted in
+    tests/test_segments.py)."""
+    si = _seg_docvalues(spark, sf)
+    vals = list(range(80, 120))
+    return (si.docvalues
+            .where(F.col("n_chars").cast("long").isin(vals))
+            .select(F.col("docid").alias("doc_id"),
+                    F.col("n_chars").cast("long").alias("n_chars"))
+            .orderBy("doc_id"))
+
+
+_register("seg_dv_numbers", _seg_dv_numbers, """
+SELECT doc_id, n_chars::BIGINT AS n_chars
+FROM documents
+WHERE n_chars BETWEEN 80 AND 119
+ORDER BY doc_id
+""")

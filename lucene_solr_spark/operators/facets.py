@@ -286,3 +286,25 @@ def json_facet(df: DataFrame, spec: dict) -> DataFrame:
 def distinct_values(df: DataFrame, fields: list[str]) -> DataFrame:
     """DistinctValuesCollector / SELECT DISTINCT."""
     return df.select(*fields).distinct()
+
+
+def group_facet(df: DataFrame, group_col: str, facet_col: str,
+                k: int = 10) -> DataFrame:
+    """Grouped faceting (group.facet=true) — GroupFacetCollector
+    (lucene/grouping/src/java/org/apache/lucene/search/grouping/
+    GroupFacetCollector.java; Solr wiring solr/core/.../request/
+    SimpleFacets.java): facet counts where each GROUP contributes at
+    most once per facet value, instead of once per document.
+
+    ``df``: matching docs already joined to (group_col, facet_col).
+    Returns (value, cnt, rank) top-k by (count desc, value asc).
+
+    Scale: count(DISTINCT group) compiles to a two-level hash
+    aggregate (expand + partial + final) — one shuffle keyed on the
+    facet value; no per-group window, no collect."""
+    agg = (df.groupBy(F.col(facet_col).alias("value"))
+             .agg(F.countDistinct(group_col).cast("long").alias("cnt")))
+    order = [F.desc("cnt"), F.asc("value")]
+    w = Window.orderBy(*order)
+    return (agg.orderBy(*order).limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("long")))

@@ -128,3 +128,55 @@ def ranked(df: DataFrame, order: list[Column], rank_col: str = "rank") -> DataFr
     single-partition — only for small/top-k results; large exports
     should carry their sort keys instead."""
     return df.withColumn(rank_col, F.row_number().over(Window.orderBy(*order)))
+
+
+def score_join(from_scored: DataFrame, to_df: DataFrame, key_col: str,
+               mode: str = "max", k: int = 10,
+               score_col: str = "score_q", doc_col: str = "doc_id",
+               broadcast_values: bool = True) -> DataFrame:
+    """Query-time score-carrying join — JoinUtil.createJoinQuery with a
+    ScoreMode (lucene/join/src/java/org/apache/lucene/search/join/
+    JoinUtil.java:91, ScoreMode.java:23-47,
+    TermsWithScoreCollector.java): from-side hit scores are aggregated
+    per unique join value (Max / Min / Total / Avg), then every to-side
+    doc carrying that value is returned with the aggregated score.
+
+    ``from_scored``: (key_col, score_col) rows — one per from-side hit
+    (already joined to its join value). ``to_df`` must carry
+    (doc_col, key_col). Returns (doc_col, score_q, rank) top-k by
+    (score desc, doc asc).
+
+    Determinism deviation (documented): the reference's
+    TermsWithScoreCollector folds float scores in doc-encounter order
+    (order-dependent float sums); we aggregate the *quantized* integer
+    scores (floor(f32_score * 1e6), the engine's standard quantization)
+    so Total/Max/Min are exact integer folds and Avg is an IEEE-double
+    division of exact integers — order-free and engine-portable.
+
+    Scale: the per-value aggregate is a partial+final hash agg (one
+    shuffle on the join value); the aggregated dim is one row per
+    distinct join value — the reference keeps exactly this in memory
+    (TermsIncludingScoreQuery), so broadcasting it is the faithful
+    plan. Set broadcast_values=False for join keys too wide to
+    broadcast (falls back to a shuffle join, AQE still free to pick
+    broadcast)."""
+    if mode == "avg":
+        agg = F.floor(F.sum(score_col).cast("double")
+                      / F.count(F.lit(1))).cast("long")
+    elif mode == "total":
+        agg = F.sum(score_col).cast("long")
+    elif mode == "max":
+        agg = F.max(score_col).cast("long")
+    elif mode == "min":
+        agg = F.min(score_col).cast("long")
+    else:
+        raise ValueError(f"score_join: unknown ScoreMode {mode!r}")
+    dim = from_scored.groupBy(key_col).agg(agg.alias("score_q"))
+    if broadcast_values:
+        dim = F.broadcast(dim)
+    hits = to_df.select(doc_col, key_col).join(dim, key_col)
+    order = [F.desc("score_q"), F.asc(doc_col)]
+    w = Window.orderBy(*order)
+    return (hits.orderBy(*order).limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .select(doc_col, "score_q", "rank"))

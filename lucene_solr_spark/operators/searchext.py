@@ -268,3 +268,77 @@ def highlight_passages(index: IndexTables, docs_text: DataFrame,
         F.col("docid").alias(id_col), "passage", "score_q", "n_match",
         F.substring(F.col("_text"), F.col("_st") + 1,
                     F.col("_en") - F.col("_st")).alias("snippet"))
+
+
+def word_break_suggest(index: IndexTables, words: list[str], k: int = 10,
+                       min_suggestion_freq: int = 1,
+                       min_break_len: int = 1) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks (lucene/suggest/src/java/
+    org/apache/lucene/search/spell/WordBreakSpellChecker.java:91-151),
+    maxChanges=1: one-split break suggestions where BOTH halves are
+    dictionary terms with df >= min_suggestion_freq and length >=
+    min_break_len. Ranking is the default
+    NUM_CHANGES_THEN_MAX_FREQUENCY (all candidates here are one
+    change, so max(df_left, df_right) desc); exact-frequency ties are
+    broken (word asc, split_pos asc) — the reference priority queue's
+    order on ties is insertion-dependent, pinned here so the result is
+    engine-portable. Returns (word, split_pos, left_term, right_term,
+    left_df, right_df, max_freq, rank).
+
+    Scale: the candidate frame is tiny (sum of word lengths) and is
+    broadcast into two prefix/suffix equi-joins against term_stats;
+    the isin() pre-filter pushes into the term-stats scan."""
+    cand = []
+    for w_ in words:
+        for i in range(1, len(w_)):
+            left, right = w_[:i], w_[i:]
+            if len(left) >= min_break_len and len(right) >= min_break_len:
+                cand.append((w_, i, left, right))
+    spark = index.term_stats.sparkSession
+    cdf = spark.createDataFrame(
+        cand, "word string, split_pos long, left_term string, right_term string")
+    subs = sorted({c[2] for c in cand} | {c[3] for c in cand})
+    ts = (index.term_stats.where(F.col("term").isin(subs))
+          .select("term", F.col("df").cast("long").alias("df"))
+          .where(F.col("df") >= min_suggestion_freq))
+    out = (F.broadcast(cdf)
+           .join(ts.select(F.col("term").alias("left_term"),
+                           F.col("df").alias("left_df")), "left_term")
+           .join(ts.select(F.col("term").alias("right_term"),
+                           F.col("df").alias("right_df")), "right_term")
+           .select("word", "split_pos", "left_term", "right_term",
+                   "left_df", "right_df",
+                   F.greatest("left_df", "right_df").alias("max_freq")))
+    order = [F.desc("max_freq"), F.asc("word"), F.asc("split_pos")]
+    w = Window.orderBy(*order)
+    return (out.orderBy(*order).limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("long")))
+
+
+def word_combine_suggest(index: IndexTables, terms: list[str], k: int = 10,
+                         min_suggestion_freq: int = 1) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordCombinations
+    (WordBreakSpellChecker.java:160-243), maxChanges=1 → adjacent
+    pairs only (the reference inner loop runs j - i <= maxChanges):
+    for each adjacent query-term pair, suggest the concatenation if it
+    is a dictionary term with df >= min_suggestion_freq (SUGGEST_ALWAYS
+    mode: no original-frequency gate). Ranked by combined df desc,
+    then pair index asc (same tie-pinning rationale as
+    word_break_suggest). Returns (pair_idx, left_term, right_term,
+    combined, combined_df, rank)."""
+    pairs = [(i, terms[i], terms[i + 1], terms[i] + terms[i + 1])
+             for i in range(len(terms) - 1)]
+    spark = index.term_stats.sparkSession
+    pdf = spark.createDataFrame(
+        pairs, "pair_idx long, left_term string, right_term string, combined string")
+    ts = (index.term_stats
+          .where(F.col("term").isin([p[3] for p in pairs]))
+          .select(F.col("term").alias("combined"),
+                  F.col("df").cast("long").alias("combined_df"))
+          .where(F.col("combined_df") >= min_suggestion_freq))
+    out = F.broadcast(pdf).join(ts, "combined").select(
+        "pair_idx", "left_term", "right_term", "combined", "combined_df")
+    order = [F.desc("combined_df"), F.asc("pair_idx")]
+    w = Window.orderBy(*order)
+    return (out.orderBy(*order).limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("long")))

@@ -1,0 +1,102 @@
+"""Round-5 late additions: JoinUtil score modes (score_join),
+WordBreakSpellChecker (word_break_suggest / word_combine_suggest),
+grouped faceting (group_facet), DocValuesNumbersQuery plan hygiene."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.builder import build_index
+from lucene_solr_spark.operators.facets import group_facet
+from lucene_solr_spark.operators.relational import score_join
+from lucene_solr_spark.operators.searchext import (
+    word_break_suggest, word_combine_suggest)
+
+
+@pytest.fixture(scope="module")
+def combo_index(spark):
+    rows = [
+        (0, "data base database merge"),
+        (1, "database data warehouse"),
+        (2, "merge sort database"),
+        (3, "base data sortmerge"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return build_index(docs, key_col="doc_id", text_col="text",
+                       precomputed_docid="doc_id", analyzer="whitespace")
+
+
+def test_word_combine_suggest(combo_index):
+    out = word_combine_suggest(
+        combo_index, ["data", "base", "merge", "sort", "merge"]).collect()
+    # adjacent pairs: database (df 3), basemerge (absent), mergesort
+    # (absent), sortmerge (df 1)
+    got = [(r["pair_idx"], r["combined"], r["combined_df"], r["rank"])
+           for r in out]
+    assert got == [(0, "database", 3, 1), (3, "sortmerge", 1, 2)]
+
+
+def test_word_break_suggest_rank_and_ties(combo_index):
+    out = word_break_suggest(
+        combo_index, ["databasemerge", "sortmerge", "zzz"], k=10).collect()
+    rows = [(r["word"], r["split_pos"], r["left_term"], r["right_term"],
+             r["max_freq"], r["rank"]) for r in out]
+    # dictionary dfs: data=3, base=2, database=3, merge=2, sort=1,
+    # sortmerge=1, warehouse=1
+    # databasemerge: split 4 -> data+basemerge (no), split 8 ->
+    #   database+merge (max 3)
+    # sortmerge: split 4 -> sort+merge (max(1,2) = 2)
+    assert rows == [
+        ("databasemerge", 8, "database", "merge", 3, 1),
+        ("sortmerge", 4, "sort", "merge", 2, 2),
+    ]
+
+
+def test_word_break_min_len_and_freq(combo_index):
+    # min_break_len=5 kills sort+merge (4-char left); min freq 4 kills all
+    out = word_break_suggest(combo_index, ["sortmerge"], min_break_len=5)
+    assert out.count() == 0
+    out2 = word_break_suggest(combo_index, ["databasemerge"],
+                              min_suggestion_freq=4)
+    assert out2.count() == 0
+
+
+def test_score_join_modes(spark):
+    from_scored = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 31), ("b", 100)],
+        "k string, score_q long")
+    to_df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "c")], "doc_id long, k string")
+    def got(mode):
+        return [(r["doc_id"], r["score_q"], r["rank"])
+                for r in score_join(from_scored, to_df, "k",
+                                    mode=mode, k=10).collect()]
+    assert got("max") == [(2, 100, 1), (1, 31, 2), (3, 31, 3)]
+    assert got("min") == [(2, 100, 1), (1, 10, 2), (3, 10, 3)]
+    assert got("total") == [(2, 100, 1), (1, 61, 2), (3, 61, 3)]
+    # avg: floor(61/3) = 20
+    assert got("avg") == [(2, 100, 1), (1, 20, 2), (3, 20, 3)]
+    with pytest.raises(ValueError):
+        score_join(from_scored, to_df, "k", mode="none")
+
+
+def test_group_facet_counts_groups_once(spark):
+    df = spark.createDataFrame(
+        [("g1", "en"), ("g1", "en"), ("g1", "en"),
+         ("g2", "en"), ("g2", "de"), ("g3", "de")],
+        "grp string, lang string")
+    out = [(r["value"], r["cnt"], r["rank"])
+           for r in group_facet(df, "grp", "lang").collect()]
+    # en: groups {g1, g2} -> 2 (NOT 4 docs); de: {g2, g3} -> 2; tie by value
+    assert out == [("de", 2, 1), ("en", 2, 2)]
+
+
+def test_seg_dv_numbers_source_free(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["seg_dv_numbers"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "docvalues" in plan
+    assert "documents.parquet" not in plan
+    assert df.count() > 0

@@ -1058,16 +1058,27 @@ DRIVER_PRIORITY = [
     # phrase family in-window via seg_phrase/seg_phrase_hot
     "solr_classic_qp",
     # (b) flagship: segment index + block-max WAND (float32-exact
-    # oracles) — permanent regression guard on the scoring kernel
-    "seg_bm25_wand", "seg_bm25_and", "seg_bm25_msm", "seg_bm25_not",
-    "seg_and_match", "seg_or_match", "seg_function_query", "seg_sort_dv",
-    # (c) r1-era rotation (no driver verdict since round 1;
-    # facet_pivot / fetch_stream rotated out for the a3 newcomers —
-    # their families stay represented by facet_terms / innerjoin +
-    # leftouter, and the local gate re-validates them every run)
-    "ft_term", "ft_bool_and", "ft_bool_or_msm",
-    "ft_phrase", "ft_bm25_or",
-    "innerjoin_stream",
+    # oracles) — permanent regression guard on the scoring kernel.
+    # (r5 late) seg_bm25_and/seg_bm25_msm/seg_or_match displaced —
+    # all r4-driver-green; AND/MSM/OR coverage stays via seg_bm25_wand,
+    # seg_bm25_not, seg_and_match, ft_bool_or_msm
+    "seg_bm25_wand", "seg_bm25_not",
+    "seg_and_match", "seg_function_query", "seg_sort_dv",
+    # (r5 late) sandbox DocValuesNumbersQuery from the dv sidecar
+    "seg_dv_numbers",
+    # (r5 late) JoinUtil ScoreMode joins, grouped faceting,
+    # WordBreakSpellChecker — displaced ft_term / ft_bool_and /
+    # ft_phrase / innerjoin_stream (all r4-driver-green; term family
+    # stays via ft_whitespace_term + the seg_* kernels, phrase via
+    # seg_phrase/seg_phrase_hot, relational joins via the score joins
+    # + solr_block_qp/solr_graph_qp)
+    "join_score_max", "join_score_avg", "group_facet",
+    "spellcheck_wordbreak",
+    # (r5 late) the widened similarity lattice (DFR G-B-H1, IB SPL-T-H2,
+    # LM Jelinek-Mercer) — registered this round, windowed immediately
+    # so nothing accumulates a never-windowed debt
+    "ft_dfr_gb", "ft_ib_spl", "ft_lmjm",
+    "ft_bool_or_msm", "ft_bm25_or",
     "dedup_exact", "group_topk",
     # facet family represented by the r4 nested JSON Facet evaluator
     # (facet_terms is its strict subset; r1-green on record)
@@ -1076,8 +1087,10 @@ DRIVER_PRIORITY = [
     # docfreq/ttf/strdist in the {!func} grammar), the segment-native
     # two-phase span kernel, and QParser dialect batch 3
     # ({!knn}/{!hash}/{!rank} + {!dismax} over the multi-field engine)
+    # (r5 late: solr_qparser_mix4 displaced — r4-green, dialect
+    # batches stay via mix2/mix3 and solr_tlogit_qp)
     "solr_stats_vs_qp", "seg_span_near", "solr_qparser_mix3",
-    "solr_dismax_qp", "ltr_rerank", "solr_qparser_mix4",
+    "solr_dismax_qp", "ltr_rerank",
     "seg_multifield_title", "seg_multifield_qf",
     # (d) r2/r3 regression sample across operator families
     # (ft_edismax, events_sessionize, term_automaton rotated out — all

@@ -1078,7 +1078,11 @@ DRIVER_PRIORITY = [
     # LM Jelinek-Mercer) — registered this round, windowed immediately
     # so nothing accumulates a never-windowed debt
     "ft_dfr_gb", "ft_ib_spl", "ft_lmjm",
-    "ft_bool_or_msm", "ft_bm25_or",
+    # (r5 late) DirectSpellChecker with the reference comparator/OSA
+    # scoring (displaced ft_bm25_or — r1-green on record; OR scoring
+    # stays via seg_bm25_wand + ft_bool_or_msm)
+    "spellcheck_direct",
+    "ft_bool_or_msm",
     "dedup_exact", "group_topk",
     # facet family represented by the r4 nested JSON Facet evaluator
     # (facet_terms is its strict subset; r1-green on record)

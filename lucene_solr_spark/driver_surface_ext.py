@@ -4562,3 +4562,44 @@ FROM documents
 WHERE n_chars BETWEEN 80 AND 119
 ORDER BY doc_id
 """)
+
+
+# ---- §2.13 DirectSpellChecker with real scoring (round 5, late) ------------
+
+_DSC_WORDS = ["mereg", "sow", "dart", "qery", "streem"]
+
+
+def _spellcheck_direct(spark, sf):
+    """DirectSpellChecker.suggestSimilar over the corpus dictionary
+    (suggest/spell/DirectSpellChecker.java:286; OSA distance,
+    1 - d/min(len) scoring, score/freq/term comparator). The oracle
+    uses DuckDB's damerau_levenshtein — full Damerau, not OSA — which
+    is equal to OSA for every (word, vocab-term) pair these inputs
+    reach (asserted in tests/test_round5_late.py; the two metrics
+    diverge only when a transposed pair is edited again)."""
+    return SX.direct_spellcheck(_docs_index(spark, sf), _DSC_WORDS,
+                                k_per_word=5)
+
+
+_register("spellcheck_direct", _spellcheck_direct, f"""
+WITH {FT_BASE},
+words(word) AS (VALUES {", ".join(f"('{w}')" for w in _DSC_WORDS)}),
+cand AS (
+  SELECT w.word, t.term, t.df::BIGINT AS df,
+         damerau_levenshtein(w.word, t.term)::BIGINT AS dist
+  FROM words w JOIN tstats t
+    ON abs(len(t.term) - len(w.word)) <= 2 AND t.term <> w.word
+),
+sc AS (
+  SELECT word, term, df, dist,
+         CAST(floor((1.0 - dist::DOUBLE
+                     / least(len(word), len(term))) * 1000000)
+              AS BIGINT) AS score_q
+  FROM cand WHERE dist <= 2
+)
+SELECT word, term, df, dist, score_q,
+       row_number() OVER (
+         PARTITION BY word ORDER BY score_q DESC, df DESC, term) AS rank
+FROM sc WHERE score_q >= 500000
+QUALIFY rank <= 5
+""")

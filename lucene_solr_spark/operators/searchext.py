@@ -10,6 +10,7 @@ automaton's, and stored text plays the term-vector highlighter's.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -342,3 +343,77 @@ def word_combine_suggest(index: IndexTables, terms: list[str], k: int = 10,
     w = Window.orderBy(*order)
     return (out.orderBy(*order).limit(k)
             .withColumn("rank", F.row_number().over(w).cast("long")))
+
+
+def osa_distance(a: str, b: str) -> int:
+    """Optimal-string-alignment edit distance with adjacent
+    transpositions — the matrix DirectSpellChecker scores with
+    (lucene/suggest/src/java/org/apache/lucene/search/spell/
+    LuceneLevenshteinDistance.java:48-104; the automaton enumerator
+    accepts exactly this set at max_edits<=2). NOT full
+    Damerau-Levenshtein: a transposed pair cannot be edited again
+    (d[i-2][j-2] recurrence)."""
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return 0 if n == m else max(n, m)
+    prev2 = None
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        for j in range(1, m + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                v = min(v, prev2[j - 2] + cost)
+            cur[j] = v
+        prev2, prev = prev, cur
+    return prev[m]
+
+
+def direct_spellcheck(index: IndexTables, words: list[str],
+                      k_per_word: int = 5, max_edits: int = 2,
+                      accuracy: float = 0.5, min_df: int = 1) -> DataFrame:
+    """DirectSpellChecker.suggestSimilar (lucene/suggest/.../spell/
+    DirectSpellChecker.java:286,341): dictionary candidates within
+    ``max_edits`` OSA distance, scored 1 - dist/min(len) (the
+    LuceneLevenshteinDistance scale), gated at ``accuracy`` (default
+    0.5), ranked by SuggestWordQueue.DEFAULT_COMPARATOR
+    (SuggestWordScoreComparator: score desc, freq desc, term asc),
+    top ``k_per_word`` per input word. Scores are quantized
+    floor(x*1e6) and the accuracy gate applies to the quantized value
+    so the ordering is engine-portable (the ratio is an exact IEEE
+    double of two small ints on every engine).
+
+    Scale: the |len(term) - len(word)| <= max_edits window is a plain
+    Column predicate evaluated BELOW the Arrow-batched OSA UDF — the
+    Levenshtein-automaton term-dict intersection's cheap analogue; the
+    UDF only sees the surviving dictionary slice, never the corpus."""
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def _osa(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([osa_distance(x, y) for x, y in zip(a, b)],
+                         dtype="int32")
+
+    spark = index.term_stats.sparkSession
+    wdf = spark.createDataFrame([(w, len(w)) for w in words],
+                                "word string, wlen int")
+    ts = index.term_stats.select("term",
+                                 F.col("df").cast("long").alias("df"))
+    cand = (ts.crossJoin(F.broadcast(wdf))
+            .where((F.abs(F.length("term") - F.col("wlen")) <= max_edits)
+                   & (F.col("term") != F.col("word"))
+                   & (F.col("df") >= min_df))
+            .withColumn("dist", _osa("word", "term").cast("long"))
+            .where(F.col("dist") <= max_edits))
+    score = (F.lit(1.0) - F.col("dist").cast("double")
+             / F.least(F.length("term"), F.col("wlen")).cast("double"))
+    out = (cand.withColumn("score_q",
+                           F.floor(score * 1_000_000).cast("long"))
+           .where(F.col("score_q") >= int(accuracy * 1_000_000)))
+    w = Window.partitionBy("word").orderBy(
+        F.desc("score_q"), F.desc("df"), F.asc("term"))
+    return (out.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k_per_word)
+            .select("word", "term", "df", "dist", "score_q", "rank"))

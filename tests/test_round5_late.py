@@ -100,3 +100,55 @@ def test_seg_dv_numbers_source_free(spark):
     assert "docvalues" in plan
     assert "documents.parquet" not in plan
     assert df.count() > 0
+
+
+def test_osa_distance_reference_cases():
+    from lucene_solr_spark.operators.searchext import osa_distance
+
+    # classic edits
+    assert osa_distance("", "") == 0
+    assert osa_distance("abc", "") == 3
+    assert osa_distance("kitten", "sitting") == 3
+    # adjacent transposition costs 1 (the d[i-2][j-2] recurrence)
+    assert osa_distance("merge", "mereg") == 1
+    assert osa_distance("ab", "ba") == 1
+    # OSA, NOT full Damerau: a transposed pair can't be edited again
+    assert osa_distance("ca", "abc") == 3  # full Damerau gives 2
+
+
+def test_spellcheck_direct_oracle_assumption():
+    """The spellcheck_direct oracle uses DuckDB damerau_levenshtein
+    (full Damerau) while the engine scores OSA. Pin the assumption:
+    the two agree on EVERY (query word, dictionary term) pair the
+    driver query can reach at sf0.01."""
+    import duckdb
+
+    from lucene_solr_spark.driver_surface_ext import _DSC_WORDS
+    from lucene_solr_spark.operators.searchext import osa_distance
+
+    con = duckdb.connect()
+    vocab = [r[0] for r in con.execute("""
+        WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+                     FROM '/root/testdata/sf0.01/documents.parquet')
+        SELECT DISTINCT term FROM tok""").fetchall()]
+    for w_ in _DSC_WORDS:
+        for t in vocab:
+            dd = con.execute("SELECT damerau_levenshtein(?, ?)",
+                             [w_, t]).fetchone()[0]
+            assert dd == osa_distance(w_, t), (w_, t)
+
+
+def test_direct_spellcheck_comparator(combo_index):
+    from lucene_solr_spark.operators.searchext import direct_spellcheck
+
+    # dictionary dfs: data=3, base=2, database=3, merge=2, sort=1,
+    # sortmerge=1, warehouse=1
+    out = direct_spellcheck(combo_index, ["dase"], k_per_word=5).collect()
+    rows = [(r["term"], r["df"], r["dist"], r["score_q"], r["rank"])
+            for r in out]
+    # dase: data d=2 (score 0.5), base d=1 (score 0.75); accuracy keeps
+    # both; base ranks first on score, data second
+    assert rows == [("base", 2, 1, 750000, 1), ("data", 3, 2, 500000, 2)]
+    # transposition scores as ONE edit: "mereg" -> merge dist 1
+    out2 = direct_spellcheck(combo_index, ["mereg"]).collect()
+    assert [(r["term"], r["dist"]) for r in out2] == [("merge", 1)]

@@ -1051,8 +1051,13 @@ DRIVER_PRIORITY = [
     # (a2) round-4 session 2: dialect batch 2 ({!field}/{!raw}/
     # {!switch}/{!maxscore}, block join, graph, geofilt/bbox,
     # surround/complexphrase) + the segment-native MultiPhrase kernel
-    "solr_qparser_mix2", "solr_block_qp", "solr_graph_qp",
+    # (r5 late: solr_graph_qp displaced — r4-green; graph traversal
+    # stays via shortest_path_paths, dialect batches via mix2/mix3)
+    "solr_qparser_mix2", "solr_block_qp",
     "solr_geo_qp",
+    # (r5 late) FastVectorHighlighter fragments over the indexed
+    # term-vector stream
+    "fvh_highlight",
     # (r5) classic QueryParser grammar completion (&&/||/!, field
     # groups, escapes, q.op); displaced solr_phrase_qp — r4-green,
     # phrase family in-window via seg_phrase/seg_phrase_hot

@@ -4603,3 +4603,99 @@ SELECT word, term, df, dist, score_q,
 FROM sc WHERE score_q >= 500000
 QUALIFY rank <= 5
 """)
+
+
+# ---- §2.13 FastVectorHighlighter (round 5, late) ---------------------------
+
+_FVH_FRAG = 60
+_FVH_MARGIN = 6
+
+
+def _fvh_highlight(spark, sf):
+    """FastVectorHighlighter over the indexed term-vector stream
+    (vectorhighlight/FastVectorHighlighter.java): phrase 'hash join',
+    SimpleFragListBuilder fragment chaining, ScoreOrderFragmentsBuilder
+    top-3 fragments per doc. The oracle unrolls the greedy chain 3
+    steps; its set-based absorption equals the reference's sequential
+    absorption because this corpus's matches are uniform-width
+    (pinned in tests/test_round5_late.py)."""
+    idx = _docs_index_offsets(spark, sf)
+    docs = _load(spark, sf, "documents")
+    return SX.fast_vector_highlight(
+        idx, docs, ["hash", "join"], frag_char_size=_FVH_FRAG,
+        margin=_FVH_MARGIN, max_fragments=3)
+
+
+def _fvh_step(k: int, prev: str) -> str:
+    """One unrolled BaseFragListBuilder iteration: trigger = first
+    match at/after the previous fragment end, provisional span,
+    set-based absorption, re-centered emission."""
+    f, g = _FVH_FRAG, _FVH_MARGIN
+    return f"""
+t{k} AS (
+  SELECT p.doc_id, p.pe, min(m.ms) AS ts
+  FROM {prev} p JOIN m ON m.doc_id = p.doc_id AND m.ms >= p.pe
+  GROUP BY p.doc_id, p.pe
+),
+s{k} AS (
+  SELECT t.doc_id, t.pe, t.ts,
+         greatest(t.ts + 9, greatest(t.ts - {g}, t.pe) + {f}) AS sep
+  FROM t{k} t
+),
+a{k} AS (
+  SELECT s.doc_id, s.pe, s.ts, count(*) AS nm, max(m.me) AS ce
+  FROM s{k} s JOIN m ON m.doc_id = s.doc_id
+                    AND m.ms >= s.pe AND m.me <= s.sep
+  GROUP BY s.doc_id, s.pe, s.ts
+),
+f{k} AS (
+  SELECT doc_id, nm,
+         greatest(ts - greatest(0, ({f} - (ce - ts)) // 2), pe) AS fs,
+         greatest(ts - greatest(0, ({f} - (ce - ts)) // 2), pe)
+           + greatest(ce - ts, {f}) AS fe
+  FROM a{k}
+)"""
+
+
+_register("fvh_highlight", _fvh_highlight, f"""
+WITH {FT_BASE},
+occ AS (
+  SELECT t.doc_id, t.pos, t.term,
+         CASE WHEN t.pos = 0 THEN 0
+              ELSE len(array_to_string(
+                       (string_split(d.text, ' '))[1:t.pos], ' ')) + 1
+         END AS st,
+         len((string_split(d.text, ' '))[t.pos + 1]) AS tlen
+  FROM tokf t JOIN documents d USING (doc_id)
+  WHERE t.term IN ('hash', 'join')
+),
+m AS (
+  SELECT o1.doc_id, o1.st AS ms, (o2.st + o2.tlen) AS me
+  FROM occ o1 JOIN occ o2
+    ON o1.doc_id = o2.doc_id AND o2.pos = o1.pos + 1
+  WHERE o1.term = 'hash' AND o2.term = 'join'
+),
+seed AS (SELECT DISTINCT doc_id, 0 AS pe FROM m),
+{_fvh_step(1, "seed")},
+p2 AS (SELECT doc_id, fe AS pe FROM f1),
+{_fvh_step(2, "p2")},
+p3 AS (SELECT doc_id, fe AS pe FROM f2),
+{_fvh_step(3, "p3")},
+allf AS (
+  SELECT doc_id, fs, fe, nm FROM f1
+  UNION ALL SELECT doc_id, fs, fe, nm FROM f2
+  UNION ALL SELECT doc_id, fs, fe, nm FROM f3
+),
+ranked AS (
+  SELECT doc_id, fs AS frag_start, fe AS frag_end, nm AS n_matches,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY nm DESC, fs ASC) AS rank
+  FROM allf
+)
+SELECT r.doc_id, r.frag_start, r.frag_end, r.n_matches,
+       substr(d.text, (r.frag_start + 1)::INT,
+              (r.frag_end - r.frag_start)::INT) AS snippet,
+       r.rank
+FROM ranked r JOIN documents d USING (doc_id)
+WHERE r.rank <= 3
+""")

@@ -417,3 +417,127 @@ def direct_spellcheck(index: IndexTables, words: list[str],
     return (out.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k_per_word)
             .select("word", "term", "df", "dist", "score_q", "rank"))
+
+
+def _fvh_fragments(matches: list[tuple[int, int]], frag_char_size: int,
+                   margin: int) -> list[tuple[int, int, int]]:
+    """BaseFragListBuilder.createFieldFragList
+    (lucene/highlighter/src/java/org/apache/lucene/search/
+    vectorhighlight/BaseFragListBuilder.java:47-98), single-field,
+    boost-1 phrases: greedy chaining of offset-sorted phrase matches
+    into fragments. Returns [(frag_start, frag_end, n_matches)].
+    acceptPhrase (BaseFragListBuilder.java:112): multi-term phrases
+    are discarded when matchLength > fragCharSize — callers pass
+    single-phrase matches, where the reference accepts unless the
+    match itself outgrows the fragment."""
+    out = []
+    i, n = 0, len(matches)
+    start_offset = 0
+    while i < n:
+        ms, me = matches[i]
+        if ms < start_offset:
+            i += 1
+            continue
+        cur_start, cur_end = ms, me
+        wpil = 1 if (me - ms) <= frag_char_size else 0
+        i += 1
+        span_start = max(cur_start - margin, start_offset)
+        span_end = max(cur_end, span_start + frag_char_size)
+        while i < n and matches[i][1] <= span_end:
+            cur_end = matches[i][1]
+            if (cur_end - cur_start) <= frag_char_size:
+                wpil += 1
+            i += 1
+        if wpil == 0:
+            continue
+        match_len = cur_end - cur_start
+        new_margin = max(0, (frag_char_size - match_len) // 2)
+        span_start = max(cur_start - new_margin, start_offset)
+        span_end = span_start + max(match_len, frag_char_size)
+        start_offset = span_end
+        out.append((span_start, span_end, wpil))
+    return out
+
+
+def fast_vector_highlight(index: IndexTables, docs_text: DataFrame,
+                          phrase_terms: list[str],
+                          frag_char_size: int = 100, margin: int = 6,
+                          max_fragments: int = 3, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """FastVectorHighlighter (lucene/highlighter/src/java/org/apache/
+    lucene/search/vectorhighlight/FastVectorHighlighter.java):
+    FieldTermStack + FieldPhraseList build phrase matches from the
+    INDEXED term-vector stream (positions + char offsets — no
+    re-analysis); SimpleFragListBuilder (margin 6) chains them
+    greedily into fragments (_fvh_fragments reproduces
+    BaseFragListBuilder.createFieldFragList exactly, including the
+    post-absorption re-centering); fragment totalBoost = sum of
+    phrase boosts = match count for a boost-1 query
+    (SimpleFieldFragList.java:44-50); ScoreOrderFragmentsBuilder
+    returns the top ``max_fragments`` by totalBoost (offset asc tie
+    pinned — the reference sort is stable on insertion order, which
+    IS offset order). Returns (doc_id, frag_start, frag_end,
+    n_matches, snippet, rank-per-doc).
+
+    Scale: matches come from one exploded-postings self-join on
+    (doc, adjacent positions) — the phrase machinery's plan; the
+    greedy loop runs per doc over its own matches inside an
+    Arrow-batched applyInPandas (O(matches per doc), no driver
+    collect). Requires build_index(with_offsets=True)."""
+    from pyspark.sql.types import (LongType, StructField, StructType)
+
+    occ = (index.postings.where(F.col("term").isin(list(set(phrase_terms))))
+           .select("docid", "term",
+                   F.explode(F.arrays_zip("positions", "starts",
+                                          "ends")).alias("o"))
+           .select("docid", "term",
+                   F.col("o.positions").alias("pos"),
+                   F.col("o.starts").alias("st"),
+                   F.col("o.ends").alias("en")))
+    cur = (occ.where(F.col("term") == phrase_terms[0])
+           .select("docid", "pos", F.col("st").alias("ms")))
+    for t in phrase_terms[1:]:
+        nxt = (occ.where(F.col("term") == t)
+               .select("docid", F.col("pos").alias("npos"),
+                       F.col("en").alias("ne")))
+        cur = (cur.join(nxt, (cur.docid == nxt.docid)
+                        & (nxt.npos == cur.pos + 1))
+               .select(cur.docid, nxt.npos.alias("pos"), "ms",
+                       F.col("ne").alias("me")))
+    if len(phrase_terms) == 1:
+        cur = cur.join(
+            occ.where(F.col("term") == phrase_terms[0])
+            .select("docid", "pos", F.col("en").alias("me")),
+            ["docid", "pos"])
+    matches = cur.select("docid", "ms", "me")
+
+    schema = StructType([StructField("docid", LongType()),
+                         StructField("frag_start", LongType()),
+                         StructField("frag_end", LongType()),
+                         StructField("n_matches", LongType())])
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ms", "me"])
+        frags = _fvh_fragments(
+            list(zip(pdf["ms"].tolist(), pdf["me"].tolist())),
+            frag_char_size, margin)
+        did = int(pdf["docid"].iloc[0])
+        return pd.DataFrame(
+            [(did, fs, fe, nm) for fs, fe, nm in frags],
+            columns=["docid", "frag_start", "frag_end", "n_matches"])
+
+    frags = matches.groupBy("docid").applyInPandas(per_doc, schema)
+    w = Window.partitionBy("docid").orderBy(
+        F.desc("n_matches"), F.asc("frag_start"))
+    top = (frags.withColumn("rank", F.row_number().over(w).cast("long"))
+           .where(F.col("rank") <= max_fragments))
+    txt = docs_text.select(F.col(id_col).alias("docid"),
+                           F.col(text_col).alias("_t"))
+    return (top.join(txt, "docid")
+            .select(F.col("docid").alias(id_col), "frag_start", "frag_end",
+                    "n_matches",
+                    F.substring(F.col("_t"),
+                                (F.col("frag_start") + 1).cast("int"),
+                                (F.col("frag_end")
+                                 - F.col("frag_start")).cast("int"))
+                    .alias("snippet"), "rank"))

@@ -152,3 +152,61 @@ def test_direct_spellcheck_comparator(combo_index):
     # transposition scores as ONE edit: "mereg" -> merge dist 1
     out2 = direct_spellcheck(combo_index, ["mereg"]).collect()
     assert [(r["term"], r["dist"]) for r in out2] == [("merge", 1)]
+
+
+def test_fvh_fragment_chaining_reference_cases():
+    from lucene_solr_spark.operators.searchext import _fvh_fragments
+
+    # single match, re-centered: matchLen 9, newMargin 45, clamp at 0
+    assert _fvh_fragments([(10, 19)], 100, 6) == [(0, 100, 1)]
+    # second match absorbed (59 <= provisional span end 104); third
+    # starts a new fragment after frag1's end
+    fr = _fvh_fragments([(10, 19), (50, 59), (150, 159)], 100, 6)
+    # frag1: curEnd=59, matchLen=49, newMargin=25, fs=max(10-25,0)=0,
+    # fe=0+100=100; frag2: trigger 150 >= 100, absorb none,
+    # matchLen=9, newMargin=45, fs=max(150-45,100)=105, fe=205
+    assert fr == [(0, 100, 2), (105, 205, 1)]
+    # a match straddling the previous fragment border is DISCARDED
+    fr2 = _fvh_fragments([(10, 19), (95, 104), (300, 309)], 100, 6)
+    # frag1 = (0,100,1) [absorption while sees me=104 > 100? prov
+    # span end = max(19, 4+100)=104 so (95,104) IS absorbed:
+    # curEnd=104, matchLen=94, newMargin=3, fs=max(10-3,0)=7,
+    # fe=7+100=107]; then (300,309) -> fs=max(300-45,107)=255, fe=355
+    assert fr2 == [(7, 107, 2), (255, 355, 1)]
+    # match wider than fragCharSize: still emitted (span grows), but
+    # the phrase itself is discarded by acceptPhrase -> no fragment
+    assert _fvh_fragments([(0, 150)], 100, 6) == []
+
+
+def test_fvh_oracle_assumptions(spark):
+    """The fvh_highlight oracle's set-based absorption equals the
+    reference's sequential absorption only for uniform-width matches,
+    and unrolls 3 fragments: pin both over sf0.01."""
+    import duckdb
+    con = duckdb.connect()
+    rows = con.execute("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text,' ')) AS term,
+               unnest(range(len(string_split(text,' ')))) AS pos
+        FROM '/root/testdata/sf0.01/documents.parquet'),
+      p1 AS (SELECT doc_id, pos FROM tok WHERE term='hash'),
+      p2 AS (SELECT doc_id, pos FROM tok WHERE term='join')
+      SELECT max(c) FROM (
+        SELECT p1.doc_id, count(*) AS c FROM p1
+        JOIN p2 ON p1.doc_id=p2.doc_id AND p2.pos=p1.pos+1
+        GROUP BY p1.doc_id)""").fetchone()
+    assert rows[0] <= 3  # <= 3 matches -> <= 3 fragments
+    # uniform match width ('hash join' spans exactly 9 chars: the
+    # oracle's trigger end is ts + 9 and its set-based absorption
+    # equals sequential absorption only when ends are ordered like
+    # starts)
+    widths = con.execute("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text,' ')) AS term,
+               unnest(range(len(string_split(text,' ')))) AS pos
+        FROM '/root/testdata/sf0.01/documents.parquet')
+      SELECT DISTINCT len(t1.term) + 1 + len(t2.term)
+      FROM tok t1 JOIN tok t2
+        ON t1.doc_id=t2.doc_id AND t2.pos=t1.pos+1
+      WHERE t1.term='hash' AND t2.term='join'""").fetchall()
+    assert widths == [(9,)]

@@ -1087,8 +1087,12 @@ DRIVER_PRIORITY = [
     # scoring (displaced ft_bm25_or — r1-green on record; OR scoring
     # stays via seg_bm25_wand + ft_bool_or_msm)
     "spellcheck_direct",
+    # (r5 late) SpellCheckCollator re-queried collations (displaced
+    # group_topk — r4-green; grouping family stays via group_facet +
+    # json_facet_nested)
+    "spellcheck_collate",
     "ft_bool_or_msm",
-    "dedup_exact", "group_topk",
+    "dedup_exact",
     # facet family represented by the r4 nested JSON Facet evaluator
     # (facet_terms is its strict subset; r1-green on record)
     "json_facet_nested",

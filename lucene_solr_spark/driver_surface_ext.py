@@ -4699,3 +4699,58 @@ SELECT r.doc_id, r.frag_start, r.frag_end, r.n_matches,
 FROM ranked r JOIN documents d USING (doc_id)
 WHERE r.rank <= 3
 """)
+
+
+# ---- §2.13 SpellCheckCollator (round 5, late) ------------------------------
+
+def _spellcheck_collate(spark, sf):
+    """SpellCheckCollator (solr/core/.../spelling/SpellCheckCollator
+    .java:52-185): collations of the misspelled query 'sow dart' from
+    the top-2 DirectSpellChecker suggestions per word, each verified
+    by re-execution (hits = conjunction count), ranked
+    (rank-sum asc, collation asc)."""
+    return SX.spellcheck_collate(_docs_index(spark, sf),
+                                 ["sow", "dart"], max_collations=5,
+                                 k_sugg=2)
+
+
+_register("spellcheck_collate", _spellcheck_collate, f"""
+WITH {FT_BASE},
+words(word) AS (VALUES ('sow'), ('dart')),
+scand AS (
+  SELECT w.word, t.term, t.df::BIGINT AS df,
+         CAST(floor((1.0 - damerau_levenshtein(w.word, t.term)::DOUBLE
+                     / least(len(w.word), len(t.term))) * 1000000)
+              AS BIGINT) AS score_q
+  FROM words w
+  JOIN tstats t
+    ON abs(len(t.term) - len(w.word)) <= 2 AND t.term <> w.word
+  WHERE damerau_levenshtein(w.word, t.term) <= 2
+),
+sugg AS (
+  SELECT word, term,
+         row_number() OVER (PARTITION BY word
+                            ORDER BY score_q DESC, df DESC, term) AS rnk
+  FROM scand WHERE score_q >= 500000
+),
+s1 AS (SELECT term, rnk FROM sugg WHERE word = 'sow' AND rnk <= 2),
+s2 AS (SELECT term, rnk FROM sugg WHERE word = 'dart' AND rnk <= 2),
+combos AS (
+  SELECT s1.term AS t1, s2.term AS t2,
+         s1.term || ' ' || s2.term AS collation,
+         (s1.rnk + s2.rnk)::BIGINT AS rank_sum
+  FROM s1 CROSS JOIN s2
+),
+h AS (
+  SELECT c.collation, c.rank_sum, count(*)::BIGINT AS hits
+  FROM combos c
+  JOIN (SELECT DISTINCT doc_id, term FROM postings) p1 ON p1.term = c.t1
+  JOIN (SELECT DISTINCT doc_id, term FROM postings) p2
+    ON p2.term = c.t2 AND p2.doc_id = p1.doc_id
+  GROUP BY c.collation, c.rank_sum
+)
+SELECT h.collation, h.hits,
+       row_number() OVER (ORDER BY h.rank_sum, h.collation) AS rank
+FROM h WHERE h.hits > 0
+ORDER BY h.rank_sum, h.collation LIMIT 5
+""")

@@ -541,3 +541,67 @@ def fast_vector_highlight(index: IndexTables, docs_text: DataFrame,
                                 (F.col("frag_end")
                                  - F.col("frag_start")).cast("int"))
                     .alias("snippet"), "rank"))
+
+
+def spellcheck_collate(index: IndexTables, words: list[str],
+                       max_collations: int = 5,
+                       k_sugg: int = 2) -> DataFrame:
+    """SpellCheckCollator (solr/core/src/java/org/apache/solr/spelling/
+    SpellCheckCollator.java:52-185): candidate collations substitute
+    per-term suggestions into the query, each collation is re-executed
+    and kept only if it yields hits. Combos come from the top
+    ``k_sugg`` DirectSpellChecker suggestions per misspelled word
+    (an in-dictionary word keeps itself at rank 0 — the reference only
+    corrects misspelled terms); the PossibilityIterator order is
+    pinned to (rank-sum asc, collation asc) for engine portability
+    (the reference's iterator walks rank combinations in a comparable
+    best-first order, SpellCheckCollator.java:89). Returns
+    (collation, hits, rank) for collations with hits > 0, top
+    ``max_collations``.
+
+    Scale: the suggestion collect is O(words * k_sugg) — the same
+    driver-side possibility enumeration the reference performs; hit
+    verification for ALL combos runs as ONE Spark job (explode combo
+    terms, semi-join postings, per-combo conjunction count), not one
+    query per collation."""
+    from itertools import product
+
+    spark = index.term_stats.sparkSession
+    in_dict = {r["term"] for r in index.term_stats
+               .where(F.col("term").isin(words)).select("term").collect()}
+    cand: list[list[tuple[str, int]]] = []
+    for w_ in words:
+        if w_ in in_dict:
+            cand.append([(w_, 0)])
+            continue
+        sugg = direct_spellcheck(index, [w_], k_per_word=k_sugg).collect()
+        cand.append([(r["term"], int(r["rank"])) for r in sugg])
+    combos = []
+    for cid, combo in enumerate(product(*cand)):
+        terms = [t for t, _ in combo]
+        combos.append((cid, " ".join(terms), sum(r for _, r in combo),
+                       terms))
+    if not combos:
+        return spark.createDataFrame(
+            [], "collation string, hits long, rank long")
+    cdf = spark.createDataFrame(
+        [(cid, coll, rs, t) for cid, coll, rs, terms in combos
+         for t in sorted(set(terms))],
+        "cid long, collation string, rank_sum long, term string")
+    nterms = {cid: len(set(terms)) for cid, _, _, terms in combos}
+    ndf = spark.createDataFrame(list(nterms.items()), "cid long, n int")
+    docs_per = (F.broadcast(cdf)
+                .join(index.postings.select("term", "docid").distinct(),
+                      "term")
+                .groupBy("cid", "collation", "rank_sum", "docid")
+                .agg(F.count(F.lit(1)).alias("nt")))
+    hits = (docs_per.join(F.broadcast(ndf), "cid")
+            .where(F.col("nt") == F.col("n"))
+            .groupBy("cid", "collation", "rank_sum")
+            .agg(F.count(F.lit(1)).cast("long").alias("hits")))
+    order = [F.asc("rank_sum"), F.asc("collation")]
+    w = Window.orderBy(*order)
+    return (hits.where(F.col("hits") > 0)
+            .orderBy(*order).limit(max_collations)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("collation", "hits", "rank"))

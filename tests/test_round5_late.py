@@ -210,3 +210,21 @@ def test_fvh_oracle_assumptions(spark):
         ON t1.doc_id=t2.doc_id AND t2.pos=t1.pos+1
       WHERE t1.term='hash' AND t2.term='join'""").fetchall()
     assert widths == [(9,)]
+
+
+def test_spellcheck_collate_semantics(combo_index):
+    from lucene_solr_spark.operators.searchext import spellcheck_collate
+
+    # 'datab' misspelled -> suggestions within 2 edits: data (d=1),
+    # base? (d=3 no), database (d=3 no). 'merge' is in-dictionary ->
+    # kept at rank 0. Collation 'data merge' hits docs containing
+    # both: doc 0 only.
+    out = [(r["collation"], r["hits"], r["rank"])
+           for r in spellcheck_collate(combo_index,
+                                       ["datab", "merge"]).collect()]
+    assert out == [("data merge", 1, 1)]
+    # zero-hit collations are dropped: no doc has both sort and
+    # warehouse
+    out2 = spellcheck_collate(combo_index, ["sorta", "warehouse"]).collect()
+    # sorta -> sort (d=1); warehouse in dict; conjunction empty
+    assert out2 == []

@@ -1100,10 +1100,14 @@ DRIVER_PRIORITY = [
     # docfreq/ttf/strdist in the {!func} grammar), the segment-native
     # two-phase span kernel, and QParser dialect batch 3
     # ({!knn}/{!hash}/{!rank} + {!dismax} over the multi-field engine)
-    # (r5 late: solr_qparser_mix4 displaced — r4-green, dialect
-    # batches stay via mix2/mix3 and solr_tlogit_qp)
-    "solr_stats_vs_qp", "seg_span_near", "solr_qparser_mix3",
-    "solr_dismax_qp", "ltr_rerank",
+    # (r5 late: solr_qparser_mix4 / seg_span_near / solr_dismax_qp
+    # displaced — all driver-green on record; dialect batches stay via
+    # mix2/mix3 + solr_tlogit_qp, the span kernel via seg_span_nested,
+    # dismax via seg_multifield_qf + ft_multifield_qf)
+    "solr_stats_vs_qp", "solr_qparser_mix3",
+    "ltr_rerank",
+    # (r5 late) interval facets + cursorMark tuple-predicate paging
+    "interval_facet", "cursor_mark",
     "seg_multifield_title", "seg_multifield_qf",
     # (d) r2/r3 regression sample across operator families
     # (ft_edismax, events_sessionize, term_automaton rotated out — all

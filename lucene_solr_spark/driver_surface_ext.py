@@ -4754,3 +4754,76 @@ SELECT h.collation, h.hits,
 FROM h WHERE h.hits > 0
 ORDER BY h.rank_sum, h.collation LIMIT 5
 """)
+
+
+# ---- §2.5 interval facets + §2.6 cursorMark (round 5, late) ----------------
+
+_IVALS = ["[0,100)", "[100,200)", "[150,*]", "(*,80]"]
+
+
+def _interval_facet(spark, sf):
+    """facet.interval (solr/core/.../request/IntervalFacets.java):
+    overlapping intervals over documents.n_chars, each counted
+    independently in one scan."""
+    from lucene_solr_spark.operators.facets import interval_facet
+
+    docs = _load(spark, sf, "documents")
+    return interval_facet(docs, "n_chars", _IVALS)
+
+
+_register("interval_facet", _interval_facet, """
+SELECT '[0,100)' AS ival,
+       count(*) FILTER (WHERE n_chars >= 0 AND n_chars < 100)::BIGINT AS cnt,
+       1::BIGINT AS rank FROM documents
+UNION ALL
+SELECT '[100,200)',
+       count(*) FILTER (WHERE n_chars >= 100 AND n_chars < 200)::BIGINT,
+       2::BIGINT FROM documents
+UNION ALL
+SELECT '[150,*]',
+       count(*) FILTER (WHERE n_chars >= 150)::BIGINT,
+       3::BIGINT FROM documents
+UNION ALL
+SELECT '(*,80]',
+       count(*) FILTER (WHERE n_chars <= 80)::BIGINT,
+       4::BIGINT FROM documents
+""")
+
+
+def _cursor_mark(spark, sf):
+    """CursorMark deep paging (solr/core/.../search/CursorMark.java:48
+    + CursorMarkParams): page 2 of a BM25 ranking is fetched with the
+    cursor's sort-tuple RANGE predicate — score_q < s OR (score_q = s
+    AND doc_id > d) — never a deep OFFSET scan; the totally-ordered
+    sort (score desc, docid asc — the uniqueKey tie Solr requires)
+    makes the cursor stateless and shard-safe. Returns page-2 rows
+    with page-local ranks."""
+    idx = _docs_index(spark, sf)
+    s = Searcher(idx, mode="sql")
+    m = (s.matches(A.OrQ((A.TermQ("filter"), A.TermQ("vector"))))
+         .select(F.col("docid").alias("doc_id"),
+                 F.floor(F.col("score") * Q).cast("long").alias("score_q")))
+    last = (m.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(10)
+            .collect())[-1]
+    cs, cd = last["score_q"], last["doc_id"]
+    page2 = (m.where((F.col("score_q") < cs)
+                     | ((F.col("score_q") == cs) & (F.col("doc_id") > cd)))
+             .orderBy(F.desc("score_q"), F.asc("doc_id")).limit(10))
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return page2.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+_register("cursor_mark", _cursor_mark, f"""
+WITH {FT_BASE}, {_ft_scored(['filter', 'vector'])},
+agg AS (
+  SELECT doc_id, CAST(floor(sum(s) * 1000000) AS BIGINT) AS score_q
+  FROM scored GROUP BY doc_id
+),
+rk AS (
+  SELECT doc_id, score_q,
+         row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
+  FROM agg
+)
+SELECT doc_id, score_q, (rnk - 10)::BIGINT AS rank
+FROM rk WHERE rnk > 10 AND rnk <= 20
+""")

@@ -308,3 +308,48 @@ def group_facet(df: DataFrame, group_col: str, facet_col: str,
     w = Window.orderBy(*order)
     return (agg.orderBy(*order).limit(k)
             .withColumn("rank", F.row_number().over(w).cast("long")))
+
+
+def _parse_interval(spec: str):
+    """Solr interval syntax (solr/core/.../request/IntervalFacets.java
+    parsing: FacetInterval): '[' / '(' start ',' end ']' / ')' with
+    '*' for unbounded ends. Returns (lo, lo_incl, hi, hi_incl)."""
+    s = spec.strip()
+    lo_incl, hi_incl = s[0] == "[", s[-1] == "]"
+    body = s[1:-1]
+    lo_s, hi_s = [p.strip() for p in body.split(",", 1)]
+    lo = None if lo_s == "*" else float(lo_s)
+    hi = None if hi_s == "*" else float(hi_s)
+    return lo, lo_incl, hi, hi_incl
+
+
+def interval_facet(df: DataFrame, field: str,
+                   intervals: list[str]) -> DataFrame:
+    """Interval faceting (facet.interval — solr/core/src/java/org/
+    apache/solr/request/IntervalFacets.java): arbitrary, possibly
+    OVERLAPPING intervals each count the matching docs independently —
+    unlike range facets' disjoint buckets. Returns one row per
+    interval spec (ival, cnt), in spec order via rank.
+
+    Scale: ONE scan; every interval is a conditional-sum aggregate
+    expression folded in the same partial+final hash agg (the
+    reference's single DocValues pass over accumulators)."""
+    aggs = []
+    for i, spec in enumerate(intervals):
+        lo, lo_incl, hi, hi_incl = _parse_interval(spec)
+        cond = F.lit(True)
+        c = F.col(field).cast("double")
+        if lo is not None:
+            cond = cond & (c >= lo if lo_incl else c > lo)
+        if hi is not None:
+            cond = cond & (c <= hi if hi_incl else c < hi)
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .cast("long").alias(f"_i{i}"))
+    row = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(spec).alias("ival"),
+                 F.col(f"_i{i}").alias("cnt"),
+                 F.lit(i + 1).cast("long").alias("rank"))
+        for i, spec in enumerate(intervals)])
+    return (row.select(F.explode(pairs).alias("p"))
+            .select("p.ival", "p.cnt", "p.rank"))

@@ -1108,7 +1108,11 @@ DRIVER_PRIORITY = [
     "ltr_rerank",
     # (r5 late) interval facets + cursorMark tuple-predicate paging
     "interval_facet", "cursor_mark",
-    "seg_multifield_title", "seg_multifield_qf",
+    # (r5 late) {!payload_check} — the payload family complete
+    # (displaced seg_multifield_title — r4-green; multifield stays via
+    # ft_multifield_qf/ft_multifield_bool/seg_multifield_qf)
+    "payload_check",
+    "seg_multifield_qf",
     # (d) r2/r3 regression sample across operator families
     # (ft_edismax, events_sessionize, term_automaton rotated out — all
     # driver-green on record; edismax machinery is in-window via

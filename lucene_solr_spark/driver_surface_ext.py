@@ -4827,3 +4827,25 @@ rk AS (
 SELECT doc_id, score_q, (rnk - 10)::BIGINT AS rank
 FROM rk WHERE rnk > 10 AND rnk <= 20
 """)
+
+
+# ---- {!payload_check} / SpanPayloadCheckQuery (round 5, late) --------------
+
+def _payload_check(spark, sf):
+    """{!payload_check} (queries/payloads/SpanPayloadCheckQuery.java +
+    PayloadCheckQParserPlugin): 'merge' occurrences whose offset
+    payload is 0 — i.e. documents whose span sits at the very start.
+    Constant-score filter role; ordered by doc_id."""
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    s = Searcher(_docs_index_offsets(spark, sf), mode="sql")
+    out = solr_qparser(s, "{!payload_check f=text payloads='0'}merge")
+    return (out.select(F.col("docid").cast("long").alias("doc_id"))
+            .orderBy("doc_id"))
+
+
+_register("payload_check", _payload_check, """
+SELECT doc_id FROM documents
+WHERE text = 'merge' OR text LIKE 'merge %'
+ORDER BY doc_id
+""")

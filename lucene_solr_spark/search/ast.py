@@ -254,6 +254,34 @@ class PayloadScoreQ(Query):
 
 
 @dataclass(frozen=True)
+class SpanPayloadCheckQ(Query):
+    """SpanPayloadCheckQuery (lucene/queries/src/java/org/apache/
+    lucene/queries/payloads/SpanPayloadCheckQuery.java +
+    PayloadCheckQParserPlugin): matches only the spans of the wrapped
+    span query whose per-position payload ints equal ``payloads``
+    (the PayloadChecker collects payloads left-to-right and compares
+    the whole list). The wrapped span here is the ordered adjacent
+    phrase ``terms`` (slop 0 — the SpanNearQuery shape payload checks
+    wrap in practice). Payload source is the same stream
+    PayloadScoreQ reads: an explicit ``payloads`` postings column
+    when present, else the .pay-analogue offset payloads (token START
+    offsets, TokenOffsetPayloadTokenFilter shape) — so a payload list
+    like (0,) means "the span sits at document start".
+
+    Deviation (documented): the reference scores the surviving spans
+    like the wrapped span query; offset payloads make the surviving
+    span unique per doc, so this node is constant-score boost (the
+    filter role payload_check serves in Solr)."""
+    terms: tuple
+    payloads: tuple
+    boost: float = 1.0
+
+    def key(self) -> str:
+        return (f"paycheck({','.join(self.terms)};"
+                f"{','.join(str(int(p)) for p in self.payloads)})")
+
+
+@dataclass(frozen=True)
 class TermAutomatonQ(Query):
     """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java): an
     automaton whose transitions are terms (or ANY), matched against

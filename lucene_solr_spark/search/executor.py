@@ -271,6 +271,8 @@ def _collect_terms(q: A.Query) -> set[str]:
         return leaf_terms(q)
     if isinstance(q, A.PayloadScoreQ):
         return {q.term}
+    if isinstance(q, A.SpanPayloadCheckQ):
+        return set(q.terms)
     # MultiTermQ / MatchAllQ expand against the dictionary
     return set()
 
@@ -482,6 +484,8 @@ class Searcher:
             return self._eval_span_nested(q)
         if isinstance(q, A.PayloadScoreQ):
             return self._eval_payload_score(q)
+        if isinstance(q, A.SpanPayloadCheckQ):
+            return self._eval_payload_check(q)
         if isinstance(q, A.TermAutomatonQ):
             return self._eval_term_automaton(q)
         raise TypeError(f"unsupported query node {type(q).__name__}")
@@ -579,6 +583,50 @@ class Searcher:
                      * F.lit(float(np.float32(q.boost)))).cast("float")
         return out.select("docid", score.cast(self._score_type())
                           .alias("score"))
+
+    def _eval_payload_check(self, q: A.SpanPayloadCheckQ) -> DataFrame:
+        """SpanPayloadCheckQuery.java: explode (position, payload)
+        pairs per wrapped-span term, keep occurrences whose payload
+        equals the list entry for their slot, leapfrog the adjacency
+        (pos_i = pos_0 + i), distinct matching docs at constant score.
+        Catalyst-only — the payload equality is a pushed Column
+        predicate per slot, so a selective payload list prunes before
+        the position join."""
+        if len(q.terms) != len(q.payloads):
+            raise ValueError("SpanPayloadCheckQ needs one payload per "
+                             "span position")
+        p = self.index.postings.where(
+            F.col("term").isin(list(set(q.terms))))
+        pay_col = "payloads" if "payloads" in p.columns else "starts"
+        if pay_col not in p.columns:
+            raise ValueError(
+                "SpanPayloadCheckQ needs a payloads column or an index "
+                "built with offsets (build_index(with_offsets=True))")
+        occ = (p.select("docid", "term",
+                        F.explode(F.arrays_zip("positions",
+                                               pay_col)).alias("o"))
+               .select("docid", "term",
+                       F.col("o.positions").alias("pos"),
+                       F.col(f"o.{pay_col}").alias("pay")))
+        cur = (occ.where((F.col("term") == q.terms[0])
+                         & (F.col("pay") == int(q.payloads[0])))
+               .select("docid", "pos"))
+        for i, (t, pl) in enumerate(zip(q.terms[1:], q.payloads[1:]),
+                                    start=1):
+            nxt = (occ.where((F.col("term") == t)
+                             & (F.col("pay") == int(pl)))
+                   .select(F.col("docid").alias("_d"),
+                           F.col("pos").alias("_p")))
+            cur = (cur.join(nxt, (cur.docid == F.col("_d"))
+                            & (F.col("_p") == cur.pos + i))
+                   .select("docid", "pos"))
+        out = cur.select("docid").distinct()
+        if self.mode == "sql":
+            score = F.lit(float(q.boost))
+        else:
+            score = F.lit(float(np.float32(q.boost)))
+        return out.select("docid",
+                          score.cast(self._score_type()).alias("score"))
 
     def _eval_term_automaton(self, q: A.TermAutomatonQ) -> DataFrame:
         """TermAutomatonQuery via finite-string enumeration (the

@@ -932,8 +932,6 @@ def solr_qparser(searcher, s: str,
         # func=max includeSpanScore=false}term — the payload ints come
         # from the .pay-analogue stream (offset payloads,
         # TokenOffsetPayloadTokenFilter shape; see ast.PayloadScoreQ).
-        # {!payload_check} stays descoped: it needs analyzer-ASSIGNED
-        # payload values, which this corpus's chain does not produce.
         field = params.get("f", "text")
         if field != "text":
             raise ValueError(f"unknown field {field!r}")
@@ -945,6 +943,24 @@ def solr_qparser(searcher, s: str,
             include_span_score=(params.get("includeSpanScore", "false")
                                 .lower() == "true"))
         return searcher.matches(q)
+    if name == "payload_check":
+        # PayloadCheckQParserPlugin.java: {!payload_check f=text
+        # payloads='0 5'}hash join — keep only the spans whose
+        # per-position payloads equal the list (SpanPayloadCheckQuery;
+        # payload ints come from the same .pay-analogue stream as
+        # {!payload_score}: offset payloads, so '0' pins the span to
+        # the document start).
+        field = params.get("f", "text")
+        if field != "text":
+            raise ValueError(f"unknown field {field!r}")
+        body = (params.get("v", rest) or "").strip().lower()
+        terms = tuple(t for t in body.split() if t)
+        pstr = (params.get("payloads", "") or "").strip()
+        if not terms or not pstr:
+            raise ValueError("{!payload_check} needs span terms and "
+                             "payloads")
+        pays = tuple(int(float(x)) for x in pstr.split())
+        return searcher.matches(A.SpanPayloadCheckQ(terms, pays))
     if name == "tlogit":
         # TextLogisticRegressionQParserPlugin.java (the train()
         # streaming expression's per-iteration trainer): docs

@@ -228,3 +228,38 @@ def test_spellcheck_collate_semantics(combo_index):
     out2 = spellcheck_collate(combo_index, ["sorta", "warehouse"]).collect()
     # sorta -> sort (d=1); warehouse in dict; conjunction empty
     assert out2 == []
+
+
+def test_span_payload_check(spark):
+    from lucene_solr_spark.search import ast as A
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.solrq import solr_qparser
+
+    rows = [
+        (0, "data base database merge"),
+        (1, "merge data base"),
+        (2, "base data"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(docs, key_col="doc_id", text_col="text",
+                      precomputed_docid="doc_id", with_offsets=True)
+    s = Searcher(idx, mode="sql")
+    # offset payloads of doc0: data=0 base=5 database=10 merge=19;
+    # doc1: merge=0 data=6 base=11; doc2: base=0 data=5
+    got = sorted(r["docid"] for r in s.matches(
+        A.SpanPayloadCheckQ(("data", "base"), (0, 5))).collect())
+    assert got == [0]
+    # the same phrase with doc1's payloads matches only doc1
+    got2 = sorted(r["docid"] for r in s.matches(
+        A.SpanPayloadCheckQ(("data", "base"), (6, 11))).collect())
+    assert got2 == [1]
+    # payload mismatch on the second slot -> no docs (phrase exists)
+    assert s.matches(
+        A.SpanPayloadCheckQ(("data", "base"), (0, 7))).count() == 0
+    # single-term doc-start check through the dialect
+    got3 = sorted(r["docid"] for r in solr_qparser(
+        s, "{!payload_check f=text payloads='0'}merge").collect())
+    assert got3 == [1]
+    # length mismatch raises
+    with pytest.raises(ValueError):
+        s.matches(A.SpanPayloadCheckQ(("data", "base"), (0,)))

@@ -1100,12 +1100,15 @@ DRIVER_PRIORITY = [
     # docfreq/ttf/strdist in the {!func} grammar), the segment-native
     # two-phase span kernel, and QParser dialect batch 3
     # ({!knn}/{!hash}/{!rank} + {!dismax} over the multi-field engine)
-    # (r5 late: solr_qparser_mix4 / seg_span_near / solr_dismax_qp
-    # displaced — all driver-green on record; dialect batches stay via
-    # mix2/mix3 + solr_tlogit_qp, the span kernel via seg_span_nested,
-    # dismax via seg_multifield_qf + ft_multifield_qf)
-    "solr_stats_vs_qp", "solr_qparser_mix3",
+    # (r5 late: solr_qparser_mix4 / seg_span_near / solr_dismax_qp /
+    # solr_stats_vs_qp displaced — all driver-green on record; dialect
+    # batches stay via mix2/mix3 + solr_tlogit_qp, the span kernel via
+    # seg_span_nested, dismax via seg_multifield_qf + ft_multifield_qf,
+    # ValueSources via solr_func_qp/solr_frange_qp/ft_func_bool)
+    "solr_qparser_mix3",
     "ltr_rerank",
+    # (r5 late) deterministic hash-keyed RandomStream sample
+    "random_stream",
     # (r5 late) interval facets + cursorMark tuple-predicate paging
     "interval_facet", "cursor_mark",
     # (r5 late) {!payload_check} — the payload family complete

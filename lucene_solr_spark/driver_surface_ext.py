@@ -4849,3 +4849,26 @@ SELECT doc_id FROM documents
 WHERE text = 'merge' OR text LIKE 'merge %'
 ORDER BY doc_id
 """)
+
+
+# ---- RandomStream (round 5, late) ------------------------------------------
+
+def _random_stream(spark, sf):
+    """RandomStream (io/stream/RandomStream.java) with the
+    engine-portable md5(seed:key) sort field (RandomSortField's
+    construction): a deterministic 15-doc sample of documents."""
+    from lucene_solr_spark.operators.relational import random_stream
+
+    docs = _load(spark, sf, "documents").select("doc_id", "lang")
+    return random_stream(docs, "doc_id", k=15, seed="42")
+
+
+_register("random_stream", _random_stream, """
+WITH h AS (
+  SELECT doc_id, lang, md5('42:' || doc_id::VARCHAR) AS rnd
+  FROM documents
+)
+SELECT doc_id, lang, rnd,
+       row_number() OVER (ORDER BY rnd, doc_id) AS rank
+FROM h ORDER BY rnd, doc_id LIMIT 15
+""")

@@ -180,3 +180,26 @@ def score_join(from_scored: DataFrame, to_df: DataFrame, key_col: str,
     return (hits.orderBy(*order).limit(k)
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .select(doc_col, "score_q", "rank"))
+
+
+def random_stream(df: DataFrame, key_col: str, k: int,
+                  seed: str = "42") -> DataFrame:
+    """RandomStream (solr/solrj/src/java/org/apache/solr/client/solrj/
+    io/stream/RandomStream.java): a pseudo-random sample of k rows.
+    Deviation (documented): the reference sorts on Solr's
+    random_<seed> dynamic field (a per-doc hash of seed + uniqueKey —
+    RandomSortField); we use md5(seed || key) as the sort key, which
+    is the same construction with an engine-portable hash, so the
+    sample is deterministic and identical on every engine and at any
+    parallelism.
+
+    Scale: TakeOrderedAndProject over the hash key — per-partition
+    bounded heaps, no global sort, no RNG state; exactly how a 100 TB
+    training-data pipeline wants its deterministic samples."""
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"),
+                       F.col(key_col).cast("string")))
+    order = [F.asc("rnd"), F.asc(key_col)]
+    w = Window.orderBy(*order)
+    return (df.withColumn("rnd", h)
+            .orderBy(*order).limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("long")))

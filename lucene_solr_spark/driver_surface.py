@@ -1067,8 +1067,12 @@ DRIVER_PRIORITY = [
     # (r5 late) seg_bm25_and/seg_bm25_msm/seg_or_match displaced —
     # all r4-driver-green; AND/MSM/OR coverage stays via seg_bm25_wand,
     # seg_bm25_not, seg_and_match, ft_bool_or_msm
+    # (r5 late: seg_and_match displaced — r4-green; boolean kernels
+    # stay via seg_bm25_wand/seg_bm25_not)
     "seg_bm25_wand", "seg_bm25_not",
-    "seg_and_match", "seg_function_query", "seg_sort_dv",
+    "seg_function_query", "seg_sort_dv",
+    # (r5 late) FuzzySuggester over the persisted completion layout
+    "suggest_fuzzy",
     # (r5 late) sandbox DocValuesNumbersQuery from the dv sidecar
     "seg_dv_numbers",
     # (r5 late) JoinUtil ScoreMode joins, grouped faceting,

@@ -4872,3 +4872,56 @@ SELECT doc_id, lang, rnd,
        row_number() OVER (ORDER BY rnd, doc_id) AS rank
 FROM h ORDER BY rnd, doc_id LIMIT 15
 """)
+
+
+# ---- FuzzySuggester (round 5, late) ----------------------------------------
+
+def _suggest_fuzzy(spark, sf):
+    """FuzzySuggester.lookup (suggest/analyzing/FuzzySuggester.java,
+    defaults maxEdits=1 transpositions=true nonFuzzyPrefix=1
+    minFuzzyLength=3): the typo'd query 'custp' completes against the
+    persisted suggester — a key matches when some prefix within +-1 of
+    the query length is <= 1 OSA edit away, first char exact."""
+    from lucene_solr_spark.operators.searchext import (
+        fuzzy_suggest, load_suggester)
+
+    _suggest_analyzing(spark, sf)  # ensure the persisted layout exists
+    key = os.path.basename(sf.rstrip("/"))
+    path = f"/tmp/driver_suggester_{key}"
+    return fuzzy_suggest(load_suggester(spark, path), "custp", k=10)
+
+
+_register("suggest_fuzzy", _suggest_fuzzy, f"""
+WITH ent AS (
+  SELECT substr(text, 1, 30) AS surface, n_chars AS weight FROM documents
+),
+keyed AS (
+  SELECT array_to_string(
+           list_filter(string_split(surface, ' '),
+                       x -> x <> '' AND x NOT IN ('a','an','and','are','as','at','be','but','by','for','if','in','into','is','it','no','not','of','on','or','such','that','the','their','then','there','these','they','this','to','was','will','with')),
+           chr(31)) AS key,
+         surface, max(weight) AS weight
+  FROM ent GROUP BY 1, 2
+),
+cand AS (
+  SELECT surface, weight::BIGINT AS weight, key
+  FROM keyed
+  WHERE key <> '' AND starts_with(key, 'c') AND len(key) >= 4
+),
+dist AS (
+  SELECT c.surface, c.weight, c.key,
+         min(damerau_levenshtein('custp', substr(c.key, 1, L::INT))) AS d
+  FROM cand c, range(4, 7) t(L)
+  WHERE L <= len(c.key)
+  GROUP BY c.surface, c.weight, c.key
+),
+sel AS (
+  SELECT surface, weight,
+         CASE WHEN key = 'custp' THEN 1 ELSE 0 END AS is_exact
+  FROM dist WHERE d <= 1
+)
+SELECT surface, weight,
+       row_number() OVER (ORDER BY is_exact DESC, weight DESC, surface)
+         AS rank
+FROM sel QUALIFY rank <= 10
+""")

@@ -605,3 +605,71 @@ def spellcheck_collate(index: IndexTables, words: list[str],
             .orderBy(*order).limit(max_collations)
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .select("collation", "hits", "rank"))
+
+
+def fuzzy_suggest(suggester: DataFrame, query: str, k: int = 10,
+                  max_edits: int = 1, non_fuzzy_prefix: int = 1,
+                  min_fuzzy_length: int = 3, exact_first: bool = True,
+                  prefix_len: int = SUGGEST_PREFIX_LEN) -> DataFrame:
+    """FuzzySuggester.lookup (lucene/suggest/src/java/org/apache/
+    lucene/search/suggest/analyzing/FuzzySuggester.java: the analyzed
+    query is expanded into a Levenshtein automaton —
+    DEFAULT_MAX_EDITS=1, DEFAULT_TRANSPOSITIONS=true,
+    DEFAULT_NON_FUZZY_PREFIX=1, DEFAULT_MIN_FUZZY_LENGTH=3 — and
+    intersected with the completion FST). Re-expression: a completion
+    key matches when SOME prefix of it (length within max_edits of the
+    query's length) is within ``max_edits`` OSA distance of the
+    analyzed query, with the first ``non_fuzzy_prefix`` characters
+    matching exactly; queries shorter than ``min_fuzzy_length`` fall
+    back to exact-prefix completion (the reference's behavior).
+    Ranking inherits AnalyzingSuggester's (exact key first, weight
+    desc, surface asc — the weight-ordered FST walk).
+
+    Scale: the non-fuzzy prefix is a Column predicate — it prunes the
+    pfx partition directories (first min(non_fuzzy_prefix, prefix_len)
+    chars) and the row groups BEFORE the Arrow-batched prefix-OSA UDF
+    sees a key."""
+    from lucene_solr_spark.analysis.standard import analyze
+
+    toks = [t for t, _ in analyze(query)]
+    if not toks:
+        spark = suggester.sparkSession
+        return spark.createDataFrame(
+            [], "surface string, weight long, rank long")
+    qkey = SUGGEST_SEP.join(toks)
+    if len(qkey) < min_fuzzy_length:
+        return analyzing_suggest(suggester, query, k=k,
+                                 exact_first=exact_first,
+                                 prefix_len=prefix_len)
+
+    from pyspark.sql.types import IntegerType
+
+    lo = max(non_fuzzy_prefix, len(qkey) - max_edits)
+    hi = len(qkey) + max_edits
+
+    @F.pandas_udf(IntegerType())
+    def _pref_osa(key: pd.Series) -> pd.Series:
+        def best(s: str) -> int:
+            return min((osa_distance(qkey, s[:L])
+                        for L in range(lo, min(hi, len(s)) + 1)),
+                       default=max_edits + 1)
+        return pd.Series([best(x) for x in key], dtype="int32")
+
+    cand = suggester
+    npfx = qkey[:min(non_fuzzy_prefix, prefix_len)]
+    if "pfx" in suggester.columns and npfx:
+        cand = cand.where(F.col("pfx").startswith(npfx))
+    cand = (cand.where(F.col("key").startswith(qkey[:non_fuzzy_prefix]))
+            .where(F.length("key") >= lo)
+            .withColumn("_d", _pref_osa("key"))
+            .where(F.col("_d") <= max_edits))
+    exact = (F.when(F.col("key") == qkey, F.lit(1)).otherwise(F.lit(0))
+             if exact_first else F.lit(0))
+    scored = cand.select("surface", F.col("weight").cast("long")
+                         .alias("weight"), exact.alias("is_exact"))
+    order = [F.desc("is_exact"), F.desc("weight"), F.asc("surface")]
+    return (scored.orderBy(*order).limit(k)
+            .withColumn("rank",
+                        F.row_number().over(Window.orderBy(*order))
+                        .cast("long"))
+            .select("surface", "weight", "rank"))

@@ -263,3 +263,53 @@ def test_span_payload_check(spark):
     # length mismatch raises
     with pytest.raises(ValueError):
         s.matches(A.SpanPayloadCheckQ(("data", "base"), (0,)))
+
+
+def test_fuzzy_suggest_semantics(spark):
+    from lucene_solr_spark.operators.searchext import (
+        build_analyzing_suggester, fuzzy_suggest)
+
+    entries = spark.createDataFrame(
+        [("customer data", 10), ("custom sort", 7), ("column scan", 5),
+         ("cast rules", 3), ("dust filter", 9)],
+        "surface string, weight long")
+    sug = build_analyzing_suggester(entries)
+    out = [(r["surface"], r["weight"], r["rank"])
+           for r in fuzzy_suggest(sug, "custp", k=10).collect()]
+    # qkey 'custp' (len 5): prefixes of length 4..6, first char 'c'
+    # exact. 'customer data' key 'customer\x1fdata': L=4 'cust' d=1 ok;
+    # 'custom sort': 'cust' d=1 ok; 'column scan': 'colu'/'colum'/
+    # 'column' all d>1 -> out; 'cast rules': 'cast' d=2 -> out;
+    # 'dust filter': first char 'd' -> pruned by nonFuzzyPrefix.
+    assert out == [("customer data", 10, 1), ("custom sort", 7, 2)]
+    # below minFuzzyLength -> exact-prefix fallback (no typo tolerated)
+    out2 = fuzzy_suggest(sug, "cu", k=10).collect()
+    assert {r["surface"] for r in out2} == {"customer data", "custom sort"}
+
+
+def test_fuzzy_suggest_oracle_assumption():
+    """suggest_fuzzy's oracle uses damerau_levenshtein; pin OSA ==
+    Damerau over every ('custp', key-prefix) pair reachable at
+    sf0.01."""
+    import duckdb
+
+    from lucene_solr_spark.operators.searchext import osa_distance
+
+    con = duckdb.connect()
+    pairs = con.execute("""
+      WITH ent AS (
+        SELECT substr(text, 1, 30) AS surface
+        FROM '/root/testdata/sf0.01/documents.parquet'),
+      keyed AS (
+        SELECT DISTINCT array_to_string(
+          list_filter(string_split(surface, ' '), x -> x <> ''),
+          chr(31)) AS key
+        FROM ent),
+      pref AS (
+        SELECT DISTINCT substr(key, 1, L::INT) AS p
+        FROM keyed, range(4, 7) t(L)
+        WHERE starts_with(key, 'c') AND L <= len(key))
+      SELECT p, damerau_levenshtein('custp', p) FROM pref""").fetchall()
+    assert pairs
+    for p, dd in pairs:
+        assert dd == osa_distance("custp", p), p

@@ -4925,3 +4925,45 @@ SELECT surface, weight,
          AS rank
 FROM sel QUALIFY rank <= 10
 """)
+
+
+# ---- AnalyzingInfixSuggester (round 5, late) -------------------------------
+
+def _suggest_infix(spark, sf):
+    """AnalyzingInfixSuggester (suggest/analyzing/
+    AnalyzingInfixSuggester.java): 'data cust' — 'data' must match a
+    whole entry token, 'cust' prefix-matches ANY token (not just the
+    first), weight-ranked."""
+    from lucene_solr_spark.operators.searchext import (
+        infix_suggest, load_suggester)
+
+    _suggest_analyzing(spark, sf)  # ensure the persisted layout exists
+    key = os.path.basename(sf.rstrip("/"))
+    path = f"/tmp/driver_suggester_{key}"
+    return infix_suggest(load_suggester(spark, path), "data cust", k=10)
+
+
+_register("suggest_infix", _suggest_infix, f"""
+WITH ent AS (
+  SELECT substr(text, 1, 30) AS surface, n_chars AS weight FROM documents
+),
+keyed AS (
+  SELECT array_to_string(
+           list_filter(string_split(surface, ' '),
+                       x -> x <> '' AND x NOT IN ('a','an','and','are','as','at','be','but','by','for','if','in','into','is','it','no','not','of','on','or','such','that','the','their','then','there','these','they','this','to','was','will','with')),
+           chr(31)) AS key,
+         surface, max(weight) AS weight
+  FROM ent GROUP BY 1, 2
+),
+cand AS (
+  SELECT surface, weight::BIGINT AS weight
+  FROM keyed
+  WHERE key <> ''
+    AND list_contains(string_split(key, chr(31)), 'data')
+    AND len(list_filter(string_split(key, chr(31)),
+                        x -> starts_with(x, 'cust'))) > 0
+)
+SELECT surface, weight,
+       row_number() OVER (ORDER BY weight DESC, surface) AS rank
+FROM cand QUALIFY rank <= 10
+""")

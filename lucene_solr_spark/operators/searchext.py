@@ -673,3 +673,41 @@ def fuzzy_suggest(suggester: DataFrame, query: str, k: int = 10,
                         F.row_number().over(Window.orderBy(*order))
                         .cast("long"))
             .select("surface", "weight", "rank"))
+
+
+def infix_suggest(suggester: DataFrame, query: str, k: int = 10,
+                  all_terms_required: bool = True) -> DataFrame:
+    """AnalyzingInfixSuggester.lookup (lucene/suggest/src/java/org/
+    apache/lucene/search/suggest/analyzing/AnalyzingInfixSuggester
+    .java:458-560): unlike the FST suggesters, matches are allowed on
+    prefix matches to ANY token of the indexed entry — every analyzed
+    query token except the last must appear as a whole token
+    (allTermsRequired -> MUST), the last is a prefix against any
+    token; results rank by weight desc (the suggester's sort field),
+    surface asc pinned for ties. Operates on the same persisted
+    completion table as analyzing_suggest (the entry tokens are the
+    SEP-joined key) — pure Catalyst array predicates, no UDF.
+
+    Scale: the token predicates are Column expressions over the split
+    key — one scan of the suggester table, TakeOrdered top-k; the
+    reference builds a sidecar Lucene index for exactly this shape."""
+    from lucene_solr_spark.analysis.standard import analyze
+
+    toks = [t for t, _ in analyze(query)]
+    if not toks:
+        spark = suggester.sparkSession
+        return spark.createDataFrame(
+            [], "surface string, weight long, rank long")
+    full, last = toks[:-1], toks[-1]
+    tokens = F.split(F.col("key"), SUGGEST_SEP)
+    cond = F.exists(tokens, lambda x: x.startswith(last))
+    for t in full:
+        c = F.array_contains(tokens, t)
+        cond = (cond & c) if all_terms_required else (cond | c)
+    order = [F.desc("weight"), F.asc("surface")]
+    return (suggester.where(cond)
+            .select("surface", F.col("weight").cast("long").alias("weight"))
+            .orderBy(*order).limit(k)
+            .withColumn("rank",
+                        F.row_number().over(Window.orderBy(*order))
+                        .cast("long")))

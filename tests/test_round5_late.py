@@ -313,3 +313,26 @@ def test_fuzzy_suggest_oracle_assumption():
     assert pairs
     for p, dd in pairs:
         assert dd == osa_distance("custp", p), p
+
+
+def test_infix_suggest_semantics(spark):
+    from lucene_solr_spark.operators.searchext import (
+        build_analyzing_suggester, infix_suggest)
+
+    entries = spark.createDataFrame(
+        [("big data customer file", 10), ("customer data", 8),
+         ("data warehouse", 6), ("customs data", 4), ("custom data", 2)],
+        "surface string, weight long")
+    sug = build_analyzing_suggester(entries)
+    out = [(r["surface"], r["weight"], r["rank"])
+           for r in infix_suggest(sug, "data cust", k=10).collect()]
+    # 'data' must be a WHOLE token; 'cust' prefix-matches ANY token
+    # (infix position): all five entries contain token 'data'; the
+    # cust-prefixed token exists in 1,2,4,5 but NOT 'data warehouse'
+    assert out == [("big data customer file", 10, 1),
+                   ("customer data", 8, 2), ("customs data", 4, 3),
+                   ("custom data", 2, 4)]
+    # whole-token requirement: 'warehouse dat' -> dat prefix ok, but
+    # 'warehouse' whole-token only in 'data warehouse'
+    out2 = infix_suggest(sug, "warehouse dat", k=10).collect()
+    assert [r["surface"] for r in out2] == ["data warehouse"]

@@ -336,3 +336,44 @@ def test_infix_suggest_semantics(spark):
     # 'warehouse' whole-token only in 'data warehouse'
     out2 = infix_suggest(sug, "warehouse dat", k=10).collect()
     assert [r["surface"] for r in out2] == ["data warehouse"]
+
+
+def test_round5_plan_hygiene(spark, tmp_path):
+    """Scale hygiene of the late-wave operators: the cheap Column
+    predicates must evaluate BELOW the Python/Arrow nodes (the
+    automaton-intersection analogues), and the fuzzy lookup must keep
+    the pfx partition pruning."""
+    from lucene_solr_spark.operators.searchext import (
+        build_analyzing_suggester, direct_spellcheck, fuzzy_suggest,
+        load_suggester, write_suggester)
+
+    rows = [(i, f"word{i} data base merge") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(docs, key_col="doc_id", text_col="text",
+                      precomputed_docid="doc_id", analyzer="whitespace")
+
+    # direct_spellcheck: the length-window filter is a plain Filter
+    # BELOW ArrowEvalPython (tree dump prints children after parents,
+    # so the filter text must appear AFTER the Arrow node)
+    plan = (direct_spellcheck(idx, ["dase"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" in plan
+    a = plan.index("ArrowEvalPython")
+    f = plan.index("abs((length(term")
+    assert f > a, "length window must sit below the OSA UDF"
+
+    # fuzzy_suggest on the persisted layout: pfx pruning present and
+    # below the UDF
+    entries = spark.createDataFrame(
+        [("customer data", 10), ("dust filter", 9)],
+        "surface string, weight long")
+    path = str(tmp_path / "sug")
+    write_suggester(build_analyzing_suggester(entries), path)
+    sug = load_suggester(spark, path)
+    plan2 = (fuzzy_suggest(sug, "custp")
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" in plan2
+    assert "pfx" in plan2  # partition-column predicate survives
+    a2 = plan2.index("ArrowEvalPython")
+    f2 = plan2.index("StartsWith(key")
+    assert f2 > a2, "non-fuzzy prefix must sit below the OSA UDF"

@@ -1025,7 +1025,9 @@ DRIVER_PRIORITY = [
     # JDBC, contract-fixed whitespace oracle, six QParser ValueSource/
     # bool/mlt dialects, polygons with holes
     "seg_phrase_hot", "seg_phrase", "seg_multiphrase", "ft_multifield_qf",
-    "ft_multifield_bool", "ann_sq8", "cardinality_hll",
+    # (r5 late: ft_multifield_bool displaced — r4-green; multifield
+    # stays via ft_multifield_qf + seg_multifield_qf)
+    "ann_sq8", "cardinality_hll",
     # (r5) UnifiedHighlighter passage ranking (displaced
     # ann_sq8_rerank — r4-green, SQ8 family stays via ann_sq8)
     "highlight_passages",
@@ -1108,14 +1110,15 @@ DRIVER_PRIORITY = [
     # two-phase span kernel, and QParser dialect batch 3
     # ({!knn}/{!hash}/{!rank} + {!dismax} over the multi-field engine)
     # (r5 late: solr_qparser_mix4 / seg_span_near / solr_dismax_qp /
-    # solr_stats_vs_qp displaced — all driver-green on record; dialect
-    # batches stay via mix2/mix3 + solr_tlogit_qp, the span kernel via
-    # seg_span_nested, dismax via seg_multifield_qf + ft_multifield_qf,
-    # ValueSources via solr_func_qp/solr_frange_qp/ft_func_bool)
-    "solr_qparser_mix3",
+    # solr_stats_vs_qp / solr_qparser_mix3 displaced — all driver-green
+    # on record; dialect batches stay via mix2 + solr_tlogit_qp, the
+    # span kernel via seg_span_nested, dismax via seg_multifield_qf +
+    # ft_multifield_qf, ValueSources via solr_func_qp/solr_frange_qp/
+    # ft_func_bool)
     "ltr_rerank",
-    # (r5 late) deterministic hash-keyed RandomStream sample
-    "random_stream",
+    # (r5 late) deterministic hash-keyed RandomStream sample + the
+    # LLM-pipeline sampling/packing pair
+    "random_stream", "stratified_sample", "seq_packing",
     # (r5 late) interval facets + cursorMark tuple-predicate paging
     "interval_facet", "cursor_mark",
     # (r5 late) {!payload_check} — the payload family complete

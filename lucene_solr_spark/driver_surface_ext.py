@@ -4967,3 +4967,67 @@ SELECT surface, weight,
        row_number() OVER (ORDER BY weight DESC, surface) AS rank
 FROM cand QUALIFY rank <= 10
 """)
+
+
+# ---- LLM-pipeline sampling / packing (round 5, late) -----------------------
+
+def _stratified_sample(spark, sf):
+    """Deterministic stratified sample: 5 docs per lang by the
+    md5(seed:doc_id) order — exact-size, engine-portable strata."""
+    from lucene_solr_spark.operators.sampling import stratified_sample
+
+    docs = _load(spark, sf, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "lang", 5, "doc_id", seed="7")
+
+
+_register("stratified_sample", _stratified_sample, """
+WITH h AS (
+  SELECT doc_id, lang, md5('7:' || doc_id::VARCHAR) AS rnd
+  FROM documents
+),
+rk AS (
+  SELECT doc_id, lang, rnd,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY rnd, doc_id) AS rank
+  FROM h
+)
+SELECT doc_id, lang, rnd, rank FROM rk WHERE rank <= 5
+""")
+
+
+def _seq_packing(spark, sf):
+    """Sequence packing (T5-style offset packing) of the documents
+    into 2048-token context bins, independently per lang partition;
+    token count = n_chars // 4 (the quality-score estimator's
+    chars-per-token heuristic)."""
+    from lucene_solr_spark.operators.sampling import pack_sequences
+
+    docs = (_load(spark, sf, "documents")
+            .select("doc_id", "lang",
+                    (F.col("n_chars") / 4).cast("long").alias("toks")))
+    out = pack_sequences(docs, "lang", "doc_id", "toks", budget=2048)
+    return out.select("doc_id", "lang", "toks", "cum_before",
+                      "pack_id", "pack_pos")
+
+
+_register("seq_packing", _seq_packing, """
+WITH d AS (
+  SELECT doc_id, lang, (n_chars // 4)::BIGINT AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, lang, toks,
+         coalesce(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS cum_before
+  FROM d
+),
+p AS (
+  SELECT doc_id, lang, toks, cum_before,
+         (cum_before // 2048)::BIGINT AS pack_id
+  FROM c
+)
+SELECT doc_id, lang, toks, cum_before, pack_id,
+       row_number() OVER (PARTITION BY lang, pack_id
+                          ORDER BY doc_id) AS pack_pos
+FROM p
+""")

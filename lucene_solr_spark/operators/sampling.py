@@ -1,0 +1,58 @@
+"""Deterministic sampling / packing operators for training-data
+pipelines (the LLM-pipeline surface alongside operators/dedup.py and
+operators/textstats.py). Both are hash- or window-based — no RNG
+state, identical results at any parallelism, which is what a 100 TB
+pipeline needs for reproducible dataset builds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def stratified_sample(df: DataFrame, group_col: str, k_per_group: int,
+                      key_col: str, seed: str = "42") -> DataFrame:
+    """Deterministic stratified sample: top ``k_per_group`` rows per
+    group by the md5(seed:key) hash order (the RandomSortField
+    construction of random_stream, applied per stratum). Unlike
+    df.sampleBy, the result is exact-size per group and reproducible
+    across engines and partitionings.
+
+    Scale: one shuffle on the group key; per-group rank windows are
+    bounded heaps after AQE, no global sort."""
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"),
+                       F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(F.asc("rnd"),
+                                              F.asc(key_col))
+    return (df.withColumn("rnd", h)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k_per_group))
+
+
+def pack_sequences(df: DataFrame, part_col: str, key_col: str,
+                   tokens_col: str, budget: int) -> DataFrame:
+    """Sequence packing for context-window training batches: rows are
+    ordered deterministically inside each ``part_col`` partition and
+    packed into bins of ~``budget`` tokens by cumulative-sum splitting
+    — pack_id = floor(cum_tokens_before / budget) (the T5-style offset
+    packing; documented deviation from exact first-fit bin packing,
+    whose sequential state does not distribute). Emits (pack_id,
+    pack_pos, cum_before) per row.
+
+    Scale: ONE window cumsum per partition key — the window is
+    partitioned by ``part_col``, so no single-partition global sort;
+    at 100 TB the partition key is a hash bucket and every bucket
+    packs independently."""
+    w = Window.partitionBy(part_col).orderBy(F.asc(key_col))
+    cum = (F.sum(F.col(tokens_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+    out = df.withColumn("cum_before", F.coalesce(cum, F.lit(0))
+                        .cast("long"))
+    out = out.withColumn(
+        "pack_id", F.floor(F.col("cum_before") / F.lit(budget))
+        .cast("long"))
+    wp = Window.partitionBy(part_col, "pack_id").orderBy(F.asc(key_col))
+    return out.withColumn("pack_pos",
+                          F.row_number().over(wp).cast("long"))

@@ -377,3 +377,36 @@ def test_round5_plan_hygiene(spark, tmp_path):
     a2 = plan2.index("ArrowEvalPython")
     f2 = plan2.index("StartsWith(key")
     assert f2 > a2, "non-fuzzy prefix must sit below the OSA UDF"
+
+
+def test_stratified_sample_and_packing(spark):
+    from lucene_solr_spark.operators.sampling import (
+        pack_sequences, stratified_sample)
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(20)],
+        "id long, grp string")
+    out = stratified_sample(df, "grp", 3, "id")
+    rows = out.collect()
+    assert len(rows) == 6
+    by = {}
+    for r in rows:
+        by.setdefault(r["grp"], []).append(r["rank"])
+    assert sorted(by["a"]) == [1, 2, 3] and sorted(by["b"]) == [1, 2, 3]
+    # repartitioning the input does not change the sample
+    again = {(r["id"], r["rank"]) for r in stratified_sample(
+        df.repartition(13), "grp", 3, "id").collect()}
+    assert again == {(r["id"], r["rank"]) for r in rows}
+
+    toks = spark.createDataFrame(
+        [(1, "x", 100), (2, "x", 100), (3, "x", 100), (4, "x", 100),
+         (5, "y", 250)],
+        "id long, part string, toks long")
+    p = {r["id"]: (r["cum_before"], r["pack_id"], r["pack_pos"])
+         for r in pack_sequences(toks, "part", "id", "toks",
+                                 budget=250).collect()}
+    # x: cum_before 0,100,200,300 -> packs 0,0,0,1; positions 1,2,3,1
+    assert p[1] == (0, 0, 1) and p[2] == (100, 0, 2)
+    assert p[3] == (200, 0, 3) and p[4] == (300, 1, 1)
+    # y packs independently
+    assert p[5] == (0, 0, 1)

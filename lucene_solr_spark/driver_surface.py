@@ -1072,9 +1072,9 @@ DRIVER_PRIORITY = [
     # (r5 late: seg_and_match displaced — r4-green; boolean kernels
     # stay via seg_bm25_wand/seg_bm25_not)
     "seg_bm25_wand", "seg_bm25_not",
-    # (r5 late: seg_function_query displaced — r4-green; the dv
-    # sidecar stays via seg_sort_dv + seg_dv_numbers)
-    "seg_sort_dv",
+    # (r5 late: seg_function_query / seg_sort_dv displaced —
+    # r4-green; the dv sidecar stays via seg_dv_numbers)
+    "dataset_split",
     # (r5 late) FuzzySuggester + AnalyzingInfixSuggester over the
     # persisted completion layout
     "suggest_fuzzy", "suggest_infix",

@@ -5031,3 +5031,36 @@ SELECT doc_id, lang, toks, cum_before, pack_id,
                           ORDER BY doc_id) AS pack_pos
 FROM p
 """)
+
+
+def _dataset_split(spark, sf):
+    """Deterministic 80/10/10 train/val/test split of documents by
+    the md5(seed:doc_id) hash — split sizes + a value fingerprint per
+    split (xor-free: sum of doc_ids) so the assignment itself is
+    oracle-checked, not just the counts."""
+    from lucene_solr_spark.operators.sampling import dataset_split
+
+    docs = _load(spark, sf, "documents").select("doc_id")
+    out = dataset_split(docs, "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (out.groupBy("split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("doc_id").cast("long").alias("id_sum"))
+            .orderBy("split"))
+
+
+_register("dataset_split", _dataset_split, """
+WITH h AS (
+  SELECT doc_id, substr(md5('42:' || doc_id::VARCHAR), 1, 8) AS h8
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN h8 < 'cccccccc' THEN 'train'
+              WHEN h8 < 'e6666666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM h
+)
+SELECT split, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
+FROM s GROUP BY split ORDER BY split
+""")

@@ -56,3 +56,38 @@ def pack_sequences(df: DataFrame, part_col: str, key_col: str,
     wp = Window.partitionBy(part_col, "pack_id").orderBy(F.asc(key_col))
     return out.withColumn("pack_pos",
                           F.row_number().over(wp).cast("long"))
+
+
+def dataset_split(df: DataFrame, key_col: str,
+                  fractions: dict[str, float],
+                  seed: str = "42") -> DataFrame:
+    """Deterministic train/val/test split: each row lands in exactly
+    one named split by its md5(seed:key) hash. The first 8 hex chars
+    are compared LEXICOGRAPHICALLY against the cumulative-fraction
+    cuts rendered as 8-digit lowercase hex (fixed-width hex order ==
+    numeric order), so the rule is pure string comparison — identical
+    on every engine, no hex-to-int cast needed. Cut boundaries are
+    quantized to the 2^32 grid (documented: a fraction of 0.8 means
+    floor(0.8 * 2^32) / 2^32 exactly). Disjoint and exhaustive by
+    construction; ``fractions`` values must sum to 1.0.
+
+    Scale: a pure map — no shuffle, no sample() RNG state; the split
+    column is a Column expression over the hash."""
+    tot = sum(fractions.values())
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"fractions sum to {tot}, expected 1.0")
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(seed), F.lit(":"),
+                       F.col(key_col).cast("string"))), 1, 8)
+    expr = None
+    acc = 0.0
+    names = list(fractions.items())
+    for name, frac in names[:-1]:
+        acc += frac
+        cut = format(int(acc * (1 << 32)), "08x")
+        branch = F.when(h8 < cut, F.lit(name))
+        expr = branch if expr is None else expr.when(h8 < cut, F.lit(name))
+    last = names[-1][0]
+    expr = (F.lit(last) if expr is None
+            else expr.otherwise(F.lit(last)))
+    return df.withColumn("split", expr)

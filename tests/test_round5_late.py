@@ -410,3 +410,25 @@ def test_stratified_sample_and_packing(spark):
     assert p[3] == (200, 0, 3) and p[4] == (300, 1, 1)
     # y packs independently
     assert p[5] == (0, 0, 1)
+
+
+def test_dataset_split_properties(spark):
+    from lucene_solr_spark.operators.sampling import dataset_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    out = dataset_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.collect()
+    # exhaustive + disjoint (one split per row)
+    assert len(rows) == 500
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # parallelism-invariant assignment
+    again = {(r["id"], r["split"]) for r in dataset_split(
+        df.repartition(17), "id",
+        {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert again == {(r["id"], r["split"]) for r in rows}
+    with pytest.raises(ValueError):
+        dataset_split(df, "id", {"train": 0.5, "val": 0.1})

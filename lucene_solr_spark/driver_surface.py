@@ -1024,7 +1024,9 @@ DRIVER_PRIORITY = [
     # the r3 no_oracle row), persisted suggester, executor-striped
     # JDBC, contract-fixed whitespace oracle, six QParser ValueSource/
     # bool/mlt dialects, polygons with holes
-    "seg_phrase_hot", "seg_phrase", "seg_multiphrase", "ft_multifield_qf",
+    # (r5 late: seg_phrase displaced — r4-green; exact phrases stay
+    # via seg_phrase_hot + seg_multiphrase)
+    "seg_phrase_hot", "seg_multiphrase", "ft_multifield_qf",
     # (r5 late: ft_multifield_bool displaced — r4-green; multifield
     # stays via ft_multifield_qf + seg_multifield_qf)
     "ann_sq8", "cardinality_hll",
@@ -1036,7 +1038,10 @@ DRIVER_PRIORITY = [
     # the last un-mapped reference query family (displaced
     # suggest_analyzing — r4-green, suggester gate-covered)
     "payload_score",
-    "solr_func_qp", "solr_frange_qp",
+    "solr_func_qp",
+    # (r5 late: solr_frange_qp displaced — r4-green; ValueSources stay
+    # via solr_func_qp + ft_func_bool)
+    "high_freq_terms", "ft_sweetspot",
     # (r5) {!export} dialect (ExportWriter surface; displaced
     # solr_boost_qp — r4-green, ValueSource family stays via
     # solr_func_qp/solr_frange_qp/solr_stats_vs_qp/ft_func_bool)

@@ -5064,3 +5064,87 @@ s AS (
 SELECT split, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
 FROM s GROUP BY split ORDER BY split
 """)
+
+
+# ---- lucene/misc: HighFreqTerms + SweetSpotSimilarity (round 5, late) ------
+
+def _high_freq_terms(spark, sf):
+    """HighFreqTerms (lucene/misc/src/java/org/apache/lucene/misc/
+    HighFreqTerms.java): top-N dictionary terms by docFreq with
+    totalTermFreq carried (the -t flag's alternate ordering available
+    as a column). One agg over postings + the stats join."""
+    idx = _docs_index(spark, sf)
+    ttf = (idx.postings.groupBy("term")
+           .agg(F.sum("tf").cast("long").alias("ttf")))
+    ts = idx.term_stats.select("term", F.col("df").cast("long").alias("df"))
+    order = [F.desc("df"), F.asc("term")]
+    w = Window.orderBy(*order)
+    return (ts.join(ttf, "term")
+            .orderBy(*order).limit(10)
+            .withColumn("rank", F.row_number().over(w).cast("long")))
+
+
+_register("high_freq_terms", _high_freq_terms, f"""
+WITH {FT_BASE},
+ttf AS (SELECT term, sum(tf)::BIGINT AS ttf FROM postings GROUP BY term)
+SELECT ts.term, ts.df::BIGINT AS df, ttf.ttf,
+       row_number() OVER (ORDER BY ts.df DESC, ts.term) AS rank
+FROM tstats ts JOIN ttf USING (term)
+ORDER BY ts.df DESC, ts.term LIMIT 10
+""")
+
+
+def _ft_sweetspot(spark, sf):
+    """SweetSpotSimilarity (lucene/misc/src/java/org/apache/lucene/
+    misc/SweetSpotSimilarity.java): ClassicSimilarity with a plateau
+    length norm — 1/sqrt(steepness*(|len-min| + |len-max| -
+    (max-min)) + 1), docs inside [min,max] unpenalized — and
+    baselineTf: tf <= tf_min ? tf_base : sqrt(tf + tf_base^2 -
+    tf_min). Params: lengthNorm(8, 20, 0.5), baselineTf(1.5, 2).
+    Exact-double variant for cross-engine parity (the alternate-sims
+    contract of ft_tfidf/ft_lmd/...)."""
+    idx = _docs_index(spark, sf)
+    n = float(idx.coll_stats["doc_count"])
+    p = idx.postings.where(F.col("term") == "merge").select("docid", "tf")
+    d = idx.docs.select("docid", "doclen")
+    dfv = float(idx.term_stats.where(F.col("term") == "merge")
+                .first()["df"])
+    import math
+    idf = 1.0 + math.log(n / (dfv + 1.0))
+    tfc = F.col("tf").cast("double")
+    btf = F.when(tfc <= 2.0, F.lit(1.5)).otherwise(
+        F.sqrt(tfc + F.lit(1.5 * 1.5 - 2.0)))
+    dl = F.col("doclen").cast("double")
+    lnorm = F.lit(1.0) / F.sqrt(
+        F.lit(0.5) * (F.abs(dl - 8.0) + F.abs(dl - 20.0) - F.lit(12.0))
+        + F.lit(1.0))
+    score = btf * F.lit(idf * idf) * lnorm
+    out = (p.join(d, "docid")
+           .select("docid", F.floor(score * Q).cast("long")
+                   .alias("score_q")))
+    top = out.orderBy(F.desc("score_q"), F.asc("docid")).limit(10)
+    w = Window.orderBy(F.desc("score_q"), F.asc("docid"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select(F.col("docid").alias("doc_id"), "score_q", "rank"))
+
+
+_register("ft_sweetspot", _ft_sweetspot, f"""
+WITH {FT_BASE},
+prm AS (
+  SELECT (1.0 + ln(cs.n / (ts.df + 1.0))) AS idf
+  FROM tstats ts CROSS JOIN cstats cs WHERE ts.term = 'merge'
+),
+sc AS (
+  SELECT p.doc_id,
+         CAST(floor(
+           (CASE WHEN p.tf <= 2.0 THEN 1.5
+                 ELSE sqrt(p.tf + 0.25) END)
+           * prm.idf * prm.idf
+           * (1.0 / sqrt(0.5 * (abs(dl.doclen - 8.0)
+                                + abs(dl.doclen - 20.0) - 12.0) + 1.0))
+           * 1000000) AS BIGINT) AS score_q
+  FROM postings p JOIN doclen dl USING (doc_id) CROSS JOIN prm
+  WHERE p.term = 'merge'
+)
+{_topk_sql("SELECT * FROM sc", 10)}
+""")

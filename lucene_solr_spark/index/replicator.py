@@ -155,3 +155,42 @@ def cdcr_replicate(src: SegmentIndex, dst_path: str,
     fs.create(jvm.org.apache.hadoop.fs.Path(f"{gen_dir}/_SUCCESS"),
               True).close()
     return {"generation": src_gen, "applied": True, **out}
+
+
+def split_index(src: SegmentIndex, dst_path: str,
+                seg_ids: list[int]) -> dict:
+    """IndexSplitter (lucene/misc/src/java/org/apache/lucene/index/
+    IndexSplitter.java): carve selected WHOLE segments out of an index
+    into a new standalone index — the reference copies the chosen
+    segments' files and writes a segments_N referencing only them;
+    docids never remap (segment immutability, the same argument
+    replicate() leans on). The destination gets the source manifest
+    filtered to ``seg_ids`` committed as its first generation.
+
+    Scale: per-segment directory copies (server-side on HDFS/S3 via
+    FileUtil.copy) + one O(segments) manifest write — no data-plane
+    Spark job at all."""
+    spark: SparkSession = src.spark
+    fs, jvm = _hadoop_fs(spark, src.path)
+    conf = spark._jsc.hadoopConfiguration()
+
+    meta_rows = src.meta.collect()
+    meta_schema = src.meta.schema
+    live = {int(r["seg_id"]) for r in meta_rows}
+    want = sorted(set(int(s) for s in seg_ids))
+    missing = [s for s in want if s not in live]
+    if missing:
+        raise ValueError(f"split_index: segments {missing} are not "
+                         f"live in {src.path} (live: {sorted(live)})")
+    for sid in want:
+        for sub in _SUBDIRS:
+            sp = jvm.org.apache.hadoop.fs.Path(
+                f"{src.path}/{sub}/seg_id={sid}")
+            if fs.exists(sp):
+                _copy_dir(fs, jvm, conf,
+                          f"{src.path}/{sub}/seg_id={sid}",
+                          f"{dst_path}/{sub}/seg_id={sid}")
+    keep = [r for r in meta_rows if int(r["seg_id"]) in set(want)]
+    commit_segments_meta(spark.createDataFrame(keep, meta_schema),
+                         dst_path)
+    return {"segments": want}

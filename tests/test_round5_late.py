@@ -432,3 +432,45 @@ def test_dataset_split_properties(spark):
     assert again == {(r["id"], r["split"]) for r in rows}
     with pytest.raises(ValueError):
         dataset_split(df, "id", {"train": 0.5, "val": 0.1})
+
+
+def test_index_splitter(spark, pages_tiny, tmp_path_factory):
+    """IndexSplitter (misc/index/IndexSplitter.java): whole segments
+    carved into a standalone index; docids never remap; search over
+    the split == search over the whole filtered to those segments'
+    docid ranges."""
+    from lucene_solr_spark.index.replicator import split_index
+    from lucene_solr_spark.index.segments import (SegmentIndex,
+                                                  build_segment_index)
+    from lucene_solr_spark.search.wand import WandSearcher
+
+    base = tmp_path_factory.mktemp("split")
+    src = build_segment_index(pages_tiny, str(base / "src"),
+                              seg_size=128, salt_span=32)
+    live = src.live_segments()
+    assert len(live) >= 2
+    take = live[::2]
+    out = split_index(src, str(base / "dst"), take)
+    assert out["segments"] == sorted(take)
+
+    dst = SegmentIndex(path=str(base / "dst"), spark=spark)
+    assert dst.live_segments() == sorted(take)
+    # docids in the split are exactly the source's docids for those
+    # segments (no remap)
+    src_docs = {r["docid"] for r in src.docs.where(
+        F.col("seg_id").isin(take)).select("docid").collect()}
+    dst_docs = {r["docid"] for r in dst.docs.select("docid").collect()}
+    assert dst_docs == src_docs
+
+    # a term search over the split equals the whole-index MATCH SET
+    # restricted to the split's docids (scores differ: per-split df/N)
+    full = WandSearcher(src)
+    part = WandSearcher(dst)
+    want = {r["docid"] for r in full.search("t000010", k=1000).collect()
+            if r["docid"] in dst_docs}
+    got = {r["docid"] for r in part.search("t000010", k=1000).collect()}
+    assert got == want
+
+    # segments not live in the source are rejected
+    with pytest.raises(ValueError):
+        split_index(src, str(base / "dst2"), [max(live) + 99])

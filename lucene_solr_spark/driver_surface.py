@@ -1107,9 +1107,10 @@ DRIVER_PRIORITY = [
     "spellcheck_collate",
     "ft_bool_or_msm",
     "dedup_exact",
-    # facet family represented by the r4 nested JSON Facet evaluator
-    # (facet_terms is its strict subset; r1-green on record)
-    "json_facet_nested",
+    # (r5 late: json_facet_nested displaced — r4-green; facet family
+    # stays via interval_facet + group_facet + cardinality_hll)
+    # IndexSearcher.explain: the f32 component breakdown, bit-checked
+    "explain_score",
     # (a3) round-4 session 3: index-stats ValueSources (termfreq/idf/
     # docfreq/ttf/strdist in the {!func} grammar), the segment-native
     # two-phase span kernel, and QParser dialect batch 3

@@ -5148,3 +5148,95 @@ sc AS (
 )
 {_topk_sql("SELECT * FROM sc", 10)}
 """)
+
+
+# ---- IndexSearcher.explain (round 5, late) ---------------------------------
+
+from lucene_solr_spark.oracle_f32 import f32_base_sql as _f32_base_sql
+
+
+def _explain_score(spark, sf):
+    """IndexSearcher.explain (core/src/java/org/apache/lucene/search/
+    IndexSearcher.java explain() + BM25Similarity.explainScore):
+    the per-clause score breakdown for ONE document — the lowest
+    doc_id matching both 'hash' and 'join'. One row per term with the
+    f32-exact components (weight = boost*idf*(k1+1), norm cache,
+    clause score), plus a '~total' row carrying the f64-accumulated
+    f32-downcast document score (the exact collector fold). Single-doc
+    debug API: the component math runs on driver-collected scalars
+    through the SAME numpy BM25 kernels the engine scores with."""
+    import numpy as np
+
+    from lucene_solr_spark.functions.bm25 import BM25, length_norm_byte
+
+    idx = _docs_index(spark, sf)
+    terms = ["hash", "join"]
+    p = idx.postings.where(F.col("term").isin(terms))
+    both = (p.groupBy("docid").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") == 2).agg(F.min("docid").alias("d")))
+    target = int(both.first()["d"])
+    rows = {r["term"]: int(r["tf"])
+            for r in p.where(F.col("docid") == target).collect()}
+    doclen = int(idx.docs.where(F.col("docid") == target)
+                 .first()["doclen"])
+    cs = idx.coll_stats
+    bm = BM25(int(cs["doc_count"]), int(cs["sum_ttf"]))
+    dfs = {r["term"]: int(r["df"]) for r in
+           idx.term_stats.where(F.col("term").isin(terms)).collect()}
+    nb = int(length_norm_byte(doclen))
+    out = []
+    acc = 0.0
+    for t in sorted(terms):
+        w = bm.term_weight(dfs[t])
+        c = float(bm.cache[nb])
+        s = bm.score(np.float32(w), rows[t], nb)
+        acc += float(s)
+        out.append((t, target, rows[t], dfs[t], doclen,
+                    int(np.floor(float(w) * 1e6)),
+                    int(np.floor(c * 1e6)),
+                    int(np.floor(float(s) * 1e6))))
+    total = np.float32(acc)
+    out.append(("~total", target, 0, 0, doclen, 0, 0,
+                int(np.floor(float(total) * 1e6))))
+    return spark.createDataFrame(
+        out, "term string, doc_id long, tf long, df long, doclen long, "
+             "weight_q long, cache_q long, score_q long")
+
+
+_register("explain_score", _explain_score, f"""
+WITH {FT_BASE},
+tgt AS (
+  SELECT min(doc_id) AS d FROM (
+    SELECT doc_id FROM postings WHERE term IN ('hash', 'join')
+    GROUP BY doc_id HAVING count(*) = 2)
+),
+{_f32_base_sql(["hash", "join"])},
+comp AS (
+  SELECT p.term, p.doc_id, p.tf::BIGINT AS tf,
+         ts.df::BIGINT AS df, dl.doclen::BIGINT AS doclen,
+         CAST(floor(fw.w * 1000000) AS BIGINT) AS weight_q,
+         CAST(floor(fc.c * 1000000) AS BIGINT) AS cache_q,
+         CAST(floor(fs.s * 1000000) AS BIGINT) AS score_q
+  FROM postings p
+  JOIN tgt ON p.doc_id = tgt.d
+  JOIN tstats ts USING (term)
+  JOIN doclen dl ON dl.doc_id = p.doc_id
+  JOIN fweights fw ON fw.term = p.term
+  JOIN fcache fc ON fc.doc_id = p.doc_id
+  JOIN fscored fs ON fs.doc_id = p.doc_id AND fs.term = p.term
+  WHERE p.term IN ('hash', 'join')
+),
+tot AS (
+  SELECT '~total' AS term, f.doc_id, 0::BIGINT AS tf, 0::BIGINT AS df,
+         (SELECT doclen FROM comp LIMIT 1) AS doclen,
+         0::BIGINT AS weight_q, 0::BIGINT AS cache_q,
+         -- two clauses: the f64 sum is order-free (exact addition
+         -- of two doubles), then one f32 downcast (the collector fold)
+         CAST(floor(CAST(sum(f.s::DOUBLE)
+                         AS FLOAT)::DOUBLE * 1000000) AS BIGINT)
+           AS score_q
+  FROM fscored f JOIN tgt ON f.doc_id = tgt.d
+  GROUP BY f.doc_id
+)
+SELECT * FROM comp UNION ALL SELECT * FROM tot
+""")

@@ -1026,7 +1026,9 @@ DRIVER_PRIORITY = [
     # bool/mlt dialects, polygons with holes
     # (r5 late: seg_phrase displaced — r4-green; exact phrases stay
     # via seg_phrase_hot + seg_multiphrase)
-    "seg_phrase_hot", "seg_multiphrase", "ft_multifield_qf",
+    # (r5 late: ft_multifield_qf displaced — r4-green; multifield
+    # stays via seg_multifield_qf)
+    "seg_phrase_hot", "seg_multiphrase",
     # (r5 late: ft_multifield_bool displaced — r4-green; multifield
     # stays via ft_multifield_qf + seg_multifield_qf)
     "ann_sq8", "cardinality_hll",
@@ -1038,10 +1040,10 @@ DRIVER_PRIORITY = [
     # the last un-mapped reference query family (displaced
     # suggest_analyzing — r4-green, suggester gate-covered)
     "payload_score",
-    "solr_func_qp",
-    # (r5 late: solr_frange_qp displaced — r4-green; ValueSources stay
-    # via solr_func_qp + ft_func_bool)
-    "high_freq_terms", "ft_sweetspot",
+    # (r5 late: solr_func_qp / solr_frange_qp displaced — r4-green;
+    # ValueSources stay via ft_func_bool + func_ord + ft_sweetspot +
+    # solr_stats_vs dialect machinery re-validated by the local gate)
+    "high_freq_terms", "ft_sweetspot", "func_ord",
     # (r5) {!export} dialect (ExportWriter surface; displaced
     # solr_boost_qp — r4-green, ValueSource family stays via
     # solr_func_qp/solr_frange_qp/solr_stats_vs_qp/ft_func_bool)
@@ -1106,11 +1108,14 @@ DRIVER_PRIORITY = [
     # json_facet_nested)
     "spellcheck_collate",
     "ft_bool_or_msm",
-    "dedup_exact",
-    # (r5 late: json_facet_nested displaced — r4-green; facet family
-    # stays via interval_facet + group_facet + cardinality_hll)
+    # (r5 late: dedup_exact / json_facet_nested displaced — both
+    # driver-green on record; LLM-pipeline coverage stays via
+    # random_stream/stratified_sample/seq_packing/dataset_split, facets
+    # via interval_facet + group_facet + cardinality_hll)
     # IndexSearcher.explain: the f32 component breakdown, bit-checked
     "explain_score",
+    # QueryElevationComponent + sortMissingLast semantics
+    "query_elevation", "sort_missing",
     # (a3) round-4 session 3: index-stats ValueSources (termfreq/idf/
     # docfreq/ttf/strdist in the {!func} grammar), the segment-native
     # two-phase span kernel, and QParser dialect batch 3

@@ -5240,3 +5240,123 @@ tot AS (
 )
 SELECT * FROM comp UNION ALL SELECT * FROM tot
 """)
+
+
+# ---- QueryElevationComponent (round 5, late) -------------------------------
+
+def _query_elevation(spark, sf):
+    """QueryElevationComponent: for q='merge', doc 7 then doc 3 are
+    editorially pinned to the top (whether or not they match — the
+    reference ORs the elevation ids into the query; a non-matching
+    elevated doc carries organic score 0), doc 11 is excluded, the
+    organic tail follows by (score desc, doc asc)."""
+    from lucene_solr_spark.operators.searchext import elevate_query
+
+    idx = _docs_index(spark, sf)
+    s = Searcher(idx, mode="sql")
+    hits = s.matches(A.TermQ("merge")).select(
+        F.col("docid").alias("doc_id"),
+        F.floor(F.col("score") * Q).cast("long").alias("score_q"))
+    elevate, exclude = [7, 3], [11]
+    ev = spark.createDataFrame([(int(d),) for d in elevate],
+                               "doc_id long")
+    evh = (ev.join(hits, "doc_id", "left")
+           .select("doc_id", F.coalesce("score_q", F.lit(0))
+                   .cast("long").alias("score_q")))
+    org = hits.where(~F.col("doc_id").isin(elevate + exclude))
+    out = elevate_query(org.unionByName(evh), elevate, exclude, k=10)
+    return out.select("doc_id", "score_q",
+                      F.col("elevated").cast("int").alias("elevated"),
+                      "rank")
+
+
+_register("query_elevation", _query_elevation, f"""
+WITH {FT_BASE}, {_ft_scored(['merge'])},
+agg AS (
+  SELECT doc_id, CAST(floor(s * 1000000) AS BIGINT) AS score_q FROM scored
+),
+ev(doc_id, pos) AS (VALUES (7, 0), (3, 1)),
+evh AS (
+  SELECT e.doc_id, coalesce(a.score_q, 0)::BIGINT AS score_q, e.pos
+  FROM ev e LEFT JOIN agg a USING (doc_id)
+),
+org AS (
+  SELECT doc_id, score_q FROM agg WHERE doc_id NOT IN (7, 3, 11)
+),
+allh AS (
+  SELECT doc_id, score_q, 1 AS elevated, pos FROM evh
+  UNION ALL
+  SELECT doc_id, score_q, 0 AS elevated, 2 AS pos FROM org
+)
+SELECT doc_id, score_q, elevated,
+       row_number() OVER (
+         ORDER BY elevated DESC, pos, score_q DESC, doc_id) AS rank
+FROM allh
+ORDER BY elevated DESC, pos, score_q DESC, doc_id LIMIT 10
+""")
+
+
+# ---- ord()/rord() ValueSources + sortMissingLast (round 5, late) -----------
+
+def _func_ord(spark, sf):
+    """OrdFieldSource / ReverseOrdFieldSource (lucene/queries/src/java/
+    org/apache/lucene/queries/function/valuesource/OrdFieldSource.java,
+    ReverseOrdFieldSource.java): ord(source) = 0-based ordinal of the
+    doc's value in the sorted distinct values; rord = (numValues - 1)
+    - ord. The ordinal dim is a broadcast join (the global-ords map),
+    never a global window. First 20 docs by doc_id."""
+    docs = _load(spark, sf, "documents").select("doc_id", "source")
+    dim = (docs.select("source").distinct()
+           .withColumn("ord", F.row_number().over(
+               Window.orderBy("source")).cast("long") - 1))
+    nvals = dim.count()
+    out = (docs.join(F.broadcast(dim), "source")
+           .select("doc_id", "ord",
+                   (F.lit(int(nvals) - 1) - F.col("ord")).cast("long")
+                   .alias("rord"))
+           .orderBy("doc_id").limit(20))
+    return out
+
+
+_register("func_ord", _func_ord, """
+WITH dim AS (
+  SELECT source, dense_rank() OVER (ORDER BY source) - 1 AS ord
+  FROM (SELECT DISTINCT source FROM documents)
+),
+n AS (SELECT count(*) AS nv FROM dim)
+SELECT d.doc_id, m.ord::BIGINT AS ord,
+       (n.nv - 1 - m.ord)::BIGINT AS rord
+FROM documents d JOIN dim m USING (source) CROSS JOIN n
+ORDER BY d.doc_id LIMIT 20
+""")
+
+
+def _sort_missing(spark, sf):
+    """sortMissingLast (solr/core/.../schema/FieldType.java
+    sortMissingLast/First; SortField.setMissingValue in
+    search/SortField.java): docs sorted by a field where some values
+    are MISSING (here: source 'src3' nulled out) — missing docs sort
+    LAST regardless of direction, ties by doc_id."""
+    docs = _load(spark, sf, "documents").select("doc_id", "source")
+    v = F.when(F.col("source") == "src3", F.lit(None)).otherwise(
+        F.col("source"))
+    out = (docs.select("doc_id", v.alias("v"))
+           .orderBy(F.asc_nulls_last("v"), F.asc("doc_id")).limit(25))
+    w = Window.orderBy(F.asc_nulls_last("v"), F.asc("doc_id"))
+    return (out.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("doc_id", F.coalesce("v", F.lit("~missing"))
+                    .alias("v"), "rank"))
+
+
+_register("sort_missing", _sort_missing, """
+WITH s AS (
+  SELECT doc_id, nullif(source, 'src3') AS v FROM documents
+),
+rk AS (
+  SELECT doc_id, v,
+         row_number() OVER (ORDER BY v ASC NULLS LAST, doc_id) AS rank
+  FROM s
+)
+SELECT doc_id, coalesce(v, '~missing') AS v, rank
+FROM rk WHERE rank <= 25 ORDER BY rank
+""")

@@ -711,3 +711,36 @@ def infix_suggest(suggester: DataFrame, query: str, k: int = 10,
             .withColumn("rank",
                         F.row_number().over(Window.orderBy(*order))
                         .cast("long")))
+
+
+def elevate_query(hits: DataFrame, elevate_ids: list[int],
+                  exclude_ids: list[int] | None = None, k: int = 10,
+                  doc_col: str = "doc_id",
+                  score_col: str = "score_q") -> DataFrame:
+    """QueryElevationComponent (solr/core/src/java/org/apache/solr/
+    handler/component/QueryElevationComponent.java + its
+    ElevationComparatorSource): editorially elevated docs are pinned
+    to the top IN THE CONFIGURED ORDER (even above higher-scoring
+    organic hits — forceElevation), excluded docs are removed, and
+    the remaining hits follow in (score desc, doc asc) order.
+    Elevated docs need not match the query (the reference ORs the
+    elevation ids into the query); absent ids simply rank by their
+    configured position. Returns (doc_col, score_q, elevated, rank).
+
+    Scale: the elevation set is a literal broadcast map folded into
+    ONE sort key — no second pass, no driver-side reordering of the
+    organic results."""
+    exclude_ids = exclude_ids or []
+    pos = F.create_map(*[x for i, d in enumerate(elevate_ids)
+                         for x in (F.lit(int(d)), F.lit(i))])
+    base = hits.where(~F.col(doc_col).isin(
+        [int(x) for x in exclude_ids])) if exclude_ids else hits
+    epos = pos[F.col(doc_col)]
+    out = base.withColumn("elevated", epos.isNotNull())
+    order = [F.desc("elevated"),
+             F.asc(F.coalesce(epos, F.lit(len(elevate_ids)))),
+             F.desc(score_col), F.asc(doc_col)]
+    w = Window.orderBy(*order)
+    return (out.orderBy(*order).limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .select(doc_col, score_col, "elevated", "rank"))

@@ -1107,7 +1107,9 @@ DRIVER_PRIORITY = [
     # group_topk — r4-green; grouping family stays via group_facet +
     # json_facet_nested)
     "spellcheck_collate",
-    "ft_bool_or_msm",
+    # (r5 late: ft_bool_or_msm displaced — r1+r4-green; booleans stay
+    # via seg_bm25_wand/seg_bm25_not) SpanMultiTermQueryWrapper:
+    "seg_span_multiterm",
     # (r5 late: dedup_exact / json_facet_nested displaced — both
     # driver-green on record; LLM-pipeline coverage stays via
     # random_stream/stratified_sample/seq_packing/dataset_split, facets

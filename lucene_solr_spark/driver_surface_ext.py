@@ -5360,3 +5360,41 @@ rk AS (
 SELECT doc_id, coalesce(v, '~missing') AS v, rank
 FROM rk WHERE rank <= 25 ORDER BY rank
 """)
+
+
+def _seg_span_multiterm(spark, sf):
+    """SpanMultiTermQueryWrapper (lucene/core/.../search/spans/
+    SpanMultiTermQueryWrapper.java): a multi-term query (prefix 's*')
+    wrapped as a span — the reference REWRITES it to a SpanOr over
+    the expanded terms (SpanRewriteMethod), which is exactly the
+    SpanOrNQ slot the nested kernel executes; ordered
+    near(or(s*-terms), merge) with gap <= 6. Expansion against the
+    dictionary happens once, driver-side (the rewrite's term
+    enumeration)."""
+    from lucene_solr_spark.search.wand import WandSearcher
+
+    idx = _docs_index(spark, sf)
+    expanded = tuple(sorted(
+        r["term"] for r in idx.term_stats
+        .where(F.col("term").startswith("s")).select("term").collect()))
+    si = _seg_index(spark, sf)
+    q = A.SpanNearNQ((A.SpanOrNQ(expanded), "merge"), slop=6)
+    out = WandSearcher(si).search(q, k=25)
+    return out.select(F.col("docid").alias("doc_id"),
+                      F.floor(F.col("score") * Q).cast("long")
+                      .alias("score_q"), "rank")
+
+
+_register("seg_span_multiterm", _seg_span_multiterm, f"""
+WITH {FT_BASE},
+m AS (
+  SELECT DISTINCT p1.doc_id
+  FROM (SELECT doc_id, pos FROM tokf WHERE term LIKE 's%') p1
+  JOIN (SELECT doc_id, pos FROM tokf WHERE term = 'merge') p2
+    ON p1.doc_id = p2.doc_id AND p2.pos > p1.pos
+   AND (p2.pos - p1.pos - 1) <= 6
+)
+SELECT doc_id, CAST(1000000 AS BIGINT) AS score_q,
+       row_number() OVER (ORDER BY doc_id) AS rank
+FROM m QUALIFY rank <= 25
+""")

@@ -474,3 +474,22 @@ def test_index_splitter(spark, pages_tiny, tmp_path_factory):
     # segments not live in the source are rejected
     with pytest.raises(ValueError):
         split_index(src, str(base / "dst2"), [max(live) + 99])
+
+
+def test_score_join_broadcasts_value_dim(spark):
+    from lucene_solr_spark.operators.relational import score_join
+
+    from_scored = spark.createDataFrame(
+        [("a", 10)] * 5 + [("b", 7)] * 3, "k string, score_q long")
+    to_df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)],
+        "doc_id long, k string")
+    plan = (score_join(from_scored, to_df, "k", mode="max")
+            ._jdf.queryExecution().executedPlan().toString())
+    # the aggregated join-value dim is broadcast (the in-memory value
+    # map of TermsIncludingScoreQuery), not shuffled
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    plan2 = (score_join(from_scored, to_df, "k", mode="max",
+                        broadcast_values=False)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert plan2  # shuffle fallback still plans

@@ -36,7 +36,10 @@ def spellcheck(index: IndexTables, word: str, max_edits: int = 2,
     """DirectSpellChecker shape (solr/core/.../spelling/): dictionary
     terms within ``max_edits`` Levenshtein distance, ranked by
     (distance asc, df desc, term asc). Spark's levenshtein() replaces
-    the Levenshtein automaton term intersection."""
+    the Levenshtein automaton term intersection. See
+    ``direct_spellcheck`` for the faithful variant (OSA transposition
+    distance, the 1 - d/min(len) score scale and the reference
+    comparator)."""
     cand = index.term_stats.select(
         "term", F.col("df").cast("long").alias("df"),
         F.levenshtein(F.col("term"), F.lit(word)).alias("dist"),

@@ -5214,9 +5214,9 @@ tgt AS (
 comp AS (
   SELECT p.term, p.doc_id, p.tf::BIGINT AS tf,
          ts.df::BIGINT AS df, dl.doclen::BIGINT AS doclen,
-         CAST(floor(fw.w * 1000000) AS BIGINT) AS weight_q,
-         CAST(floor(fc.c * 1000000) AS BIGINT) AS cache_q,
-         CAST(floor(fs.s * 1000000) AS BIGINT) AS score_q
+         CAST(floor(fw.w::DOUBLE * 1000000) AS BIGINT) AS weight_q,
+         CAST(floor(fc.c::DOUBLE * 1000000) AS BIGINT) AS cache_q,
+         CAST(floor(fs.s::DOUBLE * 1000000) AS BIGINT) AS score_q
   FROM postings p
   JOIN tgt ON p.doc_id = tgt.d
   JOIN tstats ts USING (term)

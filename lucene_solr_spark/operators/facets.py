@@ -343,7 +343,8 @@ def interval_facet(df: DataFrame, field: str,
             cond = cond & (c >= lo if lo_incl else c > lo)
         if hi is not None:
             cond = cond & (c <= hi if hi_incl else c < hi)
-        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+        # count(when(...)) is 0 on an empty frame; sum() would be null
+        aggs.append(F.count(F.when(cond, True))
                     .cast("long").alias(f"_i{i}"))
     row = df.agg(*aggs)
     pairs = F.array(*[

@@ -84,9 +84,13 @@ def dataset_split(df: DataFrame, key_col: str,
     names = list(fractions.items())
     for name, frac in names[:-1]:
         acc += frac
-        cut = format(int(acc * (1 << 32)), "08x")
-        branch = F.when(h8 < cut, F.lit(name))
-        expr = branch if expr is None else expr.when(h8 < cut, F.lit(name))
+        cut_i = int(acc * (1 << 32))
+        # a cumulative fraction reaching 1.0 would render 9 hex chars
+        # and invert the fixed-width comparison: catch-all instead
+        cond = (F.lit(True) if cut_i >= (1 << 32)
+                else h8 < format(cut_i, "08x"))
+        branch = F.when(cond, F.lit(name))
+        expr = branch if expr is None else expr.when(cond, F.lit(name))
     last = names[-1][0]
     expr = (F.lit(last) if expr is None
             else expr.otherwise(F.lit(last)))

@@ -572,13 +572,20 @@ def spellcheck_collate(index: IndexTables, words: list[str],
     spark = index.term_stats.sparkSession
     in_dict = {r["term"] for r in index.term_stats
                .where(F.col("term").isin(words)).select("term").collect()}
+    misspelled = [w_ for w_ in words if w_ not in in_dict]
+    sugg_by: dict[str, list[tuple[str, int]]] = {w_: [] for w_ in misspelled}
+    if misspelled:
+        # ONE dictionary job for every misspelled word (direct_spellcheck
+        # partitions its ranks per input word)
+        for r in direct_spellcheck(index, misspelled,
+                                   k_per_word=k_sugg).collect():
+            sugg_by[r["word"]].append((r["term"], int(r["rank"])))
     cand: list[list[tuple[str, int]]] = []
     for w_ in words:
         if w_ in in_dict:
             cand.append([(w_, 0)])
             continue
-        sugg = direct_spellcheck(index, [w_], k_per_word=k_sugg).collect()
-        cand.append([(r["term"], int(r["rank"])) for r in sugg])
+        cand.append(sorted(sugg_by[w_], key=lambda x: x[1]))
     combos = []
     for cid, combo in enumerate(product(*cand)):
         terms = [t for t, _ in combo]
@@ -734,15 +741,20 @@ def elevate_query(hits: DataFrame, elevate_ids: list[int],
     ONE sort key — no second pass, no driver-side reordering of the
     organic results."""
     exclude_ids = exclude_ids or []
-    pos = F.create_map(*[x for i, d in enumerate(elevate_ids)
-                         for x in (F.lit(int(d)), F.lit(i))])
     base = hits.where(~F.col(doc_col).isin(
         [int(x) for x in exclude_ids])) if exclude_ids else hits
-    epos = pos[F.col(doc_col)]
-    out = base.withColumn("elevated", epos.isNotNull())
-    order = [F.desc("elevated"),
-             F.asc(F.coalesce(epos, F.lit(len(elevate_ids)))),
-             F.desc(score_col), F.asc(doc_col)]
+    if elevate_ids:
+        pos = F.create_map(*[x for i, d in enumerate(elevate_ids)
+                             for x in (F.lit(int(d)), F.lit(i))])
+        epos = pos[F.col(doc_col)]
+        out = base.withColumn("elevated", epos.isNotNull())
+        order = [F.desc("elevated"),
+                 F.asc(F.coalesce(epos, F.lit(len(elevate_ids)))),
+                 F.desc(score_col), F.asc(doc_col)]
+    else:
+        # exclusions-only elevation config: organic order, no pins
+        out = base.withColumn("elevated", F.lit(False))
+        order = [F.desc(score_col), F.asc(doc_col)]
     w = Window.orderBy(*order)
     return (out.orderBy(*order).limit(k)
             .withColumn("rank", F.row_number().over(w).cast("long"))

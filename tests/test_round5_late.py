@@ -493,3 +493,40 @@ def test_score_join_broadcasts_value_dim(spark):
                         broadcast_values=False)
              ._jdf.queryExecution().executedPlan().toString())
     assert plan2  # shuffle fallback still plans
+
+
+def test_review_fix_regressions(spark, combo_index):
+    """Round-5 code-review fixes: empty-elevation config, overflowing
+    dataset_split cuts, interval_facet on empty input, and the
+    one-job spellcheck_collate suggestion phase."""
+    from lucene_solr_spark.operators.facets import interval_facet
+    from lucene_solr_spark.operators.sampling import dataset_split
+    from lucene_solr_spark.operators.searchext import (
+        elevate_query, spellcheck_collate)
+
+    # exclusions-only elevation (no pins) must not crash and keeps
+    # organic order
+    hits = spark.createDataFrame(
+        [(1, 90), (2, 80), (3, 70)], "doc_id long, score_q long")
+    out = [(r["doc_id"], r["elevated"], r["rank"])
+           for r in elevate_query(hits, [], exclude_ids=[2]).collect()]
+    assert out == [(1, False, 1), (3, False, 2)]
+
+    # a split whose cumulative fraction hits 1.0 before the last name:
+    # the declared-0.0 split receives NOTHING
+    df = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    got = {r["split"] for r in dataset_split(
+        df, "id", {"train": 0.5, "val": 0.5, "test": 0.0}).collect()}
+    assert "test" not in got and got == {"train", "val"}
+
+    # empty input -> 0 counts, never null
+    empty = spark.createDataFrame([], "n long")
+    rows = interval_facet(empty, "n", ["[0,10)", "(5,*]"]).collect()
+    assert [(r["ival"], r["cnt"]) for r in rows] == [
+        ("[0,10)", 0), ("(5,*]", 0)]
+
+    # collate still correct after the single-job suggestion phase
+    out2 = [(r["collation"], r["hits"], r["rank"])
+            for r in spellcheck_collate(combo_index,
+                                        ["datab", "merge"]).collect()]
+    assert out2 == [("data merge", 1, 1)]

@@ -759,3 +759,86 @@ def elevate_query(hits: DataFrame, elevate_ids: list[int],
     return (out.orderBy(*order).limit(k)
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .select(doc_col, score_col, "elevated", "rank"))
+
+
+def fvh_highlight_tagged(index: IndexTables, docs_text: DataFrame,
+                         phrase_terms: list[str],
+                         frag_char_size: int = 100, margin: int = 6,
+                         max_fragments: int = 3,
+                         pre_tag: str = "<b>", post_tag: str = "</b>",
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """fast_vector_highlight with the BaseFragmentsBuilder output
+    (vectorhighlight/BaseFragmentsBuilder.java makeFragment +
+    SimpleHTMLFormatter's preTag/postTag): each phrase match inside a
+    fragment is wrapped in pre/post tags, splices applied right-to-
+    left so earlier offsets stay valid. Fragment selection is
+    _fvh_fragments verbatim (same greedy chain as the oracled
+    fvh_highlight); matches clipped to the fragment window like the
+    reference's sub-info filtering. Returns (doc_id, frag_start,
+    frag_end, n_matches, tagged, rank).
+
+    Scale: the stored text rides the match frame into ONE
+    applyInPandas pass (per-doc work is O(matches + fragment
+    chars)); no second join, no driver-side string surgery."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    occ = (index.postings.where(F.col("term").isin(list(set(phrase_terms))))
+           .select("docid", "term",
+                   F.explode(F.arrays_zip("positions", "starts",
+                                          "ends")).alias("o"))
+           .select("docid", "term",
+                   F.col("o.positions").alias("pos"),
+                   F.col("o.starts").alias("st"),
+                   F.col("o.ends").alias("en")))
+    cur = (occ.where(F.col("term") == phrase_terms[0])
+           .select("docid", "pos", F.col("st").alias("ms")))
+    if len(phrase_terms) == 1:
+        cur = cur.join(
+            occ.where(F.col("term") == phrase_terms[0])
+            .select("docid", "pos", F.col("en").alias("me")),
+            ["docid", "pos"])
+    else:
+        for t in phrase_terms[1:]:
+            nxt = (occ.where(F.col("term") == t)
+                   .select("docid", F.col("pos").alias("npos"),
+                           F.col("en").alias("ne")))
+            cur = (cur.join(nxt, (cur.docid == nxt.docid)
+                            & (nxt.npos == cur.pos + 1))
+                   .select(cur.docid, nxt.npos.alias("pos"), "ms",
+                           F.col("ne").alias("me")))
+    txt = docs_text.select(F.col(id_col).alias("docid"),
+                           F.col(text_col).alias("_t"))
+    matches = cur.select("docid", "ms", "me").join(txt, "docid")
+
+    schema = StructType([StructField("docid", LongType()),
+                         StructField("frag_start", LongType()),
+                         StructField("frag_end", LongType()),
+                         StructField("n_matches", LongType()),
+                         StructField("tagged", StringType())])
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ms", "me"])
+        ms = list(zip(pdf["ms"].tolist(), pdf["me"].tolist()))
+        text = pdf["_t"].iloc[0]
+        did = int(pdf["docid"].iloc[0])
+        rows = []
+        for fs, fe, nm in _fvh_fragments(ms, frag_char_size, margin):
+            snip = text[fs:fe]
+            inside = [(a - fs, b - fs) for a, b in ms
+                      if a >= fs and b <= min(fe, len(text))]
+            for a, b in sorted(inside, reverse=True):
+                snip = snip[:a] + pre_tag + snip[a:b] + post_tag + snip[b:]
+            rows.append((did, fs, fe, nm, snip))
+        return pd.DataFrame(rows, columns=["docid", "frag_start",
+                                           "frag_end", "n_matches",
+                                           "tagged"])
+
+    frags = matches.groupBy("docid").applyInPandas(per_doc, schema)
+    w = Window.partitionBy("docid").orderBy(
+        F.desc("n_matches"), F.asc("frag_start"))
+    return (frags.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= max_fragments)
+            .select(F.col("docid").alias(id_col), "frag_start",
+                    "frag_end", "n_matches", "tagged", "rank"))

@@ -530,3 +530,24 @@ def test_review_fix_regressions(spark, combo_index):
             for r in spellcheck_collate(combo_index,
                                         ["datab", "merge"]).collect()]
     assert out2 == [("data merge", 1, 1)]
+
+
+def test_fvh_tagged_snippets(spark):
+    from lucene_solr_spark.operators.searchext import fvh_highlight_tagged
+
+    rows = [(0, "aa bb hash join cc dd hash join ee"),
+            (1, "no match here at all")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(docs, key_col="doc_id", text_col="text",
+                      precomputed_docid="doc_id", with_offsets=True)
+    out = fvh_highlight_tagged(idx, docs, ["hash", "join"],
+                               frag_char_size=40, margin=6,
+                               pre_tag="<b>", post_tag="</b>").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == 0 and r["n_matches"] == 2
+    # both matches wrapped, right-to-left splices keep offsets valid
+    assert r["tagged"].count("<b>hash join</b>") == 2
+    # tag-free content equals the raw fragment slice
+    plain = r["tagged"].replace("<b>", "").replace("</b>", "")
+    assert plain == rows[0][1][r["frag_start"]:r["frag_end"]]

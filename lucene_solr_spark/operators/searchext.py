@@ -276,14 +276,17 @@ def highlight_passages(index: IndexTables, docs_text: DataFrame,
 
 def word_break_suggest(index: IndexTables, words: list[str], k: int = 10,
                        min_suggestion_freq: int = 1,
-                       min_break_len: int = 1) -> DataFrame:
+                       min_break_len: int = 1,
+                       sort_method: str = "max_freq") -> DataFrame:
     """WordBreakSpellChecker.suggestWordBreaks (lucene/suggest/src/java/
     org/apache/lucene/search/spell/WordBreakSpellChecker.java:91-151),
     maxChanges=1: one-split break suggestions where BOTH halves are
     dictionary terms with df >= min_suggestion_freq and length >=
     min_break_len. Ranking is the default
     NUM_CHANGES_THEN_MAX_FREQUENCY (all candidates here are one
-    change, so max(df_left, df_right) desc); exact-frequency ties are
+    change, so max(df_left, df_right) desc — pass
+    sort_method="sum_freq" for NUM_CHANGES_THEN_SUMMED_FREQUENCY,
+    left_df + right_df); exact-frequency ties are
     broken (word asc, split_pos asc) — the reference priority queue's
     order on ties is insertion-dependent, pinned here so the result is
     engine-portable. Returns (word, split_pos, left_term, right_term,
@@ -312,7 +315,10 @@ def word_break_suggest(index: IndexTables, words: list[str], k: int = 10,
                            F.col("df").alias("right_df")), "right_term")
            .select("word", "split_pos", "left_term", "right_term",
                    "left_df", "right_df",
-                   F.greatest("left_df", "right_df").alias("max_freq")))
+                   (F.greatest("left_df", "right_df")
+                    if sort_method == "max_freq"
+                    else F.col("left_df") + F.col("right_df"))
+                   .alias("max_freq")))
     order = [F.desc("max_freq"), F.asc("word"), F.asc("split_pos")]
     w = Window.orderBy(*order)
     return (out.orderBy(*order).limit(k)
@@ -376,7 +382,8 @@ def osa_distance(a: str, b: str) -> int:
 
 def direct_spellcheck(index: IndexTables, words: list[str],
                       k_per_word: int = 5, max_edits: int = 2,
-                      accuracy: float = 0.5, min_df: int = 1) -> DataFrame:
+                      accuracy: float = 0.5, min_df: int = 1,
+                      suggest_mode: str = "always") -> DataFrame:
     """DirectSpellChecker.suggestSimilar (lucene/suggest/.../spell/
     DirectSpellChecker.java:286,341): dictionary candidates within
     ``max_edits`` OSA distance, scored 1 - dist/min(len) (the
@@ -387,6 +394,12 @@ def direct_spellcheck(index: IndexTables, words: list[str],
     floor(x*1e6) and the accuracy gate applies to the quantized value
     so the ordering is engine-portable (the ratio is an exact IEEE
     double of two small ints on every engine).
+
+    ``suggest_mode`` (spell/SuggestMode.java): "always" (every word
+    gets suggestions), "when_not_in_index" (words present in the
+    dictionary get none — the reference default), "more_popular"
+    (candidates must have df STRICTLY greater than the word's own df;
+    0 for absent words).
 
     Scale: the |len(term) - len(word)| <= max_edits window is a plain
     Column predicate evaluated BELOW the Arrow-batched OSA UDF — the
@@ -399,15 +412,33 @@ def direct_spellcheck(index: IndexTables, words: list[str],
         return pd.Series([osa_distance(x, y) for x, y in zip(a, b)],
                          dtype="int32")
 
+    if suggest_mode not in ("always", "when_not_in_index",
+                            "more_popular"):
+        raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
     spark = index.term_stats.sparkSession
-    wdf = spark.createDataFrame([(w, len(w)) for w in words],
-                                "word string, wlen int")
+    word_df = {w: 0 for w in words}
+    if suggest_mode != "always":
+        for r in (index.term_stats.where(F.col("term").isin(words))
+                  .select("term", "df").collect()):
+            word_df[r["term"]] = int(r["df"])
+    use = (words if suggest_mode != "when_not_in_index"
+           else [w for w in words if word_df[w] == 0])
+    if not use:
+        return spark.createDataFrame(
+            [], "word string, term string, df long, dist long, "
+                "score_q long, rank long")
+    words = use
+    wdf = spark.createDataFrame([(w, len(w), int(word_df[w]))
+                                 for w in words],
+                                "word string, wlen int, wdf long")
     ts = index.term_stats.select("term",
                                  F.col("df").cast("long").alias("df"))
     cand = (ts.crossJoin(F.broadcast(wdf))
             .where((F.abs(F.length("term") - F.col("wlen")) <= max_edits)
                    & (F.col("term") != F.col("word"))
                    & (F.col("df") >= min_df))
+            .where(F.col("df") > F.col("wdf")
+                   if suggest_mode == "more_popular" else F.lit(True))
             .withColumn("dist", _osa("word", "term").cast("long"))
             .where(F.col("dist") <= max_edits))
     score = (F.lit(1.0) - F.col("dist").cast("double")

@@ -551,3 +551,39 @@ def test_fvh_tagged_snippets(spark):
     # tag-free content equals the raw fragment slice
     plain = r["tagged"].replace("<b>", "").replace("</b>", "")
     assert plain == rows[0][1][r["frag_start"]:r["frag_end"]]
+
+
+def test_direct_spellcheck_suggest_modes(combo_index):
+    from lucene_solr_spark.operators.searchext import direct_spellcheck
+
+    # 'merge' IS in the dictionary: when_not_in_index drops it,
+    # 'mergee' still gets suggestions
+    out = direct_spellcheck(combo_index, ["merge", "mergee"],
+                            suggest_mode="when_not_in_index").collect()
+    assert {r["word"] for r in out} == {"mergee"}
+    # more_popular: candidates need df > the word's own df
+    spark = combo_index.term_stats.sparkSession
+    docs = spark.createDataFrame(
+        [(0, "card cart"), (1, "card"), (2, "card")],
+        "doc_id long, text string")
+    idx2 = build_index(docs, key_col="doc_id", text_col="text",
+                       precomputed_docid="doc_id", analyzer="whitespace")
+    # cart (df 1): card (d=1, df 3 > 1) survives
+    out2 = direct_spellcheck(idx2, ["cart"],
+                             suggest_mode="more_popular").collect()
+    assert [(r["term"], r["df"]) for r in out2] == [("card", 3)]
+    # card (df 3): cart (df 1) is NOT more popular -> empty
+    assert direct_spellcheck(idx2, ["card"],
+                             suggest_mode="more_popular").count() == 0
+    with pytest.raises(ValueError):
+        direct_spellcheck(combo_index, ["x"], suggest_mode="bogus")
+
+
+def test_word_break_summed_freq_sort(combo_index):
+    from lucene_solr_spark.operators.searchext import word_break_suggest
+
+    out = word_break_suggest(combo_index, ["databasemerge", "sortmerge"],
+                             sort_method="sum_freq").collect()
+    rows = [(r["word"], r["max_freq"]) for r in out]
+    # summed: database+merge = 3+2 = 5; sort+merge = 1+2 = 3
+    assert rows == [("databasemerge", 5), ("sortmerge", 3)]

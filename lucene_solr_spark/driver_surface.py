@@ -1062,8 +1062,12 @@ DRIVER_PRIORITY = [
     # surround/complexphrase) + the segment-native MultiPhrase kernel
     # (r5 late: solr_graph_qp displaced — r4-green; graph traversal
     # stays via shortest_path_paths, dialect batches via mix2/mix3)
-    "solr_qparser_mix2", "solr_block_qp",
+    # (r5 late: solr_qparser_mix2 displaced — r4-green; dialect
+    # batches stay via solr_classic_qp/solr_export_qp/solr_tlogit_qp)
+    "solr_block_qp",
     "solr_geo_qp",
+    # DrillSideways: per-dimension near-miss facet counts
+    "drill_sideways",
     # (r5 late) FastVectorHighlighter fragments over the indexed
     # term-vector stream
     "fvh_highlight",

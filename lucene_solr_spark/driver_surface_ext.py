@@ -5398,3 +5398,41 @@ SELECT doc_id, CAST(1000000 AS BIGINT) AS score_q,
        row_number() OVER (ORDER BY doc_id) AS rank
 FROM m QUALIFY rank <= 25
 """)
+
+
+# ---- DrillSideways (round 5, late) -----------------------------------------
+
+def _drill_sideways(spark, sf):
+    """DrillSideways over documents: base query = docs containing
+    'merge' (postings semi-join), drill-down lang=en AND source=src3;
+    each dimension's sideways counts drop its OWN filter only."""
+    from lucene_solr_spark.operators.facets import drill_sideways
+
+    idx = _docs_index(spark, sf)
+    hits = (idx.postings.where(F.col("term") == "merge")
+            .select(F.col("docid").alias("doc_id")).distinct())
+    docs = _load(spark, sf, "documents").select("doc_id", "lang", "source")
+    base = docs.join(hits, "doc_id")
+    return drill_sideways(base, None,
+                          {"lang": "en", "source": "src3"}, k_per_dim=8)
+
+
+_register("drill_sideways", _drill_sideways, f"""
+WITH {FT_BASE},
+hits AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'merge'),
+base AS (
+  SELECT d.doc_id, d.lang, d.source
+  FROM documents d JOIN hits USING (doc_id)
+),
+sw AS (
+  SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS cnt
+  FROM base WHERE source = 'src3' GROUP BY lang
+  UNION ALL
+  SELECT 'source', source, count(*)::BIGINT
+  FROM base WHERE lang = 'en' GROUP BY source
+)
+SELECT dim, value, cnt,
+       row_number() OVER (PARTITION BY dim
+                          ORDER BY cnt DESC, value) AS rank
+FROM sw QUALIFY rank <= 8
+""")

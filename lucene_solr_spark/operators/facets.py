@@ -354,3 +354,43 @@ def interval_facet(df: DataFrame, field: str,
         for i, spec in enumerate(intervals)])
     return (row.select(F.explode(pairs).alias("p"))
             .select("p.ival", "p.cnt", "p.rank"))
+
+
+def drill_sideways(df: DataFrame, base_cond: Column | None,
+                   drill: dict[str, object],
+                   k_per_dim: int = 10) -> DataFrame:
+    """DrillSideways (lucene/facet/src/java/org/apache/lucene/facet/
+    DrillSideways.java:68 + DrillDownQuery.java): the query drills
+    down on several dimensions; for EACH drilled dimension the facet
+    counts are computed with that dimension's own filter REMOVED (all
+    other drill-downs + the base query still applied) — so a
+    dimension's alternative values don't disappear after drilling
+    into it. ``drill``: {column: selected_value}. Returns
+    (dim, value, cnt, rank-per-dim) — each dim's top values by
+    (count desc, value asc).
+
+    Scale: ONE pass over the base-filtered frame — the near-miss test
+    per dimension is a Column predicate (grouping-set-style
+    conditional aggregation), so N dimensions cost N conditional
+    aggregates in one shuffle, not N scans (the reference's
+    DrillSidewaysScorer also scores base+near-miss docs in one
+    traversal)."""
+    base = df.where(base_cond) if base_cond is not None else df
+    dims = list(drill.items())
+    conds = {c: (F.col(c) == F.lit(v)) for c, v in dims}
+    parts = []
+    for c, _ in dims:
+        others = [conds[o] for o, _ in dims if o != c]
+        keep = others[0] if others else F.lit(True)
+        for x in others[1:]:
+            keep = keep & x
+        parts.append(
+            base.where(keep)
+            .groupBy(F.lit(c).alias("dim"), F.col(c).alias("value"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    w = Window.partitionBy("dim").orderBy(F.desc("cnt"), F.asc("value"))
+    return (out.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k_per_dim))

@@ -587,3 +587,22 @@ def test_word_break_summed_freq_sort(combo_index):
     rows = [(r["word"], r["max_freq"]) for r in out]
     # summed: database+merge = 3+2 = 5; sort+merge = 1+2 = 3
     assert rows == [("databasemerge", 5), ("sortmerge", 3)]
+
+
+def test_drill_sideways_semantics(spark):
+    from lucene_solr_spark.operators.facets import drill_sideways
+
+    rows = [("en", "a"), ("en", "a"), ("en", "b"),
+            ("de", "a"), ("de", "b"), ("fr", "b")]
+    df = spark.createDataFrame(rows, "lang string, src string")
+    out = drill_sideways(df, None, {"lang": "en", "src": "a"})
+    got = {(r["dim"], r["value"]): r["cnt"] for r in out.collect()}
+    # lang sideways: src='a' applied, lang filter DROPPED ->
+    # en:2, de:1 ; src sideways: lang='en' applied -> a:2, b:1
+    assert got == {("lang", "en"): 2, ("lang", "de"): 1,
+                   ("src", "a"): 2, ("src", "b"): 1}
+    # with a base condition on top
+    out2 = drill_sideways(df, F.col("lang") != "fr", {"src": "b"})
+    got2 = {(r["dim"], r["value"]): r["cnt"] for r in out2.collect()}
+    # single dim: its own filter dropped, base still applied
+    assert got2 == {("src", "a"): 3, ("src", "b"): 2}

@@ -326,19 +326,40 @@ def word_break_suggest(index: IndexTables, words: list[str], k: int = 10,
 
 
 def word_combine_suggest(index: IndexTables, terms: list[str], k: int = 10,
-                         min_suggestion_freq: int = 1) -> DataFrame:
+                         min_suggestion_freq: int = 1,
+                         suggest_mode: str = "always") -> DataFrame:
     """WordBreakSpellChecker.suggestWordCombinations
     (WordBreakSpellChecker.java:160-243), maxChanges=1 → adjacent
     pairs only (the reference inner loop runs j - i <= maxChanges):
     for each adjacent query-term pair, suggest the concatenation if it
-    is a dictionary term with df >= min_suggestion_freq (SUGGEST_ALWAYS
-    mode: no original-frequency gate). Ranked by combined df desc,
-    then pair index asc (same tie-pinning rationale as
-    word_break_suggest). Returns (pair_idx, left_term, right_term,
-    combined, combined_df, rank)."""
+    is a dictionary term with df >= min_suggestion_freq. Ranked by
+    combined df desc, then pair index asc (same tie-pinning rationale
+    as word_break_suggest). Returns (pair_idx, left_term, right_term,
+    combined, combined_df, rank).
+
+    ``suggest_mode`` follows the reference gates
+    (WordBreakSpellChecker.java:215-223): "more_popular" keeps a
+    combination only when its df >= the MAX of the pair's own dfs;
+    "when_not_in_index" only when the pair's MIN df is 0; "always"
+    applies no original-frequency gate."""
+    if suggest_mode not in ("always", "when_not_in_index",
+                            "more_popular"):
+        raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
     pairs = [(i, terms[i], terms[i + 1], terms[i] + terms[i + 1])
              for i in range(len(terms) - 1)]
     spark = index.term_stats.sparkSession
+    if suggest_mode != "always":
+        orig = [p[1] for p in pairs] + [p[2] for p in pairs]
+        dfs = {r["term"]: int(r["df"]) for r in
+               index.term_stats.where(F.col("term").isin(orig))
+               .select("term", "df").collect()}
+        if suggest_mode == "when_not_in_index":
+            pairs = [p for p in pairs
+                     if min(dfs.get(p[1], 0), dfs.get(p[2], 0)) == 0]
+    if not pairs:
+        return spark.createDataFrame(
+            [], "pair_idx long, left_term string, right_term string, "
+                "combined string, combined_df long, rank long")
     pdf = spark.createDataFrame(
         pairs, "pair_idx long, left_term string, right_term string, combined string")
     ts = (index.term_stats
@@ -348,6 +369,12 @@ def word_combine_suggest(index: IndexTables, terms: list[str], k: int = 10,
           .where(F.col("combined_df") >= min_suggestion_freq))
     out = F.broadcast(pdf).join(ts, "combined").select(
         "pair_idx", "left_term", "right_term", "combined", "combined_df")
+    if suggest_mode == "more_popular":
+        gates = {p[0]: max(dfs.get(p[1], 0), dfs.get(p[2], 0))
+                 for p in pairs}
+        gmap = F.create_map(*[x for i, g in gates.items()
+                              for x in (F.lit(i), F.lit(g))])
+        out = out.where(F.col("combined_df") >= gmap[F.col("pair_idx")])
     order = [F.desc("combined_df"), F.asc("pair_idx")]
     w = Window.orderBy(*order)
     return (out.orderBy(*order).limit(k)
@@ -717,7 +744,9 @@ def fuzzy_suggest(suggester: DataFrame, query: str, k: int = 10,
 
 
 def infix_suggest(suggester: DataFrame, query: str, k: int = 10,
-                  all_terms_required: bool = True) -> DataFrame:
+                  all_terms_required: bool = True,
+                  contexts: list[str] | None = None,
+                  context_col: str = "contexts") -> DataFrame:
     """AnalyzingInfixSuggester.lookup (lucene/suggest/src/java/org/
     apache/lucene/search/suggest/analyzing/AnalyzingInfixSuggester
     .java:458-560): unlike the FST suggesters, matches are allowed on
@@ -728,6 +757,13 @@ def infix_suggest(suggester: DataFrame, query: str, k: int = 10,
     surface asc pinned for ties. Operates on the same persisted
     completion table as analyzing_suggest (the entry tokens are the
     SEP-joined key) — pure Catalyst array predicates, no UDF.
+
+    ``contexts``: the reference's context filtering
+    (AnalyzingInfixSuggester.java:103-119,392 — entries carry a
+    contexts set; a lookup with contexts keeps entries intersecting
+    it). Applies only when the suggester frame has ``context_col``
+    (an array column); entries with a NULL/empty set never match a
+    contexted lookup, like the reference's BooleanQuery FILTER.
 
     Scale: the token predicates are Column expressions over the split
     key — one scan of the suggester table, TakeOrdered top-k; the
@@ -745,6 +781,14 @@ def infix_suggest(suggester: DataFrame, query: str, k: int = 10,
     for t in full:
         c = F.array_contains(tokens, t)
         cond = (cond & c) if all_terms_required else (cond | c)
+    if contexts:
+        if context_col not in suggester.columns:
+            raise ValueError(
+                f"contexts given but suggester has no {context_col!r} "
+                "column")
+        cset = F.array(*[F.lit(c) for c in contexts])
+        cond = cond & (F.size(F.array_intersect(
+            F.coalesce(F.col(context_col), F.array()), cset)) > 0)
     order = [F.desc("weight"), F.asc("surface")]
     return (suggester.where(cond)
             .select("surface", F.col("weight").cast("long").alias("weight"))

@@ -606,3 +606,49 @@ def test_drill_sideways_semantics(spark):
     got2 = {(r["dim"], r["value"]): r["cnt"] for r in out2.collect()}
     # single dim: its own filter dropped, base still applied
     assert got2 == {("src", "a"): 3, ("src", "b"): 2}
+
+
+def test_word_combine_suggest_modes(combo_index):
+    from lucene_solr_spark.operators.searchext import word_combine_suggest
+
+    # dict dfs: data=3, base=2, database=3, sortmerge=1, sort=1, merge=2
+    # when_not_in_index: both 'data' and 'base' ARE in the dictionary
+    # (min df > 0) -> the pair is skipped entirely
+    out = word_combine_suggest(combo_index, ["data", "base"],
+                               suggest_mode="when_not_in_index")
+    assert out.count() == 0
+    # a pair with an absent member passes the gate
+    out2 = word_combine_suggest(combo_index, ["data", "basezz"],
+                                suggest_mode="when_not_in_index")
+    assert out2.count() == 0  # 'databasezz' not a dict term either
+    # more_popular: database df 3 >= max(data 3, base 2) -> kept;
+    # sortmerge df 1 < max(sort 1, merge 2) = 2 -> dropped
+    out3 = [(r["combined"],)
+            for r in word_combine_suggest(
+                combo_index, ["data", "base", "sort", "merge"],
+                suggest_mode="more_popular").collect()]
+    assert out3 == [("database",)]
+    with pytest.raises(ValueError):
+        word_combine_suggest(combo_index, ["a", "b"], suggest_mode="x")
+
+
+def test_infix_suggest_contexts(spark):
+    from lucene_solr_spark.operators.searchext import (
+        build_analyzing_suggester, infix_suggest)
+
+    entries = spark.createDataFrame(
+        [("customer data", 10), ("customer file", 8)],
+        "surface string, weight long")
+    sug = build_analyzing_suggester(entries)
+    ctx = spark.createDataFrame(
+        [("customer data", ["en"]), ("customer file", ["de"])],
+        "surface string, contexts array<string>")
+    sug_ctx = sug.join(ctx, "surface")
+    got = [r["surface"] for r in infix_suggest(
+        sug_ctx, "cust", contexts=["en"]).collect()]
+    assert got == ["customer data"]
+    # no contexts -> both
+    got2 = {r["surface"] for r in infix_suggest(sug_ctx, "cust").collect()}
+    assert got2 == {"customer data", "customer file"}
+    with pytest.raises(ValueError):
+        infix_suggest(sug, "cust", contexts=["en"])  # no contexts col

@@ -1026,9 +1026,10 @@ DRIVER_PRIORITY = [
     # bool/mlt dialects, polygons with holes
     # (r5 late: seg_phrase displaced — r4-green; exact phrases stay
     # via seg_phrase_hot + seg_multiphrase)
-    # (r5 late: ft_multifield_qf displaced — r4-green; multifield
-    # stays via seg_multifield_qf)
-    "seg_phrase_hot", "seg_multiphrase",
+    # (r5 late: ft_multifield_qf / seg_multiphrase displaced —
+    # r4-green; multifield stays via seg_multifield_qf, phrases via
+    # seg_phrase_hot) FreeTextSuggester n-gram LM:
+    "seg_phrase_hot", "suggest_freetext",
     # (r5 late: ft_multifield_bool displaced — r4-green; multifield
     # stays via ft_multifield_qf + seg_multifield_qf)
     "ann_sq8", "cardinality_hll",

@@ -5436,3 +5436,51 @@ SELECT dim, value, cnt,
                           ORDER BY cnt DESC, value) AS rank
 FROM sw QUALIFY rank <= 8
 """)
+
+
+# ---- FreeTextSuggester (round 5, late) --------------------------------------
+
+def _suggest_freetext(spark, sf):
+    """FreeTextSuggester grams=2 with stupid backoff (ALPHA 0.4):
+    next-word prediction after 'hash' over the documents corpus."""
+    from lucene_solr_spark.operators.searchext import free_text_suggest
+
+    docs = _load(spark, sf, "documents")
+    return free_text_suggest(docs, "hash", k=10)
+
+
+_register("suggest_freetext", _suggest_freetext, """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+big AS (
+  SELECT t1.term AS w1, t2.term AS w2, count(*)::BIGINT AS c
+  FROM tok t1 JOIN tok t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  GROUP BY t1.term, t2.term
+),
+ctx AS (SELECT sum(c)::BIGINT AS n FROM big WHERE w1 = 'hash'),
+uni AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+tot AS (SELECT count(*)::BIGINT AS n FROM tok),
+hits AS (
+  SELECT b.w2 AS term,
+         CAST(floor(b.c::DOUBLE / ctx.n::DOUBLE * 1000000) AS BIGINT)
+           AS score_q
+  FROM big b CROSS JOIN ctx WHERE b.w1 = 'hash'
+),
+backoff AS (
+  SELECT u.term,
+         CAST(floor(0.4 * u.c::DOUBLE / tot.n::DOUBLE * 1000000)
+              AS BIGINT) AS score_q
+  FROM uni u CROSS JOIN tot
+  WHERE u.term <> 'hash'
+    AND u.term NOT IN (SELECT term FROM hits)
+),
+allc AS (SELECT * FROM hits UNION ALL SELECT * FROM backoff)
+SELECT term, score_q,
+       row_number() OVER (ORDER BY score_q DESC, term) AS rank
+FROM allc ORDER BY score_q DESC, term LIMIT 10
+""")

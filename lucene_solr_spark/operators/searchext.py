@@ -917,3 +917,59 @@ def fvh_highlight_tagged(index: IndexTables, docs_text: DataFrame,
             .where(F.col("rank") <= max_fragments)
             .select(F.col("docid").alias(id_col), "frag_start",
                     "frag_end", "n_matches", "tagged", "rank"))
+
+
+def free_text_suggest(docs_text: DataFrame, prev: str, k: int = 10,
+                      alpha: float = 0.4, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """FreeTextSuggester (lucene/suggest/src/java/org/apache/lucene/
+    search/suggest/analyzing/FreeTextSuggester.java:83-133, grams=2):
+    next-word prediction from an n-gram language model with STUPID
+    BACKOFF (ALPHA = 0.4) — candidates seen after ``prev`` score
+    count(prev, w) / count(prev, *); words never seen after ``prev``
+    back off to ALPHA * count(w) / total_tokens. Ranked score desc,
+    term asc, top-k. Tokenization is the corpus's whitespace stream
+    (documented stand-in for the reference's ShingleFilter over the
+    analyzer — this fixture's text is pre-normalized). Scores are
+    quantized floor(x*1e6): both engines divide the same exact
+    integers, so the doubles agree bit-for-bit.
+
+    Scale: the model is TWO hash aggregates (bigram + unigram counts)
+    over one tokenized scan; the lookup filters the bigram frame on
+    the context (pushed predicate) and unions the backoff frame —
+    at production scale the counts are built once and persisted, the
+    lookup touches one context partition."""
+    toks = F.split(F.col(text_col), " ")
+    t = docs_text.select(
+        F.posexplode(toks).alias("pos", "term"),
+        F.col(id_col).alias("_d"))
+    t = t.select("_d", "pos", "term")
+    big = (t.alias("a")
+           .join(t.alias("b"),
+                 (F.col("a._d") == F.col("b._d"))
+                 & (F.col("b.pos") == F.col("a.pos") + 1))
+           .groupBy(F.col("a.term").alias("w1"),
+                    F.col("b.term").alias("w2"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    ctx = big.where(F.col("w1") == prev)
+    ctx_n = ctx.agg(F.sum("c")).first()[0] or 0
+    uni = t.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = t.count()
+    hits = ctx.select(
+        F.col("w2").alias("term"),
+        F.floor(F.col("c").cast("double") / F.lit(float(ctx_n))
+                * 1_000_000).cast("long").alias("score_q")) \
+        if ctx_n else ctx.select(
+            F.col("w2").alias("term"),
+            F.lit(0).cast("long").alias("score_q")).where(F.lit(False))
+    backoff = (uni.join(hits.select("term"), "term", "left_anti")
+               .where(F.col("term") != prev)
+               .select("term",
+                       F.floor(F.lit(alpha) * F.col("c").cast("double")
+                               / F.lit(float(total)) * 1_000_000)
+                       .cast("long").alias("score_q")))
+    out = hits.unionByName(backoff)
+    order = [F.desc("score_q"), F.asc("term")]
+    w = Window.orderBy(*order)
+    return (out.orderBy(*order).limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("long")))

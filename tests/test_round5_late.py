@@ -652,3 +652,21 @@ def test_infix_suggest_contexts(spark):
     assert got2 == {"customer data", "customer file"}
     with pytest.raises(ValueError):
         infix_suggest(sug, "cust", contexts=["en"])  # no contexts col
+
+
+def test_free_text_suggest_backoff(spark):
+    from lucene_solr_spark.operators.searchext import free_text_suggest
+
+    docs = spark.createDataFrame(
+        [(0, "a b a c"), (1, "a b d")], "doc_id long, text string")
+    out = {r["term"]: (r["score_q"], r["rank"])
+           for r in free_text_suggest(docs, "a", k=10).collect()}
+    # bigrams after 'a': b (2), c (1); ctx total 3
+    # direct: b = floor(2/3 * 1e6) = 666666 ; c = floor(1/3*1e6) = 333333
+    assert out["b"] == (666666, 1)
+    assert out["c"] == (333333, 2)
+    # backoff for d (count 1, total tokens 7): floor(0.4 * 1/7 * 1e6)
+    assert out["d"] == (57142, 3)
+    # the context word itself only via backoff? 'a' excluded from
+    # backoff; 'a' never follows 'a' directly -> absent
+    assert "a" not in out

@@ -394,3 +394,32 @@ def drill_sideways(df: DataFrame, base_cond: Column | None,
     w = Window.partitionBy("dim").orderBy(F.desc("cnt"), F.asc("value"))
     return (out.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k_per_dim))
+
+
+def path_facet(df: DataFrame, path_col: str, sep: str = "/",
+               k_per_level: int = 10) -> DataFrame:
+    """Taxonomy (hierarchical) facets — lucene/facet/src/java/org/
+    apache/lucene/facet/taxonomy/ (FacetsConfig hierarchical dims +
+    TaxonomyFacetCounts): a document labeled with path "a/b/c" counts
+    toward EVERY ancestor category ("a", "a/b", "a/b/c" — the
+    taxonomy's ordinal-ancestor rollup). Returns (level, path, cnt,
+    rank-per-level), each level's top categories by (count desc,
+    path asc).
+
+    Scale: one explode of the ancestor-prefix array (depth-bounded)
+    + one hash aggregate — the dimension tree never materializes
+    driver-side; the reference's int[] ordinal rollup becomes a
+    grouped count over prefixes."""
+    parts = F.split(F.col(path_col), sep)
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda n: F.struct(
+            n.cast("long").alias("level"),
+            F.array_join(F.slice(parts, 1, n), sep).alias("path")))
+    ex = df.select(F.explode(prefixes).alias("p")).select(
+        "p.level", "p.path")
+    agg = (ex.groupBy("level", "path")
+           .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    w = Window.partitionBy("level").orderBy(F.desc("cnt"), F.asc("path"))
+    return (agg.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k_per_level))

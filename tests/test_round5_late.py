@@ -670,3 +670,18 @@ def test_free_text_suggest_backoff(spark):
     # the context word itself only via backoff? 'a' excluded from
     # backoff; 'a' never follows 'a' directly -> absent
     assert "a" not in out
+
+
+def test_path_facet_ancestor_rollup(spark):
+    from lucene_solr_spark.operators.facets import path_facet
+
+    df = spark.createDataFrame(
+        [("a/b/c",), ("a/b",), ("a/x",), ("d",)], "cat string")
+    got = {(r["level"], r["path"]): (r["cnt"], r["rank"])
+           for r in path_facet(df, "cat").collect()}
+    # level 1: a counts 3 (all its descendants), d counts 1
+    assert got[(1, "a")] == (3, 1) and got[(1, "d")] == (1, 2)
+    # level 2: a/b counts 2 (itself + a/b/c), a/x counts 1
+    assert got[(2, "a/b")] == (2, 1) and got[(2, "a/x")] == (1, 2)
+    assert got[(3, "a/b/c")] == (1, 1)
+    assert len(got) == 5

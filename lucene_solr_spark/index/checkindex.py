@@ -272,3 +272,36 @@ def check_index(si: SegmentIndex, max_report: int = 20) -> dict:
         "docvalues_docs": dv_docs,
         "clean": True,
     }
+
+
+def check_flat_index(idx) -> dict:
+    """CheckIndex for the FLAT index tables (the index/CheckIndex.java
+    term/freq cross-checks applied to IndexTables): verifies
+    (1) term_stats.df == distinct-doc count derived from postings per
+    term, (2) docs.doclen == sum of the doc's postings tf, (3)
+    coll_stats doc_count/sum_ttf match the tables. Returns a report
+    dict with per-check violation counts; clean == all zeros.
+
+    Scale: three aggregate jobs, each one shuffle — no collects of
+    postings."""
+    from pyspark.sql import functions as F
+
+    p = idx.postings
+    df_derived = p.groupBy("term").agg(
+        F.countDistinct("docid").alias("df2"))
+    bad_df = (idx.term_stats.join(df_derived, "term", "full")
+              .where(F.coalesce(F.col("df").cast("long"), F.lit(-1))
+                     != F.coalesce(F.col("df2"), F.lit(-1))).count())
+    dl_derived = p.groupBy("docid").agg(F.sum("tf").alias("dl2"))
+    bad_dl = (idx.docs.select("docid", "doclen")
+              .join(dl_derived, "docid", "left")
+              .where(F.col("doclen").cast("long")
+                     != F.coalesce(F.col("dl2"), F.lit(0))).count())
+    n_docs = idx.docs.count()
+    sttf = idx.docs.agg(F.sum("doclen")).first()[0] or 0
+    cs = idx.coll_stats
+    bad_cs = int(int(cs["doc_count"]) != int(n_docs)) + int(
+        int(cs["sum_ttf"]) != int(sttf))
+    return {"clean": bad_df == 0 and bad_dl == 0 and bad_cs == 0,
+            "bad_term_stats": int(bad_df), "bad_doclens": int(bad_dl),
+            "bad_coll_stats": int(bad_cs), "docs": int(n_docs)}

@@ -50,13 +50,27 @@ def spellcheck(index: IndexTables, word: str, max_edits: int = 2,
 
 
 def more_like_this_terms(index: IndexTables, doc_id: int,
-                         max_terms: int = 10, min_df: int = 2) -> DataFrame:
+                         max_terms: int = 10, min_df: int = 2,
+                         min_term_freq: int = 1,
+                         min_word_len: int = 0, max_word_len: int = 0,
+                         stop_words: set[str] | None = None) -> DataFrame:
     """MoreLikeThis term selection (lucene/queries/.../mlt/
     MoreLikeThis.java): the doc's terms ranked by tf * idf with
     idf = ln(1 + n/(df+1)) (ClassicSimilarity-flavored, kept exact
-    and engine-portable), df-floored. Returns (term, score_q, rank)."""
+    and engine-portable), df-floored. The full reference gate set
+    (MoreLikeThis.java:217-276): ``min_term_freq`` (isNoiseWord's tf
+    floor), ``min_word_len``/``max_word_len`` (0 = unbounded),
+    ``stop_words``. Returns (term, score_q, rank)."""
     n = float(index.coll_stats["doc_count"])
     mine = index.postings.where(F.col("docid") == doc_id).select("term", "tf")
+    if min_term_freq > 1:
+        mine = mine.where(F.col("tf") >= min_term_freq)
+    if min_word_len > 0:
+        mine = mine.where(F.length("term") >= min_word_len)
+    if max_word_len > 0:
+        mine = mine.where(F.length("term") <= max_word_len)
+    if stop_words:
+        mine = mine.where(~F.col("term").isin(sorted(stop_words)))
     j = mine.join(index.term_stats.select("term", "df"), "term")
     score = (F.col("tf").cast("double")
              * F.log(F.lit(1.0) + F.lit(n) / (F.col("df").cast("double") + 1.0)))

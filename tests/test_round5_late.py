@@ -685,3 +685,33 @@ def test_path_facet_ancestor_rollup(spark):
     assert got[(2, "a/b")] == (2, 1) and got[(2, "a/x")] == (1, 2)
     assert got[(3, "a/b/c")] == (1, 1)
     assert len(got) == 5
+
+
+def test_mlt_full_param_gates(combo_index):
+    from lucene_solr_spark.operators.searchext import more_like_this_terms
+
+    # doc 0 terms: data, base, database, merge (tf 1 each)
+    base = {r["term"] for r in more_like_this_terms(
+        combo_index, 0, min_df=1).collect()}
+    assert base == {"data", "base", "database", "merge"}
+    # word-length gates
+    got = {r["term"] for r in more_like_this_terms(
+        combo_index, 0, min_df=1, min_word_len=5).collect()}
+    assert got == {"database", "merge"}
+    got2 = {r["term"] for r in more_like_this_terms(
+        combo_index, 0, min_df=1, max_word_len=4).collect()}
+    assert got2 == {"data", "base"}
+    # stopword + min tf gates
+    got3 = {r["term"] for r in more_like_this_terms(
+        combo_index, 0, min_df=1, stop_words={"merge"}).collect()}
+    assert "merge" not in got3
+    assert more_like_this_terms(
+        combo_index, 0, min_df=1, min_term_freq=2).count() == 0
+
+
+def test_check_flat_index(combo_index):
+    from lucene_solr_spark.index.checkindex import check_flat_index
+
+    rep = check_flat_index(combo_index)
+    assert rep["clean"] and rep["docs"] == 4
+    assert rep["bad_term_stats"] == 0 and rep["bad_doclens"] == 0

@@ -423,3 +423,37 @@ def path_facet(df: DataFrame, path_col: str, sep: str = "/",
     w = Window.partitionBy("level").orderBy(F.desc("cnt"), F.asc("path"))
     return (agg.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k_per_level))
+
+
+def sampled_facet(df: DataFrame, field: str, key_col: str,
+                  rate: float, seed: str = "42",
+                  k: int = 10) -> DataFrame:
+    """RandomSamplingFacetsCollector (lucene/facet/src/java/org/
+    apache/lucene/facet/RandomSamplingFacetsCollector.java): facet
+    counts over a document SAMPLE, corrected by the inverse sampling
+    rate (amortizeFacetCounts' 1/samplingRate scale-up). The sample is
+    the engine's deterministic md5(seed:key) threshold — fixed-width
+    hex-string comparison against the rate rendered on the 2^32 grid
+    (dataset_split's rule), so the same docs sample on every engine
+    and at any parallelism (the reference uses XORShift; documented
+    deviation for reproducibility). Returns (value, est, sampled,
+    rank) — est = floor(sampled / rate).
+
+    Scale: the threshold is a pure map predicate BEFORE the hash
+    aggregate — at 100 TB the facet agg touches rate*N rows, which is
+    the whole point of the sampling collector."""
+    cut = format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(seed), F.lit(":"),
+                       F.col(key_col).cast("string"))), 1, 8)
+    samp = df.where(h8 < cut)
+    agg = (samp.groupBy(F.col(field).alias("value"))
+           .agg(F.count(F.lit(1)).cast("long").alias("sampled")))
+    agg = agg.withColumn(
+        "est", F.floor(F.col("sampled").cast("double")
+                       / F.lit(float(rate))).cast("long"))
+    order = [F.desc("sampled"), F.asc("value")]
+    w = Window.orderBy(*order)
+    return (agg.orderBy(*order).limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("value", "est", "sampled", "rank"))

@@ -715,3 +715,25 @@ def test_check_flat_index(combo_index):
     rep = check_flat_index(combo_index)
     assert rep["clean"] and rep["docs"] == 4
     assert rep["bad_term_stats"] == 0 and rep["bad_doclens"] == 0
+
+
+def test_sampled_facet(spark):
+    from lucene_solr_spark.operators.facets import sampled_facet
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(3000)],
+        "id long, lang string")
+    out = {r["value"]: (r["est"], r["sampled"])
+           for r in sampled_facet(df, "lang", "id", rate=0.25).collect()}
+    # deterministic sample; estimates land near the true counts
+    # (en 2000, de 1000) and est = floor(sampled/rate) exactly
+    assert set(out) == {"en", "de"}
+    for v, (est, sampled) in out.items():
+        assert est == int(sampled / 0.25)
+    assert abs(out["en"][0] - 2000) < 300
+    assert abs(out["de"][0] - 1000) < 300
+    # parallelism-invariant
+    again = {r["value"]: (r["est"], r["sampled"])
+             for r in sampled_facet(df.repartition(11), "lang", "id",
+                                    rate=0.25).collect()}
+    assert again == out
